@@ -1,0 +1,61 @@
+"""Catalog: load the driver testdata tables and register them as temp views.
+
+Replaces the reference's ad-hoc ``createOrReplaceTempView`` scatter
+(/root/reference/etl.py:132,160,162,197) with one registration point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Dimension tables small enough to broadcast at ANY scale factor — their
+#: cardinality is fixed (region=5, nation=25) or grows sublinearly. Joins
+#: against these must never shuffle the fact side.
+BROADCAST_DIMS = frozenset({"region", "nation"})
+
+
+#: Columns stored as parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
+#: as timestamps. We read them as raw int64 nanos (legacy conf) and truncate
+#: to µs — identical to DuckDB's TIMESTAMP_NS → TIMESTAMP cast, so the
+#: oracle and the engine see the same µs values (SURVEY.md §2.3 rule 4).
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one parquet table. Column pruning + predicate pushdown are left to
+    Catalyst — callers express plans declaratively."""
+    if name in _NANOS_TS_COLS:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col in _NANOS_TS_COLS.get(name, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            # integer `div` — a double division would lose precision on
+            # epoch-nanos (~1.7e18 > 2^53)
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every testdata table as a temp view for the SQL surface."""
+    dfs = load_all(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,72 @@
+"""Deterministic expression builders shared by operators, queries and tests.
+
+These pin the cross-engine semantics from SURVEY.md §2.3:
+- money/measure aggregates go through DECIMAL(18,2) (never raw float sums);
+- unavoidable float outputs are ROUNDed with a stated scale;
+- weekday is Monday=1 via the reference formula (/root/reference/etl.py:216);
+- ISO week; µs timestamp truncation (parquet ns → Spark µs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+
+DEC18_2 = DecimalType(18, 2)
+
+
+def dec(col: Column | str) -> Column:
+    """Cast to DECIMAL(18,2) — the determinism policy for money/measures."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(DEC18_2)
+
+
+def dec_sum(col: Column | str, alias: str) -> Column:
+    """SUM(CAST(x AS DECIMAL(18,2))) cast back to DECIMAL(18,2).
+
+    Spark widens a decimal SUM to DECIMAL(28,2); casting back keeps the
+    declared output type identical across engines.
+    """
+    return F.sum(dec(col)).cast(DEC18_2).alias(alias)
+
+
+def weekday_monday(date_col: Column | str) -> Column:
+    """Monday=1..Sunday=7, the reference's formula ``((dayofweek+5)%7)+1``
+    (/root/reference/etl.py:216). Equivalent to ISO dow."""
+    c = F.col(date_col) if isinstance(date_col, str) else date_col
+    return ((F.dayofweek(c) + F.lit(5)) % 7 + F.lit(1)).cast("int")
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity between two ``array<float|double>`` columns, computed
+    elementwise left-to-right in DOUBLE (SURVEY.md Q30 pinned formula).
+
+    Pure Catalyst expression — ``zip_with`` + ``aggregate`` run inside codegen;
+    no Python on the data path.
+    """
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    norm_a = F.sqrt(F.aggregate(ad, F.lit(0.0), lambda acc, x: acc + x * x))
+    norm_b = F.sqrt(F.aggregate(bd, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (norm_a * norm_b)
+
+
+def tokens(text_col: Column | str, sep: str = " ") -> Column:
+    """Whitespace tokenization used across the text operators."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(c, sep)
+
+
+DEC18_4 = DecimalType(18, 4)
+
+
+def dec4(col: Column | str) -> Column:
+    """Cast to DECIMAL(18,4) — for derived measures like price*(1-discount)
+    whose exact value has 4 decimal digits. Rounding at 4 digits is
+    unambiguous (the double error ~1e-11 is far from the 5e-5 boundary), so
+    HALF_UP (Spark) and HALF_EVEN (DuckDB) casts agree — unlike a 2-digit
+    cast, which lands exactly on half-cent boundaries."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(DEC18_4)

@@ -1,0 +1,254 @@
+"""Deduplication operators.
+
+Covers the reference's greatest-n-per-group pattern (the users table,
+/root/reference/etl.py:134-147, which joins logs back to ``(userId, MAX(ts))``)
+re-expressed as a single window pass, plus the LLM-pipeline dedup family:
+exact, canonical-token near-dedup, MinHash/LSH, SimHash, n-gram Jaccard and
+embedding-cosine near-dup.
+
+Scale notes: every variant is one shuffle on its key (window partition or
+groupBy). The canonical near-dedup hashes the canonical key with ``xxhash64``
+before the shuffle so 100 TB of text never travels as the shuffle key — only
+when emitting group contents is the text itself needed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_engineering_nd_datalake_project_4_spark.functions import cosine_similarity, tokens
+
+
+def latest_per_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[Column],
+) -> DataFrame:
+    """Keep the single "latest" row per key group.
+
+    Idiomatic replacement of the reference's aggregate-then-join-back
+    (/root/reference/etl.py:142-146): one ``row_number()`` window instead of
+    a groupBy + self-join — one shuffle instead of two, and a documented,
+    deterministic tie-break (the caller's ``order_cols`` must totally order
+    each group; the reference had none and could emit duplicate rows).
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def exact_dedup(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """Exact dedup on a column subset (``dropDuplicates``) or full row
+    (``distinct``). Physical: partial+final HashAggregate, one shuffle.
+
+    At 100 TB: dedup on a long text column should dedup on ``xxhash64(text)``
+    instead (collision probability ~n²/2⁶⁴); see :func:`exact_dedup_by_hash`.
+    """
+    return df.dropDuplicates(list(cols)) if cols else df.distinct()
+
+
+def exact_dedup_by_hash(df: DataFrame, text_col: str, keep_order_cols: Sequence[Column] | None = None) -> DataFrame:
+    """Exact dedup of a wide text/binary column via 64-bit content hash: the
+    shuffle key is 8 bytes, not the document. Keeps the first row per hash
+    by the caller's order (default: ascending ``xxhash64`` is arbitrary, so
+    callers should pass a stable id ordering)."""
+    order = list(keep_order_cols) if keep_order_cols else [F.col(text_col)]
+    return latest_per_key(df.withColumn("__h", F.xxhash64(F.col(text_col))), ["__h"], order).drop("__h")
+
+
+def canonical_text_key(text_col: Column | str, sep: str = " ") -> Column:
+    """Canonical near-dedup key: sorted distinct token set re-joined
+    (SURVEY.md Q28). Two docs that are permutations / repetitions of the same
+    token set collide."""
+    return F.array_join(F.array_sort(F.array_distinct(tokens(text_col, sep))), sep)
+
+
+def canonical_near_dedup_groups(
+    df: DataFrame, text_col: str, id_col: str, min_group: int = 2
+) -> DataFrame:
+    """Groups of near-duplicate docs under the canonical-token key.
+
+    Returns ``(group_min_id, group_size)`` per duplicate group. The groupBy
+    key is ``xxhash64(canonical_key)`` — at scale the shuffle moves 8-byte
+    hashes, not document text.
+    """
+    keyed = df.select(
+        F.xxhash64(canonical_text_key(text_col)).alias("__key"), F.col(id_col)
+    )
+    return (
+        keyed.groupBy("__key")
+        .agg(F.min(id_col).alias("group_min_id"), F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") >= min_group)
+        .drop("__key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dedup (probabilistic; smoke-tested on planted dups)
+# ---------------------------------------------------------------------------
+
+def _shingles(text_col: Column, n: int) -> Column:
+    """Word n-gram shingles as an array<string> (distinct)."""
+    toks = tokens(text_col)
+    if n == 1:
+        return F.array_distinct(toks)
+    # sliding window over the token array, built with transform over indices —
+    # stays inside codegen, no UDF.
+    k = F.size(toks) - F.lit(n - 1)
+    idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0)))
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
+        ).otherwise(F.array(F.array_join(toks, " ")))
+    )
+
+
+def minhash_signature(text_col: Column, num_hashes: int = 32, shingle_n: int = 3) -> Column:
+    """MinHash signature as array<bigint>: min over shingles of
+    ``xxhash64(shingle, seed=i)`` for each of ``num_hashes`` seeds.
+
+    Pure Catalyst (transform + array_min over xxhash64) — vectorized, no UDF,
+    no shuffle. Signature column is ~256 bytes regardless of document size.
+    """
+    sh = _shingles(text_col, shingle_n)
+    return F.array(
+        *[F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i)))) for i in range(num_hashes)]
+    )
+
+
+def minhash_lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH banding: docs sharing any band of the MinHash signature become a
+    candidate pair ``(id_a, id_b)`` with ``id_a < id_b``.
+
+    Scale shape: explode to ``bands`` rows/doc (band hash = 8 bytes), shuffle
+    on band hash, self-join within buckets. Skewed buckets (boilerplate text)
+    are the classic hazard — AQE skew-join handles moderate skew; extreme
+    boilerplate should be pre-filtered by a document-frequency cap upstream.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
+    banded = df.select(
+        F.col(id_col).alias("__id"), sig.alias("__sig")
+    ).select(
+        "__id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__band", "__bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__bucket") == F.col("b.__bucket"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity over doc pairs.
+
+    ``candidates`` (e.g. from :func:`minhash_lsh_candidate_pairs`) restricts
+    the O(n²) comparison; without it this cross-joins — correctness/oracle
+    scale only. Output: ``id_a, id_b, jaccard`` (double).
+    """
+    sh = df.select(
+        F.col(id_col).alias("__id"), _shingles(F.col(text_col), n).alias("__sh")
+    )
+    a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"))
+    b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"))
+    if candidates is not None:
+        joined = candidates.join(a, "id_a").join(b, "id_b")
+    else:
+        joined = a.join(b, F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("__sha", "__shb")).cast("double")
+    union = F.size(F.array_union("__sha", "__shb")).cast("double")
+    return (
+        joined.select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(text_col: Column, shingle_n: int = 2) -> Column:
+    """64-bit SimHash fingerprint of a document, pure Catalyst.
+
+    For each bit position j: sum over shingles of ±1 according to bit j of
+    ``xxhash64(shingle)``; fingerprint bit j = sign of the sum. Emitted as a
+    BIGINT. Near-duplicate docs differ in few bits (small hamming distance).
+    """
+    sh = _shingles(text_col, shingle_n)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    # bit j vote: +1 if bit set else -1 → sum>0 ⇒ bit set in fingerprint
+    def bit_sum(j: int) -> Column:
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+
+    fp = F.lit(0).cast("long")
+    for j in range(64):
+        fp = fp + F.when(bit_sum(j) > 0, F.lit(1).cast("long") * F.lit(2 ** j if j < 63 else -(2 ** 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+    return fp
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints (bit_count of xor)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: ``id_a < id_b`` with
+    ``cosine >= threshold``. All-pairs — bound the input (or pre-bucket with
+    LSH / IVF from operators.similarity) before calling at scale."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine_similarity(F.col("__va"), F.col("__vb")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,118 @@
+"""Text-analysis operators for LLM-training-data pipelines.
+
+All pure ``pyspark.sql.functions`` compositions (JVM-side, codegen) — the
+hot path never enters Python. Each operator has an ANSI-SQL-expressible
+semantics so the DuckDB oracle can check it (SURVEY.md §2.3 policy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_engineering_nd_datalake_project_4_spark.functions import tokens
+
+#: Tiny per-language marker-token lists for the n-gram/stopword heuristic
+#: language identifier. Deliberately simple + deterministic (oracle-checkable);
+#: a production pipeline would swap in fastText — same operator shape.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in"),
+    "fr": ("le", "la", "les", "et", "des"),
+    "es": ("el", "los", "las", "y", "que"),
+    "de": ("der", "die", "das", "und", "nicht"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+#: A BPE-ish pretokenizer regex (GPT-2 style, simplified): word pieces,
+#: numbers, punctuation runs. Java regex (Spark) and kept RE2-compatible so
+#: oracle engines agree.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"
+
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Explode whitespace tokens → (token, count). Map-side partial
+    aggregation makes this one shuffle of (token, partial_count) pairs."""
+    return (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def token_count(text_col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text_col))
+
+
+def bpe_ish_token_count(text_col: Column | str) -> Column:
+    """Count of BPE-ish pretokens (regexp-based). Approximates LLM token
+    counts without a tokenizer model; deterministic and SQL-expressible."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.filter(F.split(F.regexp_replace(c, BPE_ISH_PATTERN, "$0"), ""), lambda t: F.length(F.trim(t)) > 0))
+
+
+def text_stats(df: DataFrame, text_col: str = "text", group_col: str = "lang") -> DataFrame:
+    """Per-group corpus stats: doc count, char sum, avg token count."""
+    return (
+        df.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length(text_col)).alias("total_chars"),
+            F.round(F.avg(token_count(text_col)), 2).alias("avg_tokens"),
+        )
+    )
+
+
+def quality_score(text_col: Column | str, stopwords: tuple[str, ...] = LANG_MARKERS["en"]) -> Column:
+    """Heuristic document quality in [0,1]: blend of length band, alpha
+    ratio, and stopword hit-rate (Gopher/C4-style rules, arithmetic only).
+
+    score = 0.4·len_ok + 0.3·alpha_ratio + 0.3·min(1, stopword_hits/2)
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    n_tok = F.size(tokens(c)).cast("double")
+    len_ok = F.when((n_tok >= 5) & (n_tok <= 10000), F.lit(1.0)).otherwise(F.lit(0.0))
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z ]", "")).cast("double") / F.greatest(
+        F.length(c).cast("double"), F.lit(1.0)
+    )
+    hits = F.size(F.array_intersect(F.array_distinct(tokens(c)), F.array(*[F.lit(s) for s in stopwords]))).cast("double")
+    return F.round(F.lit(0.4) * len_ok + F.lit(0.3) * alpha + F.lit(0.3) * F.least(F.lit(1.0), hits / 2), 4)
+
+
+def lang_id(text_col: Column | str) -> Column:
+    """Marker-token voting language identifier: the language whose marker
+    list hits the most distinct tokens wins; ties and zero-hit docs → 'und'.
+    Deterministic tie-break: language code ascending."""
+    toks = F.array_distinct(tokens(text_col))
+    scores = [
+        (code, F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers]))))
+        for code, markers in sorted(LANG_MARKERS.items())
+    ]
+    best = F.greatest(*[s for _, s in scores])
+    out = F.lit("und")
+    # first (alphabetical) language achieving the max score wins
+    for code, s in reversed(scores):
+        out = F.when((best > 0) & (s == best), F.lit(code)).otherwise(out)
+    return out
+
+
+def doc_fingerprint(text_col: Column | str) -> Column:
+    """64-bit content fingerprint: xxhash64 of the raw text. For a
+    shift-robust variant combine with rolling-window shingles (see
+    operators.dedup.simhash64)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.xxhash64(c)
+
+
+def rolling_hash_fingerprints(text_col: Column | str, window: int = 5, keep_mod: int = 8) -> Column:
+    """Winnowing-style selective fingerprints: hash every ``window``-token
+    shingle, keep hashes ≡ 0 (mod ``keep_mod``) — a deterministic ~1/keep_mod
+    sample robust to local edits. Returns array<bigint> (sorted)."""
+    toks = tokens(text_col)
+    k = F.size(toks) - F.lit(window - 1)
+    idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0)))
+    hashes = F.when(
+        F.size(toks) >= window,
+        F.transform(idx, lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, window), " "))),
+    ).otherwise(F.array(F.xxhash64(F.array_join(toks, " "))))
+    return F.array_sort(F.filter(hashes, lambda h: h % keep_mod == 0))

@@ -1,0 +1,1031 @@
+"""The declared query contract (SURVEY.md §2.3 Q01-Q32) + LLM-pipeline
+extension queries (Q33+), each as a (spark_fn, oracle_sql) pair.
+
+Every ``spark_fn(spark, sf_dir) -> DataFrame`` is a declarative DataFrame
+plan built from the operator modules; ``oracle_sql`` is the equivalent ANSI
+SQL DuckDB runs on the same parquet (driver registers the tables as views).
+Column names/aliases are identical on both sides (the driver's value-hash
+sorts columns by name). Determinism policy per SURVEY.md §2.3: DECIMAL(18,2)
+for money sums, ROUND with stated scale for unavoidable floats, total
+ordering with unique tie-breaks, µs timestamps, ISO week / Monday=1 weekday.
+
+Queries marked ``oracle=None`` are genuinely non-SQL-expressible or
+probabilistic (MinHashLSH, SimHash, IVF) — the driver records a weaker
+rows-only check; they are property-tested in tests/ instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_engineering_nd_datalake_project_4_spark.catalog import load_table
+from data_engineering_nd_datalake_project_4_spark.functions import (
+    DEC18_2,
+    DEC18_4,
+    cosine_similarity,
+    dec,
+    dec4,
+    dec_sum,
+    tokens,
+    weekday_monday,
+)
+from data_engineering_nd_datalake_project_4_spark.operators import (
+    aggregates,
+    dedup,
+    joins,
+    setops,
+    similarity,
+    sort,
+    text,
+    windows,
+)
+from data_engineering_nd_datalake_project_4_spark.streaming import session_agg, tumbling_agg
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def q(name: str, oracle: str | None, doc: str = ""):
+    def wrap(fn):
+        REGISTRY[name] = Query(name, fn, oracle, doc)
+        return fn
+
+    return wrap
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# B. scan / project / filter
+# ---------------------------------------------------------------------------
+
+@q(
+    "q01",
+    """SELECT l_orderkey, l_linenumber, l_quantity
+       FROM lineitem WHERE l_quantity > 45
+       ORDER BY l_orderkey, l_linenumber""",
+    "scan+filter+project; filter/projection push into the parquet scan",
+)
+def q01(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@q(
+    "q02",
+    """SELECT l_returnflag, l_linestatus,
+              COUNT(*) AS cnt,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base,
+              CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc,
+              ROUND(AVG(l_quantity), 2) AS avg_qty
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+       GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus""",
+    "TPC-H Q1 shape: partial+final HashAggregate, decimal money policy",
+)
+def q02(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp")
+    )
+    return aggregates.grouped(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [
+            F.count(F.lit(1)).alias("cnt"),
+            dec_sum("l_quantity", "sum_qty"),
+            dec_sum("l_extendedprice", "sum_base"),
+            F.sum(dec4(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast(DEC18_4)
+            .alias("sum_disc"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+        ],
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+@q(
+    "q03",
+    """SELECT COUNT(DISTINCT l_partkey) AS n_part,
+              COUNT(DISTINCT l_suppkey) AS n_supp,
+              COUNT(*) AS n_rows
+       FROM lineitem""",
+    "multi count-distinct; scale path is approx_count_distinct (not hashed)",
+)
+def q03(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").agg(
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C. joins
+# ---------------------------------------------------------------------------
+
+@q(
+    "q04",
+    """SELECT c_mktsegment, COUNT(*) AS cnt,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "inner equi-join + agg; AQE picks broadcast vs shuffle at runtime",
+)
+def q04(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = joins.equi_join(o, c, F.col("o_custkey") == F.col("c_custkey"))
+    return aggregates.grouped(
+        j,
+        ["c_mktsegment"],
+        [F.count(F.lit(1)).alias("cnt"), dec_sum("o_totalprice", "sum_price")],
+    ).orderBy("c_mktsegment")
+
+
+@q(
+    "q05",
+    """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+       FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+       GROUP BY c_custkey ORDER BY c_custkey""",
+    "left outer join null-completion: orderless customers count 0",
+)
+def q05(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    j = joins.equi_join(c, o, F.col("c_custkey") == F.col("o_custkey"), "left")
+    return (
+        j.groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+@q(
+    "q06",
+    """SELECT c_custkey FROM customer
+       WHERE EXISTS (SELECT 1 FROM orders
+                     WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+       ORDER BY c_custkey""",
+    "left-semi join (EXISTS)",
+)
+def q06(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    return (
+        joins.semi_join(c, big, F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+@q(
+    "q07",
+    """SELECT c_custkey FROM customer
+       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+       ORDER BY c_custkey""",
+    "left-anti join (NOT EXISTS)",
+)
+def q07(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        joins.anti_join(c, o, F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+@q(
+    "q08",
+    """SELECT r_name,
+              CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+       FROM region JOIN nation ON n_regionkey = r_regionkey
+            JOIN customer ON c_nationkey = n_nationkey
+            JOIN orders ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+       GROUP BY r_name ORDER BY r_name""",
+    "TPC-H Q5 shape multi-way join; fixed-cardinality dims broadcast",
+)
+def q08(spark, sf_dir):
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    # region/nation have fixed tiny cardinality → always broadcast; the
+    # customer⋈orders⋈lineitem chain shuffles on its keys (AQE handles skew).
+    j = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        j.groupBy("r_name")
+        .agg(
+            F.sum(dec4(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast(DEC18_4)
+            .alias("revenue")
+        )
+        .orderBy("r_name")
+    )
+
+
+@q(
+    "q09",
+    """SELECT o_orderpriority, COUNT(*) AS cnt
+       FROM orders JOIN lineitem
+         ON l_orderkey = o_orderkey
+        AND l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 30 DAY
+       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "equi+range join: hash-partitionable on the equi conjunct",
+)
+def q09(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    j = joins.range_join(
+        o,
+        li,
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (F.col("l_shipdate") <= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@q(
+    "q10",
+    """SELECT a.r_name AS r_name_a, b.r_name AS r_name_b
+       FROM region a CROSS JOIN region b
+       ORDER BY r_name_a, r_name_b""",
+    "cross join (25 rows)",
+)
+def q10(spark, sf_dir):
+    r = _t(spark, sf_dir, "region")
+    a = r.select(F.col("r_name").alias("r_name_a"))
+    b = r.select(F.col("r_name").alias("r_name_b"))
+    return joins.cross_join(a, b).orderBy("r_name_a", "r_name_b")
+
+
+@q(
+    "q11",
+    """SELECT user_id, event_id, event_type, value FROM (
+         SELECT user_id, event_id, event_type, value,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+         FROM events) WHERE rn = 1
+       ORDER BY user_id""",
+    "greatest-n-per-group: the reference's users-table pattern "
+    "(/root/reference/etl.py:134-147) as ONE window pass, tie-break event_id desc",
+)
+def q11(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    latest = dedup.latest_per_key(
+        e, ["user_id"], [F.desc("ts"), F.desc("event_id")]
+    )
+    return latest.select("user_id", "event_id", "event_type", "value").orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# H. scalar functions / dates
+# ---------------------------------------------------------------------------
+
+@q(
+    "q12",
+    """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+              CAST(month(o_orderdate) AS INT) AS o_month,
+              COUNT(*) AS cnt,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+       FROM orders GROUP BY o_year, o_month ORDER BY o_year, o_month""",
+    "date extraction agg (reference R15, /root/reference/etl.py:166-167)",
+)
+def q12(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("o_year"), F.month("o_orderdate").alias("o_month")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"), dec_sum("o_totalprice", "sum_price"))
+        .orderBy("o_year", "o_month")
+    )
+
+
+@q(
+    "q13",
+    """SELECT DISTINCT CAST(ts AS DATE) AS d,
+              CAST(year(CAST(ts AS DATE)) AS INT) AS d_year,
+              CAST(month(CAST(ts AS DATE)) AS INT) AS d_month,
+              CAST(day(CAST(ts AS DATE)) AS INT) AS d_day,
+              CAST(weekofyear(CAST(ts AS DATE)) AS INT) AS iso_week,
+              CAST(isodow(CAST(ts AS DATE)) AS INT) AS weekday
+       FROM events ORDER BY d""",
+    "time dimension (reference /root/reference/etl.py:198-217): ISO week, "
+    "Monday=1 weekday via the reference formula ((dayofweek+5)%7)+1",
+)
+def q13(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    d = F.to_date("ts")
+    return (
+        e.select(
+            d.alias("d"),
+            F.year(d).alias("d_year"),
+            F.month(d).alias("d_month"),
+            F.dayofmonth(d).alias("d_day"),
+            F.weekofyear(d).alias("iso_week"),
+            weekday_monday(d).alias("weekday"),
+        )
+        .distinct()
+        .orderBy("d")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E. windows
+# ---------------------------------------------------------------------------
+
+@q(
+    "q14",
+    """SELECT c_mktsegment, CAST(rnk AS INT) AS rnk, c_custkey,
+              CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+       FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
+                    row_number() OVER (PARTITION BY c_mktsegment
+                                       ORDER BY c_acctbal DESC, c_custkey) AS rnk
+             FROM customer)
+       WHERE rnk <= 5 ORDER BY c_mktsegment, rnk""",
+    "top-n per group via row_number",
+)
+def q14(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    top = windows.top_n_per_group(
+        c, ["c_mktsegment"], [F.desc("c_acctbal"), F.asc("c_custkey")], 5, "rnk"
+    )
+    return top.select(
+        "c_mktsegment", "rnk", "c_custkey", dec("c_acctbal").alias("acctbal")
+    ).orderBy("c_mktsegment", "rnk")
+
+
+@q(
+    "q15",
+    """SELECT p_brand, p_partkey, CAST(p_retailprice AS DECIMAL(18,2)) AS price,
+              CAST(rnk AS INT) AS rnk, CAST(drnk AS INT) AS drnk
+       FROM (SELECT p_brand, p_partkey, p_retailprice,
+                    rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS rnk,
+                    dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS drnk
+             FROM part)
+       WHERE rnk <= 3 ORDER BY p_brand, rnk, p_partkey""",
+    "rank vs dense_rank over a tied ordering",
+)
+def q15(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    ranked = windows.with_rank(
+        p, ["p_brand"], [F.desc("p_retailprice")], dense_alias="drnk", rank_alias="rnk"
+    )
+    return (
+        ranked.filter(F.col("rnk") <= 3)
+        .select("p_brand", "p_partkey", dec("p_retailprice").alias("price"), "rnk", "drnk")
+        .orderBy("p_brand", "rnk", "p_partkey")
+    )
+
+
+@q(
+    "q16",
+    """SELECT user_id, event_id, event_type,
+              lag(event_type) OVER w AS prev_type,
+              lead(event_type) OVER w AS next_type
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+       ORDER BY user_id, event_id""",
+    "lag/lead",
+)
+def q16(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    out = windows.with_lag_lead(
+        e, "event_type", ["user_id"], [F.asc("ts"), F.asc("event_id")],
+        lag_alias="prev_type", lead_alias="next_type",
+    )
+    return out.select(
+        "user_id", "event_id", "event_type", "prev_type", "next_type"
+    ).orderBy("user_id", "event_id")
+
+
+@q(
+    "q17",
+    """SELECT o_custkey, o_orderkey,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DECIMAL(18,2)) AS running_total
+       FROM orders ORDER BY o_custkey, o_orderkey""",
+    "running frame",
+)
+def q17(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    out = windows.running(
+        o,
+        F.sum(dec("o_totalprice")),
+        ["o_custkey"],
+        [F.asc("o_orderdate"), F.asc("o_orderkey")],
+        "running_total",
+    )
+    return out.select(
+        "o_custkey", "o_orderkey", F.col("running_total").cast(DEC18_2).alias("running_total")
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@q(
+    "q18",
+    """SELECT user_id, event_id,
+              ROUND(AVG(value) OVER (PARTITION BY user_id
+                                     ORDER BY CAST(ts AS TIMESTAMP), event_id
+                                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS sliding_avg
+       FROM events ORDER BY user_id, event_id""",
+    "sliding frame",
+)
+def q18(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    out = windows.sliding(
+        e, F.avg("value"), ["user_id"], [F.asc("ts"), F.asc("event_id")], 2, "sliding_avg"
+    )
+    # ROUND at 4 digits, not 2: window sums of 2-decimal values land exactly
+    # on half-cent boundaries at scale 2, where Spark (HALF_UP) and DuckDB
+    # (binary-double) rounding disagree; at scale 4 the true value has ≤4
+    # fractional digits or a non-boundary expansion, so both engines agree.
+    return out.select(
+        "user_id", "event_id", F.round("sliding_avg", 4).alias("sliding_avg")
+    ).orderBy("user_id", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# F/G. sort/limit, set ops
+# ---------------------------------------------------------------------------
+
+@q(
+    "q19",
+    """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total_price
+       FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "top-k → TakeOrderedAndProject (no global sort shuffle)",
+)
+def q19(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return sort.top_k(
+        o.select("o_orderkey", dec("o_totalprice").alias("total_price"), "o_totalprice"),
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        100,
+    ).select("o_orderkey", "total_price")
+
+
+@q(
+    "q20",
+    """SELECT 'except' AS tag, n FROM (
+         SELECT DISTINCT c_nationkey AS n FROM customer
+         EXCEPT SELECT DISTINCT s_nationkey AS n FROM supplier)
+       UNION ALL
+       SELECT 'intersect' AS tag, n FROM (
+         SELECT DISTINCT c_nationkey AS n FROM customer
+         INTERSECT SELECT DISTINCT s_nationkey AS n FROM supplier)
+       UNION ALL
+       SELECT 'union' AS tag, n FROM (
+         SELECT DISTINCT c_nationkey AS n FROM customer
+         UNION SELECT DISTINCT s_nationkey AS n FROM supplier)
+       ORDER BY tag, n""",
+    "set ops: union/intersect/except over nation keys",
+)
+def q20(spark, sf_dir):
+    cn = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("n")).distinct()
+    sn = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("n")).distinct()
+    tag = lambda df, t: df.select(F.lit(t).alias("tag"), "n")  # noqa: E731
+    out = setops.union_all(
+        setops.union_all(
+            tag(setops.except_distinct(cn, sn), "except"),
+            tag(setops.intersect(cn, sn), "intersect"),
+        ),
+        tag(setops.union_distinct(cn, sn), "union"),
+    )
+    return out.orderBy("tag", "n")
+
+
+@q(
+    "q21",
+    """SELECT c_custkey,
+              UPPER(c_name) AS name_upper,
+              LOWER(c_mktsegment) AS seg_lower,
+              substring(c_name, -3, 3) AS name_tail,
+              CAST(length(c_name) AS INT) AS name_len,
+              c_name || '-' || c_mktsegment AS name_seg,
+              REPLACE(c_name, 'Customer#', 'C') AS name_short
+       FROM customer WHERE c_custkey < 50 ORDER BY c_custkey""",
+    "string function surface",
+)
+def q21(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 50)
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.substring("c_name", -3, 3).alias("name_tail"),
+        F.length("c_name").alias("name_len"),
+        F.concat_ws("-", "c_name", "c_mktsegment").alias("name_seg"),
+        F.replace(F.col("c_name"), F.lit("Customer#"), F.lit("C")).alias("name_short"),
+    ).orderBy("c_custkey")
+
+
+@q(
+    "q22",
+    """SELECT COUNT(*) AS n_total,
+              COUNT(*) FILTER (WHERE CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT) = c_custkey) AS n_match
+       FROM customer""",
+    "regex extraction validates the customer-name convention",
+)
+def q22(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    extracted = F.regexp_extract("c_name", r"([0-9]+)$", 1).cast("bigint")
+    return c.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(extracted == F.col("c_custkey"), 1)).alias("n_match"),
+    )
+
+
+@q(
+    "q23",
+    """SELECT event_type,
+              CAST(SUM(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k,
+              COUNT(*) AS cnt
+       FROM events GROUP BY event_type ORDER BY event_type""",
+    "JSON extraction (get_json_object ↔ duckdb ->>)",
+)
+def q23(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.groupBy("event_type")
+        .agg(F.sum(k).alias("sum_k"), F.count(F.lit(1)).alias("cnt"))
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "q24",
+    """SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+                   WHEN o_totalprice < 150000 THEN 'mid'
+                   ELSE 'high' END AS bucket,
+              COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_mapped,
+              COUNT(*) AS cnt
+       FROM orders GROUP BY bucket, status_mapped ORDER BY bucket, status_mapped""",
+    "CASE / COALESCE / NULLIF conditionals",
+)
+def q24(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "low")
+        .when(F.col("o_totalprice") < 150000, "mid")
+        .otherwise("high")
+    )
+    status = F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING"))
+    return (
+        o.select(bucket.alias("bucket"), status.alias("status_mapped"))
+        .groupBy("bucket", "status_mapped")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("bucket", "status_mapped")
+    )
+
+
+@q(
+    "q25",
+    """SELECT COALESCE(r_name, 'ALL') AS r_name_g, COALESCE(n_name, 'ALL') AS n_name_g,
+              COUNT(*) AS n_customers
+       FROM region JOIN nation ON n_regionkey = r_regionkey
+            JOIN customer ON c_nationkey = n_nationkey
+       GROUP BY ROLLUP(r_name, n_name) ORDER BY r_name_g, n_name_g""",
+    "ROLLUP hierarchy totals",
+)
+def q25(spark, sf_dir):
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    j = c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")).join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    out = aggregates.rollup(j, ["r_name", "n_name"], [F.count(F.lit(1)).alias("n_customers")])
+    return out.select(
+        F.coalesce("r_name", F.lit("ALL")).alias("r_name_g"),
+        F.coalesce("n_name", F.lit("ALL")).alias("n_name_g"),
+        "n_customers",
+    ).orderBy("r_name_g", "n_name_g")
+
+
+@q(
+    "q26",
+    """SELECT COALESCE(c_mktsegment, 'ALL') AS seg_g,
+              COALESCE(o_orderpriority, 'ALL') AS prio_g, COUNT(*) AS cnt
+       FROM customer JOIN orders ON o_custkey = c_custkey
+       GROUP BY CUBE(c_mktsegment, o_orderpriority) ORDER BY seg_g, prio_g""",
+    "CUBE over two dimensions",
+)
+def q26(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    j = o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+    out = aggregates.cube(j, ["c_mktsegment", "o_orderpriority"], [F.count(F.lit(1)).alias("cnt")])
+    return out.select(
+        F.coalesce("c_mktsegment", F.lit("ALL")).alias("seg_g"),
+        F.coalesce("o_orderpriority", F.lit("ALL")).alias("prio_g"),
+        "cnt",
+    ).orderBy("seg_g", "prio_g")
+
+
+# ---------------------------------------------------------------------------
+# I. LLM-pipeline text ops
+# ---------------------------------------------------------------------------
+
+@q(
+    "q27",
+    """SELECT token, COUNT(*) AS cnt FROM (
+         SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+       GROUP BY token ORDER BY cnt DESC, token LIMIT 50""",
+    "tokenize + word-count, top-50; map-side combine before one shuffle",
+)
+def q27(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    wc = text.word_counts(d, "text")
+    return sort.top_k(wc, [F.desc("cnt"), F.asc("token")], 50)
+
+
+@q(
+    "q28",
+    """SELECT MIN(doc_id) AS group_min_id, COUNT(*) AS group_size FROM (
+         SELECT doc_id,
+                array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS ckey
+         FROM documents)
+       GROUP BY ckey HAVING COUNT(*) >= 2 ORDER BY group_min_id""",
+    "canonical-token near-dedup (SURVEY Q28); Spark side shuffles an 8-byte "
+    "xxhash64 of the canonical key, never the text itself",
+)
+def q28(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.canonical_near_dedup_groups(d, "text", "doc_id").orderBy("group_min_id")
+
+
+@q(
+    "q29",
+    """SELECT lang, COUNT(*) AS n_docs,
+              CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+              ROUND(AVG(len(string_split(text, ' '))), 2) AS avg_tokens
+       FROM documents GROUP BY lang ORDER BY lang""",
+    "per-language corpus stats",
+)
+def q29(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg(F.size(tokens("text"))), 2).alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@q(
+    "q30",
+    """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id IN (0, 1, 2)),
+         scored AS (
+           SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                         CAST(e.embedding AS DOUBLE[])) AS sim_raw
+           FROM q JOIN embeddings e ON e.vec_id <> q.vec_id)
+       SELECT query_id, neighbor_id, ROUND(sim_raw, 3) AS sim FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim_raw DESC, neighbor_id) AS rn
+         FROM scored) WHERE rn <= 5
+       ORDER BY query_id, sim DESC, neighbor_id""",
+    "brute-force cosine top-k (oracle baseline for similarity search)",
+)
+def q30(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    top = similarity.brute_force_topk(emb, qs, "vec_id", "embedding", k=5)
+    return top.select(
+        "query_id", "neighbor_id", F.round("sim", 3).alias("sim")
+    ).orderBy("query_id", F.desc("sim"), "neighbor_id")
+
+
+# ---------------------------------------------------------------------------
+# J. streaming-shape queries (batch plans here; stream parity in tests)
+# ---------------------------------------------------------------------------
+
+@q(
+    "q31",
+    """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start, event_type,
+              COUNT(*) AS cnt,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+       FROM events GROUP BY window_start, event_type ORDER BY window_start, event_type""",
+    "1-day tumbling window; same plan runs as Structured Streaming "
+    "availableNow in tests (batch-equivalence property)",
+)
+def q31(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    agg = tumbling_agg(
+        e,
+        "ts",
+        "1 day",
+        ["event_type"],
+        [F.count(F.lit(1)).alias("cnt"), F.sum(dec("value")).cast(DEC18_2).alias("sum_value")],
+    )
+    return agg.select(
+        F.col("window.start").alias("window_start"), "event_type", "cnt", "sum_value"
+    ).orderBy("window_start", "event_type")
+
+
+@q(
+    "q32",
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         m AS (SELECT user_id, ts,
+                      CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+               FROM e),
+         g AS (SELECT user_id, ts,
+                      SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+               FROM m)
+       SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+       FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    "session windows (30-min gap, half-open: an event exactly 30min later "
+    "opens a new session) — F.session_window ↔ gap-islands oracle",
+)
+def q32(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    agg = session_agg(e, "ts", "30 minutes", ["user_id"], [F.count(F.lit(1)).alias("n_events")])
+    return agg.select(
+        "user_id", F.col("session.start").alias("session_start"), "n_events"
+    ).orderBy("user_id", "session_start")
+
+
+# ---------------------------------------------------------------------------
+# Extensions: dedup family, similarity, text analysis (Q33+)
+# ---------------------------------------------------------------------------
+
+@q(
+    "q33_exact_dedup",
+    """SELECT COUNT(*) AS n_rows, COUNT(DISTINCT text) AS n_unique_texts,
+              COUNT(DISTINCT (lang, source)) AS n_lang_source
+       FROM documents""",
+    "exact dedup cardinalities; engine path is dropDuplicates/xxhash64-dedup",
+)
+def q33_exact_dedup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("text").alias("n_unique_texts"),
+        F.countDistinct("lang", "source").alias("n_lang_source"),
+    )
+
+
+@q(
+    "q34_unigram_jaccard",
+    """WITH s AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+                  FROM documents WHERE doc_id < 300)
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                    / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 3) AS jac
+       FROM s a JOIN s b ON a.doc_id < b.doc_id
+       WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
+       ORDER BY id_a, id_b""",
+    "exact n-gram (n=1) Jaccard near-dup pairs; LSH candidates prune this at scale",
+)
+def q34_unigram_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    pairs = dedup.ngram_jaccard_pairs(d, "text", "doc_id", n=1, threshold=0.8)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 3).alias("jac")
+    ).orderBy("id_a", "id_b")
+
+
+@q(
+    "q35_minhash_lsh",
+    None,
+    "MinHash+LSH candidate pairs (probabilistic — rows-only check; recall "
+    "against planted near-dup groups is property-tested in tests/)",
+)
+def q35_minhash_lsh(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_candidate_pairs(
+        d, "text", "doc_id", num_hashes=32, bands=8, shingle_n=1
+    ).orderBy("id_a", "id_b")
+
+
+@q(
+    "q36_simhash",
+    None,
+    "SimHash near-dup pairs at hamming ≤ 8 among doc_id<300 (xxhash64-based "
+    "fingerprint — not expressible in the oracle; property-tested)",
+)
+def q36_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    fp = d.select("doc_id", dedup.simhash64(F.col("text"), shingle_n=1).alias("fp"))
+    a = fp.select(F.col("doc_id").alias("id_a"), F.col("fp").alias("fp_a"))
+    b = fp.select(F.col("doc_id").alias("id_b"), F.col("fp").alias("fp_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dedup.hamming64(F.col("fp_a"), F.col("fp_b")).alias("hamming"))
+        .filter(F.col("hamming") <= 8)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@q(
+    "q37_lang_id",
+    """WITH scored AS (
+         SELECT lang,
+                len(list_intersect(list_distinct(string_split(text,' ')),
+                    ['der','die','das','und','nicht'])) AS s_de,
+                len(list_intersect(list_distinct(string_split(text,' ')),
+                    ['the','and','of','to','in'])) AS s_en,
+                len(list_intersect(list_distinct(string_split(text,' ')),
+                    ['el','los','las','y','que'])) AS s_es,
+                len(list_intersect(list_distinct(string_split(text,' ')),
+                    ['le','la','les','et','des'])) AS s_fr,
+                len(list_intersect(list_distinct(string_split(text,' ')),
+                    ['的','是','了','在','我'])) AS s_zh
+         FROM documents),
+       pred AS (
+         SELECT lang,
+                CASE WHEN GREATEST(s_de,s_en,s_es,s_fr,s_zh) = 0 THEN 'und'
+                     WHEN s_de = GREATEST(s_de,s_en,s_es,s_fr,s_zh) THEN 'de'
+                     WHEN s_en = GREATEST(s_de,s_en,s_es,s_fr,s_zh) THEN 'en'
+                     WHEN s_es = GREATEST(s_de,s_en,s_es,s_fr,s_zh) THEN 'es'
+                     WHEN s_fr = GREATEST(s_de,s_en,s_es,s_fr,s_zh) THEN 'fr'
+                     ELSE 'zh' END AS predicted
+         FROM scored)
+       SELECT lang, predicted, COUNT(*) AS cnt FROM pred
+       GROUP BY lang, predicted ORDER BY lang, predicted""",
+    "marker-token language-ID confusion matrix (deterministic heuristic)",
+)
+def q37_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", text.lang_id("text").alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("lang", "predicted")
+    )
+
+
+@q(
+    "q38_quality",
+    """WITH s AS (
+         SELECT lang,
+                ROUND(0.4 * (CASE WHEN len(string_split(text,' ')) BETWEEN 5 AND 10000
+                                  THEN 1.0 ELSE 0.0 END)
+                    + 0.3 * (CAST(len(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+                             / GREATEST(len(text), 1))
+                    + 0.3 * LEAST(1.0,
+                        len(list_intersect(list_distinct(string_split(text,' ')),
+                            ['the','and','of','to','in'])) / 2.0), 4) AS quality
+         FROM documents)
+       SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(quality), 3) AS avg_quality
+       FROM s GROUP BY lang ORDER BY lang""",
+    "heuristic quality score (length band + alpha ratio + stopword rate)",
+)
+def q38_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", text.quality_score("text").alias("quality"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.round(F.avg("quality"), 3).alias("avg_quality"))
+        .orderBy("lang")
+    )
+
+
+@q(
+    "q39_token_counts",
+    """SELECT source,
+              CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+              CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+'))) AS BIGINT) AS bpe_ish_tokens
+       FROM documents GROUP BY source ORDER BY source""",
+    "token counting: whitespace + BPE-ish regex pretokenizer",
+)
+def q39_token_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.sum(text.token_count("text")).alias("ws_tokens"),
+            F.sum(text.bpe_ish_token_count("text")).alias("bpe_ish_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@q(
+    "q40_fingerprints",
+    None,
+    "winnowing rolling-hash fingerprints (xxhash64 — rows-only check)",
+)
+def q40_fingerprints(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.doc_fingerprint("text").alias("fp64"),
+        F.size(text.rolling_hash_fingerprints("text", window=5, keep_mod=8)).alias("n_selected"),
+    ).orderBy("doc_id")
+
+
+@q(
+    "q41_embedding_near_dup",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                  FROM embeddings WHERE vec_id < 500)
+       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              ROUND(list_cosine_similarity(a.emb, b.emb), 3) AS cos_sim
+       FROM e a JOIN e b ON a.vec_id < b.vec_id
+       WHERE list_cosine_similarity(a.emb, b.emb) >= 0.8
+       ORDER BY id_a, id_b""",
+    "embedding-cosine near-duplicate pairs (exact, bounded subset)",
+)
+def q41_embedding_near_dup(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    pairs = dedup.embedding_near_dup_pairs(e, "embedding", "vec_id", threshold=0.8)
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine", 3).alias("cos_sim")
+    ).orderBy("id_a", "id_b")
+
+
+@q(
+    "q42_ivf_topk",
+    None,
+    "IVF approximate top-k (centroids = per-label mean vectors); recall vs "
+    "brute force is property-tested, not oracle-hashed",
+)
+def q42_ivf_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    # centroids: mean vector per label — computed as a DataFrame agg (posexplode
+    # → avg per (label, pos) → collect back to array via array_agg sorted by pos)
+    dim = 64
+    exploded = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cent = (
+        exploded.groupBy("label", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            F.col("label").alias("centroid_id"),
+            F.transform("pm", lambda s: s["m"]).alias("centroid"),
+        )
+    )
+    qs = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    return similarity.ivf_topk(emb, qs, cent, "vec_id", "embedding", k=5, nprobe=3).select(
+        "query_id", "neighbor_id", F.round("sim", 3).alias("sim")
+    ).orderBy("query_id", F.desc("sim"), "neighbor_id")
+
+
+@q(
+    "q43_rp_buckets",
+    """WITH u AS (SELECT vec_id,
+                         generate_subscripts(embedding, 1) AS i,
+                         CAST(unnest(embedding) AS DOUBLE) AS e
+                  FROM embeddings),
+         p AS (SELECT vec_id, j, SUM(e * sin(CAST(i AS DOUBLE) * j)) AS proj
+               FROM u CROSS JOIN (SELECT unnest(range(1, 9)) AS j) js
+               GROUP BY vec_id, j),
+         b AS (SELECT vec_id,
+                      CAST(SUM(CASE WHEN proj > 0 THEN CAST(pow(2, j - 1) AS INT) ELSE 0 END) AS INT) AS rp_bucket
+               FROM p GROUP BY vec_id)
+       SELECT rp_bucket, COUNT(*) AS n_vecs FROM b GROUP BY rp_bucket ORDER BY rp_bucket""",
+    "sign-LSH (random projection) bucket histogram — deterministic sin() planes",
+)
+def q43_rp_buckets(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    bucketed = similarity.random_projection_buckets(emb, "embedding", n_bits=8)
+    return bucketed.groupBy("rp_bucket").agg(F.count(F.lit(1)).alias("n_vecs")).orderBy("rp_bucket")
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: query.spark_fn for name, query in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: query.oracle for name, query in REGISTRY.items() if query.oracle}

@@ -1,0 +1,35 @@
+"""Sinks (SURVEY.md §2.2 A; reference R05-R07).
+
+Partitioned snappy parquet, written natively — including to s3a:// — never
+via an ``aws s3 cp`` subprocess side-channel (reference anti-pattern,
+/root/reference/etl.py:239-251).
+
+Scale notes: dynamic partition overwrite only rewrites touched partitions;
+``max_records_per_file`` bounds file sizes so a skewed partition key cannot
+produce multi-GB files.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] | None = None,
+    mode: str = "overwrite",
+    compression: str = "snappy",
+    max_records_per_file: int | None = None,
+    dynamic_partition_overwrite: bool = False,
+) -> None:
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    if dynamic_partition_overwrite:
+        writer = writer.option("partitionOverwriteMode", "dynamic")
+    writer.parquet(path)

@@ -1,0 +1,85 @@
+"""Structured Streaming surface (SURVEY.md §2.2 J).
+
+Batch/stream parity by construction: the windowing transformations are
+plain DataFrame functions applied to either a batch read or a
+``readStream`` — the same logical plan, so Q31's batch-equivalence check
+is an identity property, not luck.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_file_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    reader = spark.readStream.schema(schema).format(fmt)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path)
+
+
+def tumbling_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    keys: list[str],
+    aggs: list[Column],
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling-window aggregate; works identically on batch and stream
+    inputs. ``watermark`` (streams only) bounds state and drops late data."""
+    if watermark and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return df.groupBy(F.window(ts_col, duration).alias("window"), *keys).agg(*aggs)
+
+
+def session_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: list[str],
+    aggs: list[Column],
+    watermark: str | None = None,
+) -> DataFrame:
+    """Session-window aggregate (gap-based). Session = [first event, last
+    event + gap); an event exactly ``gap`` after the previous starts a NEW
+    session (half-open interval semantics)."""
+    if watermark and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return df.groupBy(F.session_window(ts_col, gap).alias("session"), *keys).agg(*aggs)
+
+
+def run_available_now(stream_df: DataFrame, query_name: str = "snapshot") -> DataFrame:
+    """Execute a streaming DataFrame with trigger=availableNow into an
+    in-memory sink, block until drained, and return the materialized result
+    as a batch DataFrame (used by the Q31 batch-equivalence test)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)
+
+
+def stream_dedup(
+    df: DataFrame, keys: list[str], ts_col: str | None = None, watermark: str | None = None
+) -> DataFrame:
+    """Stateful streaming dedup. With a watermark, state is bounded
+    (``dropDuplicatesWithinWatermark``); without, state grows forever —
+    batch callers just get dropDuplicates."""
+    if not df.isStreaming:
+        return df.dropDuplicates(keys)
+    if watermark and ts_col:
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)
