@@ -118,8 +118,14 @@ def minhash_signature(text_col: Column, num_hashes: int = 32, shingle_n: int = 3
     no shuffle. Signature column is ~256 bytes regardless of document size.
     """
     sh = _shingles(text_col, shingle_n)
+
+    def seeded_hash(seed: int):
+        # closure, NOT a 2-arg lambda: F.transform passes (element, index)
+        # to 2-parameter lambdas, which would silently replace the seed
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
     return F.array(
-        *[F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i)))) for i in range(num_hashes)]
+        *[F.array_min(F.transform(sh, seeded_hash(i))) for i in range(num_hashes)]
     )
 
 

@@ -1,0 +1,81 @@
+"""Plan inspection helpers: make the physical plan a testable artifact.
+
+The 100-TB design rules (SURVEY.md §2.2, BASELINE.json) are assertions
+about PLANS, not results: filters must reach the parquet scan, dimension
+joins must broadcast, top-k must compile to TakeOrderedAndProject, hot
+expressions must stay inside WholeStageCodegen. These helpers let tests
+and bench pin those properties so a regression in plan shape fails CI
+even while results stay correct.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def pushed_filters(df: DataFrame) -> str:
+    """The PushedFilters section(s) of the formatted plan."""
+    plan = explain_str(df)
+    return "\n".join(line.strip() for line in plan.splitlines() if "PushedFilters" in line)
+
+
+def has_pushed_filter(df: DataFrame, column: str) -> bool:
+    """True if some predicate on ``column`` reached the data source scan."""
+    return column in pushed_filters(df)
+
+
+def read_schema(df: DataFrame) -> str:
+    plan = explain_str(df)
+    return "\n".join(line.strip() for line in plan.splitlines() if "ReadSchema" in line)
+
+
+def scan_is_pruned(df: DataFrame, table_cols: int) -> bool:
+    """True if every scan reads fewer columns than the full table width."""
+    lines = read_schema(df).splitlines()
+    return bool(lines) and all(line.count(":") < table_cols for line in lines)
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in explain_str(df, "simple")
+
+
+def has_take_ordered(df: DataFrame) -> bool:
+    return "TakeOrderedAndProject" in explain_str(df, "simple")
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    """Number of WholeStageCodegen subtrees — zero means everything fell
+    back to interpreted mode. Uses the ``codegen`` explain mode because an
+    un-executed AQE plan doesn't annotate codegen stages in ``simple``."""
+    spark = df.sparkSession
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        # AQE hides codegen stages behind AdaptiveSparkPlan until execution;
+        # plan once without it for inspection only
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        out = explain_str(df, "codegen")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    for line in out.splitlines():
+        if "WholeStageCodegen subtrees" in line:  # "Found N WholeStageCodegen subtrees."
+            for tok in line.split():
+                if tok.isdigit():
+                    return int(tok)
+    return 0
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Exchange nodes in the plan = shuffle boundaries. The scale budget
+    for every operator is 'as few as the semantics require'."""
+    plan = explain_str(df, "simple")
+    return plan.count("Exchange hashpartitioning") + plan.count("Exchange rangepartitioning")

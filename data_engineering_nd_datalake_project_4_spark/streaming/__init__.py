@@ -57,14 +57,17 @@ def session_agg(
     return df.groupBy(F.session_window(ts_col, gap).alias("session"), *keys).agg(*aggs)
 
 
-def run_available_now(stream_df: DataFrame, query_name: str = "snapshot") -> DataFrame:
+def run_available_now(
+    stream_df: DataFrame, query_name: str = "snapshot", output_mode: str = "complete"
+) -> DataFrame:
     """Execute a streaming DataFrame with trigger=availableNow into an
     in-memory sink, block until drained, and return the materialized result
-    as a batch DataFrame (used by the Q31 batch-equivalence test)."""
+    as a batch DataFrame (used by the Q31 batch-equivalence test).
+    ``output_mode='append'`` for non-aggregating streams (dedup, maps)."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

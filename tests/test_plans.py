@@ -1,0 +1,56 @@
+"""Physical-plan shape assertions — the 100-TB design rules as tests.
+
+Correct results with a bad plan is a latent scale bug; these pin the plan
+properties SURVEY.md §2.2 / §4 promise (pushdown, pruning, broadcast,
+top-k without global sort, codegen coverage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineering_nd_datalake_project_4_spark import plans
+from data_engineering_nd_datalake_project_4_spark.catalog import load_table
+from data_engineering_nd_datalake_project_4_spark.queries import REGISTRY
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = REGISTRY["q01"].spark_fn(spark, sf_dir)
+    assert plans.has_pushed_filter(df, "l_quantity"), plans.explain_str(df)
+
+
+def test_column_pruning(spark, sf_dir):
+    df = REGISTRY["q01"].spark_fn(spark, sf_dir)
+    # lineitem has 11 columns; q01 must read only 3
+    assert plans.scan_is_pruned(df, 11), plans.read_schema(df)
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    df = REGISTRY["q08"].spark_fn(spark, sf_dir)
+    assert plans.has_broadcast_join(df), plans.explain_str(df, "simple")
+
+
+def test_topk_compiles_to_take_ordered(spark, sf_dir):
+    df = REGISTRY["q19"].spark_fn(spark, sf_dir)
+    assert plans.has_take_ordered(df), plans.explain_str(df, "simple")
+
+
+def test_agg_stays_in_codegen(spark, sf_dir):
+    df = REGISTRY["q02"].spark_fn(spark, sf_dir)
+    assert plans.codegen_stage_count(df) >= 1
+
+
+def test_single_shuffle_for_single_agg(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+    # one hash-partition exchange for the group-by; partial agg happens
+    # map-side before it
+    assert plans.shuffle_count(df) == 1, plans.explain_str(df, "simple")
+
+
+def test_window_dedup_single_shuffle(spark, sf_dir):
+    df = REGISTRY["q11"].spark_fn(spark, sf_dir)
+    # latest-per-key = one hash exchange on user_id (+ a range exchange for
+    # the final presentation ORDER BY); the reference's join-back needed two
+    # hash shuffles + a join
+    assert plans.explain_str(df, "simple").count("Exchange hashpartitioning") == 1

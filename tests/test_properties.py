@@ -1,0 +1,135 @@
+"""Property checks (SURVEY.md §5.2) — invariants that need no oracle, plus
+recall properties for the probabilistic operators (MinHashLSH, SimHash, IVF)
+against exact ground truth on planted duplicates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_nd_datalake_project_4_spark.catalog import load_table
+from data_engineering_nd_datalake_project_4_spark.operators import dedup, similarity
+from data_engineering_nd_datalake_project_4_spark.operators.dedup import (
+    canonical_text_key,
+    minhash_lsh_candidate_pairs,
+    simhash64,
+)
+
+
+def test_distinct_idempotent(spark, sf_dir):
+    d = load_table(spark, sf_dir, "customer")
+    once = d.distinct()
+    twice = once.distinct()
+    assert once.count() == twice.count()
+
+
+def test_semi_anti_partition_left(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    semi = c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi")
+    anti = c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+    assert semi.count() + anti.count() == c.count()
+    assert semi.intersect(anti).count() == 0
+
+
+def test_rollup_total_equals_plain_agg(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    rolled = (
+        o.rollup("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("o_orderstatus").isNull())
+        .collect()
+    )
+    assert rolled[0]["n"] == o.count()
+
+
+def test_exact_dedup_by_hash_equals_dropduplicates(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    by_hash = dedup.exact_dedup_by_hash(d, "text", [F.asc("doc_id")])
+    assert by_hash.count() == d.dropDuplicates(["text"]).count()
+
+
+@pytest.fixture(scope="module")
+def planted_dup_pairs(spark, sf_dir):
+    """Ground truth: pairs of docs sharing the canonical token-set key
+    (TESTDATA plants 25 such groups at sf0.001)."""
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(F.col("doc_id"), canonical_text_key("text").alias("k"))
+    a = keyed.select(F.col("doc_id").alias("id_a"), F.col("k").alias("ka"))
+    b = keyed.select(F.col("doc_id").alias("id_b"), F.col("k").alias("kb"))
+    pairs = (
+        a.join(b, (F.col("ka") == F.col("kb")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b")
+        .collect()
+    )
+    assert len(pairs) > 0, "testdata should contain planted near-dup groups"
+    return {(r["id_a"], r["id_b"]) for r in pairs}
+
+
+def test_minhash_lsh_full_recall_on_identical_token_sets(spark, sf_dir, planted_dup_pairs):
+    """Docs with IDENTICAL token sets have identical unigram MinHash
+    signatures → identical band hashes → recall must be 1.0 (this is a
+    deterministic property, not a probabilistic bound)."""
+    d = load_table(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidate_pairs(d, "text", "doc_id", num_hashes=32, bands=8, shingle_n=1)
+    got = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    missed = planted_dup_pairs - got
+    assert not missed, f"LSH missed {len(missed)} planted pairs: {sorted(missed)[:5]}"
+
+
+def test_simhash_zero_distance_on_identical_token_sets(spark, sf_dir, planted_dup_pairs):
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select("doc_id", simhash64(F.col("text"), shingle_n=1).alias("fp"))
+    a = fp.select(F.col("doc_id").alias("id_a"), F.col("fp").alias("fa"))
+    b = fp.select(F.col("doc_id").alias("id_b"), F.col("fp").alias("fb"))
+    ids = list({i for p in planted_dup_pairs for i in p})
+    joined = (
+        a.filter(F.col("id_a").isin(ids))
+        .join(b.filter(F.col("id_b").isin(ids)), F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dedup.hamming64(F.col("fa"), F.col("fb")).alias("h"))
+        .collect()
+    )
+    dist = {(r["id_a"], r["id_b"]): r["h"] for r in joined}
+    for pair in planted_dup_pairs:
+        assert dist[pair] == 0, f"identical token sets must simhash identically: {pair}"
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(emb, qs, k=5)
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+
+    exploded = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cent = (
+        exploded.groupBy("label", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(F.col("label").alias("centroid_id"), F.transform("pm", lambda s: s["m"]).alias("centroid"))
+    )
+    approx = similarity.ivf_topk(emb, qs, cent, k=5, nprobe=3)
+    approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    # testdata embeddings are unclustered (max pairwise cosine ~0.33), so
+    # label-centroid IVF recall ≈ bucket coverage ≈ nprobe/K = 0.3; with
+    # clustered data recall would approach 1. Assert better-than-floor.
+    assert recall >= 0.25, f"IVF nprobe=3/10 recall {recall:.2f} below coverage floor"
+
+
+def test_rp_bucket_preserves_identical_vectors(spark, sf_dir):
+    """Identical embeddings must land in the same sign-LSH bucket."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    doubled = emb.union(emb)
+    b = similarity.random_projection_buckets(doubled, "embedding", n_bits=8)
+    n_per_vec = b.groupBy("vec_id").agg(F.countDistinct("rp_bucket").alias("nb")).collect()
+    assert all(r["nb"] == 1 for r in n_per_vec)
+
+
+def test_union_except_roundtrip(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").select("c_nationkey").distinct()
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("c_nationkey")
+    ).distinct()
+    u = c.union(s).distinct()
+    assert u.subtract(c).subtract(s).count() == 0
+    assert u.count() >= max(c.count(), s.count())

@@ -1,0 +1,139 @@
+"""Structured Streaming surface tests (SURVEY.md §2.2 J):
+- Q31 batch-equivalence: the same tumbling-window transform over a file
+  stream (availableNow) must equal the batch result.
+- session windows over a stream.
+- watermark late-data drop with a crafted two-file replay.
+- stateful streaming dedup.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_nd_datalake_project_4_spark.catalog import load_table
+from data_engineering_nd_datalake_project_4_spark.functions import DEC18_2, dec
+from data_engineering_nd_datalake_project_4_spark.streaming import (
+    read_file_stream,
+    run_available_now,
+    session_agg,
+    stream_dedup,
+    tumbling_agg,
+)
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, sf_dir, tmp_path_factory):
+    """events re-materialized as µs-timestamp parquet in a streaming source
+    dir (the raw testdata file is ns, which the batch path converts; a
+    stream source needs a consistent schema on disk)."""
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(d)
+    return d
+
+
+def _tumble(df):
+    agg = tumbling_agg(
+        df,
+        "ts",
+        "1 day",
+        ["event_type"],
+        [F.count(F.lit(1)).alias("cnt"), F.sum(dec("value")).cast(DEC18_2).alias("sum_value")],
+    )
+    return agg.select(
+        F.col("window.start").alias("window_start"), "event_type", "cnt", "sum_value"
+    )
+
+
+def test_q31_stream_batch_equivalence(spark, sf_dir, events_stream_dir):
+    batch = _tumble(load_table(spark, sf_dir, "events"))
+    schema = spark.read.parquet(events_stream_dir).schema
+    stream = read_file_stream(spark, events_stream_dir, schema, "parquet")
+    streamed = run_available_now(_tumble(stream), "q31_stream")
+    b = {tuple(r) for r in batch.collect()}
+    s = {tuple(r) for r in streamed.collect()}
+    assert b == s
+
+
+def test_session_window_stream(spark, sf_dir, events_stream_dir):
+    schema = spark.read.parquet(events_stream_dir).schema
+    stream = read_file_stream(spark, events_stream_dir, schema, "parquet")
+    agg = session_agg(stream, "ts", "30 minutes", ["user_id"], [F.count(F.lit(1)).alias("n")])
+    out = run_available_now(
+        agg.select("user_id", F.col("session.start").alias("session_start"), "n"),
+        "sessions_stream",
+    )
+    batch = session_agg(
+        load_table(spark, sf_dir, "events"), "ts", "30 minutes", ["user_id"],
+        [F.count(F.lit(1)).alias("n")],
+    ).select("user_id", F.col("session.start").alias("session_start"), "n")
+    assert {tuple(r) for r in out.collect()} == {tuple(r) for r in batch.collect()}
+
+
+def test_watermark_drops_late_data(spark, tmp_path_factory):
+    """Two micro-batches: batch 1 advances the watermark far past a late
+    event delivered in batch 2 → append-mode output must NOT contain the
+    late event's window."""
+    src = str(tmp_path_factory.mktemp("late_src"))
+    sink = str(tmp_path_factory.mktemp("late_sink"))
+    chk = str(tmp_path_factory.mktemp("late_chk"))
+
+    rows1 = [(1, "2024-01-01 00:05:00"), (2, "2024-01-10 00:00:00")]
+    rows2 = [(3, "2024-01-01 00:10:00")]  # 9 days late vs max seen ts
+    df1 = spark.createDataFrame(rows1, "id INT, ts STRING").select(
+        "id", F.to_timestamp("ts").alias("ts")
+    )
+    df2 = spark.createDataFrame(rows2, "id INT, ts STRING").select(
+        "id", F.to_timestamp("ts").alias("ts")
+    )
+    df1.write.mode("overwrite").parquet(os.path.join(src, "b1"))
+
+    schema = "id INT, ts TIMESTAMP"
+
+    def run_once(qname):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/*")
+        )
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 day").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .queryName(qname)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once("wm1")
+    df2.write.mode("overwrite").parquet(os.path.join(src, "b2"))
+    run_once("wm2")
+
+    out = spark.read.parquet(sink)
+    jan1 = out.filter(F.col("ws") == F.lit("2024-01-01").cast("timestamp")).collect()
+    # the Jan-1 window closed when the watermark advanced to Jan-10 in run 1;
+    # the late Jan-1 event from batch 2 must not reopen it
+    assert len(jan1) == 1 and jan1[0]["n"] == 1, out.collect()
+
+
+def test_stream_dedup_with_watermark(spark, tmp_path_factory):
+    src = str(tmp_path_factory.mktemp("dedup_src"))
+    rows = [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:00:30"), (2, "2024-01-01 00:01:00")]
+    spark.createDataFrame(rows, "id INT, ts STRING").select(
+        "id", F.to_timestamp("ts").alias("ts")
+    ).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("id INT, ts TIMESTAMP").parquet(src)
+    deduped = stream_dedup(stream, ["id"], "ts", "10 minutes")
+    out = run_available_now(deduped.select("id"), "dedup_stream", output_mode="append")
+    assert sorted(r["id"] for r in out.collect()) == [1, 2]
