@@ -38,6 +38,20 @@ def weekday_monday(date_col: Column | str) -> Column:
     return ((F.dayofweek(c) + F.lit(5)) % 7 + F.lit(1)).cast("int")
 
 
+def dot_product(a: Column, b: Column) -> Column:
+    """Elementwise left-to-right dot product of two double arrays (pure
+    Catalyst: zip_with + aggregate, inside codegen)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def as_double_array(a: Column) -> Column:
+    return F.transform(a, lambda x: x.cast("double"))
+
+
 def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine similarity between two ``array<float|double>`` columns, computed
     elementwise left-to-right in DOUBLE (SURVEY.md Q30 pinned formula).
@@ -45,12 +59,9 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     Pure Catalyst expression — ``zip_with`` + ``aggregate`` run inside codegen;
     no Python on the data path.
     """
-    ad = F.transform(a, lambda x: x.cast("double"))
-    bd = F.transform(b, lambda x: x.cast("double"))
-    dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-    norm_a = F.sqrt(F.aggregate(ad, F.lit(0.0), lambda acc, x: acc + x * x))
-    norm_b = F.sqrt(F.aggregate(bd, F.lit(0.0), lambda acc, x: acc + x * x))
-    return dot / (norm_a * norm_b)
+    ad = as_double_array(a)
+    bd = as_double_array(b)
+    return dot_product(ad, bd) / (l2_norm(ad) * l2_norm(bd))
 
 
 def tokens(text_col: Column | str, sep: str = " ") -> Column:

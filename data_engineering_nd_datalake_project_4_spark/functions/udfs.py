@@ -1,0 +1,37 @@
+"""Pandas UDF surface (SURVEY.md §2.2 K).
+
+NOTE: no ``from __future__ import annotations`` here — pandas_udf infers
+the eval type from REAL type hints; string-ified hints raise
+UNSUPPORTED_SIGNATURE.
+
+Arrow-batched vectorized UDFs are the sanctioned Python path (~10-100×
+over row-at-a-time ``F.udf``); still JVM→Python→JVM, so only for logic
+built-ins can't express.
+"""
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+
+
+@pandas_udf("double")
+def poly_quantity(q: pd.Series) -> pd.Series:
+    """0.5·q² + 2·q, vectorized over the whole Arrow batch (numpy ops)."""
+    return 0.5 * q * q + 2.0 * q
+
+
+def grouped_zscore(df, value_col: str, group_cols: list):
+    """Grouped pandas transform via applyInPandas: per-group z-score.
+    Demonstrates the grouped-map UDF surface; one shuffle on the group key.
+    """
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", zscore double"
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = pdf[value_col]
+        sd = s.std(ddof=0)
+        pdf = pdf.copy()
+        pdf["zscore"] = (s - s.mean()) / sd if sd > 0 else 0.0
+        return pdf
+
+    return df.groupBy(*group_cols).applyInPandas(zscore, out_schema)

@@ -136,20 +136,40 @@ def minhash_lsh_candidate_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of the MinHash signature become a
     candidate pair ``(id_a, id_b)`` with ``id_a < id_b``.
 
     Scale shape: explode to ``bands`` rows/doc (band hash = 8 bytes), shuffle
-    on band hash, self-join within buckets. Skewed buckets (boilerplate text)
-    are the classic hazard — AQE skew-join handles moderate skew; extreme
-    boilerplate should be pre-filtered by a document-frequency cap upstream.
+    on band hash, self-join within buckets. Skewed buckets (boilerplate or a
+    tiny shingle vocabulary) make the within-bucket self-join O(|bucket|²) —
+    ``max_bucket_size`` drops oversized buckets before the join (standard
+    practice: a bucket with thousands of members is boilerplate, not
+    near-duplication; route it to exact dedup instead). AQE skew-join splits
+    what remains.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
-    banded = df.select(
-        F.col(id_col).alias("__id"), sig.alias("__sig")
-    ).select(
+
+    def seeded_hash(seed: int):
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
+    # Staged projections: shingles → signature → bands. Each stage's output
+    # is referenced MANY times by the next (32 seeds over __sh, `bands`
+    # slices of __sig), which stops Catalyst's CollapseProject from inlining
+    # the expensive array expression into every consumer — without the
+    # staging, the shingle construction runs 32× per row.
+    shingled = df.select(
+        F.col(id_col).alias("__id"),
+        _shingles(F.col(text_col), shingle_n).alias("__sh"),
+    )
+    signed = shingled.select(
+        "__id",
+        F.array(
+            *[F.array_min(F.transform(F.col("__sh"), seeded_hash(i))) for i in range(num_hashes)]
+        ).alias("__sig"),
+    )
+    banded = signed.select(
         "__id",
         F.posexplode(
             F.array(
@@ -168,6 +188,13 @@ def minhash_lsh_candidate_pairs(
             )
         ).alias("__band", "__bucket"),
     )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("__band", "__bucket")
+        banded = (
+            banded.withColumn("__bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -214,16 +241,22 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash64(text_col: Column, shingle_n: int = 2) -> Column:
-    """64-bit SimHash fingerprint of a document, pure Catalyst.
+def simhash_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int = 2
+) -> DataFrame:
+    """SimHash as a staged DataFrame transform: shingle-hash once into a
+    column, then fold the 64 bit-votes over that column. Prefer this over
+    the raw :func:`simhash64` expression on hot paths — the expression form
+    re-derives the shingle hashes for every one of the 64 bit sums.
+    Output: ``(id_col, fp)``."""
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)).alias("__h"),
+    )
+    return hashed.select(id_col, _simhash_from_hashes(F.col("__h")).alias("fp"))
 
-    For each bit position j: sum over shingles of ±1 according to bit j of
-    ``xxhash64(shingle)``; fingerprint bit j = sign of the sum. Emitted as a
-    BIGINT. Near-duplicate docs differ in few bits (small hamming distance).
-    """
-    sh = _shingles(text_col, shingle_n)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
-    # bit j vote: +1 if bit set else -1 → sum>0 ⇒ bit set in fingerprint
+
+def _simhash_from_hashes(hashes: Column) -> Column:
     def bit_sum(j: int) -> Column:
         return F.aggregate(
             hashes,
@@ -235,6 +268,22 @@ def simhash64(text_col: Column, shingle_n: int = 2) -> Column:
     for j in range(64):
         fp = fp + F.when(bit_sum(j) > 0, F.lit(1).cast("long") * F.lit(2 ** j if j < 63 else -(2 ** 63)).cast("long")).otherwise(F.lit(0).cast("long"))
     return fp
+
+
+def simhash64(text_col: Column, shingle_n: int = 2) -> Column:
+    """64-bit SimHash fingerprint of a document, pure Catalyst.
+
+    For each bit position j: sum over shingles of ±1 according to bit j of
+    ``xxhash64(shingle)``; fingerprint bit j = sign of the sum. Emitted as a
+    BIGINT. Near-duplicate docs differ in few bits (small hamming distance).
+
+    NOTE: as a single expression the shingle hashing is re-evaluated per bit
+    position — use :func:`simhash_fingerprints` on anything bigger than a
+    test fixture.
+    """
+    sh = _shingles(text_col, shingle_n)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    return _simhash_from_hashes(hashes)
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -251,10 +300,16 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs: ``id_a < id_b`` with
     ``cosine >= threshold``. All-pairs — bound the input (or pre-bucket with
     LSH / IVF from operators.similarity) before calling at scale."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    from data_engineering_nd_datalake_project_4_spark.operators.similarity import _unit
+
+    # unit-normalize each row once → pairwise kernel is a single dot product
+    unit = df.select(F.col(id_col).alias("__id"), _unit(F.col(vec_col)).alias("__u"))
+    a = unit.select(F.col("__id").alias("id_a"), F.col("__u").alias("__va"))
+    b = unit.select(F.col("__id").alias("id_b"), F.col("__u").alias("__vb"))
+    from data_engineering_nd_datalake_project_4_spark.functions import dot_product
+
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine_similarity(F.col("__va"), F.col("__vb")).alias("cosine"))
+        .select("id_a", "id_b", dot_product(F.col("__va"), F.col("__vb")).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

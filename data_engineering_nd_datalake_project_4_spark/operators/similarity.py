@@ -19,7 +19,20 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from data_engineering_nd_datalake_project_4_spark.functions import cosine_similarity
+from data_engineering_nd_datalake_project_4_spark.functions import (
+    as_double_array,
+    cosine_similarity,
+    dot_product,
+    l2_norm,
+)
+
+
+def _unit(vec: Column) -> Column:
+    """Unit-normalize an array<float|double> column in one pass; cosine of
+    unit vectors is a plain dot product."""
+    vd = as_double_array(vec)
+    n = l2_norm(vd)
+    return F.transform(vd, lambda x: x / n)
 
 
 def brute_force_topk(
@@ -38,17 +51,24 @@ def brute_force_topk(
 
     Output: ``query_id, neighbor_id, sim`` (double, unrounded).
     """
+    # Pre-normalize each side ONCE (O(N) + O(Q) array passes) so the O(N·Q)
+    # pairwise kernel is a single dot product instead of dot + two norms.
     q = F.broadcast(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _unit(F.col(vec_col)).alias("__qv"),
+        )
     )
-    v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vv"))
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), _unit(F.col(vec_col)).alias("__vv")
+    )
     scored = (
         v.crossJoin(q)
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine_similarity(F.col("__qv"), F.col("__vv")).alias("sim"),
+            dot_product(F.col("__qv"), F.col("__vv")).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))

@@ -833,8 +833,12 @@ def q34_unigram_jaccard(spark, sf_dir):
 )
 def q35_minhash_lsh(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
+    # trigram shingles: the synthetic docs draw from a small token vocabulary,
+    # so unigram shingles collapse into a handful of giant LSH buckets
+    # (O(bucket²) pair blowup); 3-gram shingles restore diversity. The
+    # bucket cap guards the residual skew — the boilerplate defense at 100TB.
     return dedup.minhash_lsh_candidate_pairs(
-        d, "text", "doc_id", num_hashes=32, bands=8, shingle_n=1
+        d, "text", "doc_id", num_hashes=32, bands=8, shingle_n=3, max_bucket_size=100
     ).orderBy("id_a", "id_b")
 
 
@@ -846,7 +850,7 @@ def q35_minhash_lsh(spark, sf_dir):
 )
 def q36_simhash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    fp = d.select("doc_id", dedup.simhash64(F.col("text"), shingle_n=1).alias("fp"))
+    fp = dedup.simhash_fingerprints(d, "text", "doc_id", shingle_n=1)
     a = fp.select(F.col("doc_id").alias("id_a"), F.col("fp").alias("fp_a"))
     b = fp.select(F.col("doc_id").alias("id_b"), F.col("fp").alias("fp_b"))
     return (
@@ -1029,3 +1033,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {name: query.oracle for name, query in REGISTRY.items() if query.oracle}
+
+
+# ---------------------------------------------------------------------------
+# K. UDF surface + remaining aggregates
+# ---------------------------------------------------------------------------
+
+@q(
+    "q44_pandas_udf",
+    """SELECT l_returnflag,
+              CAST(SUM(CAST(0.5 * l_quantity * l_quantity + 2.0 * l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_poly
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "Arrow-batched scalar pandas UDF (the sanctioned Python path — ~10-100x "
+    "over row-at-a-time UDFs); pure arithmetic mirrored in the oracle",
+)
+def q44_pandas_udf(spark, sf_dir):
+    from data_engineering_nd_datalake_project_4_spark.functions.udfs import poly_quantity
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_returnflag", poly_quantity("l_quantity").alias("p"))
+        .groupBy("l_returnflag")
+        .agg(F.sum(dec4("p")).cast(DEC18_4).alias("sum_poly"))
+        .orderBy("l_returnflag")
+    )
+
+
+@q(
+    "q45_approx_distinct",
+    None,
+    "HLL sketch distinct counts — the 100TB path for q03's exact counts "
+    "(fixed-size mergeable state, no key-universe shuffle). Probabilistic "
+    "by design → rows-only check; accuracy asserted in tests vs exact",
+)
+def q45_approx_distinct(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("n_part_approx"),
+        F.approx_count_distinct("l_suppkey", 0.02).alias("n_supp_approx"),
+    )
+
+
+@q(
+    "q46_having",
+    """SELECT o_custkey, COUNT(*) AS n_orders
+       FROM orders GROUP BY o_custkey HAVING COUNT(*) > 12
+       ORDER BY o_custkey""",
+    "GROUP BY ... HAVING (post-aggregation filter)",
+)
+def q46_having(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return aggregates.having(
+        o, ["o_custkey"], [F.count(F.lit(1)).alias("n_orders")], F.col("n_orders") > 12
+    ).orderBy("o_custkey")
