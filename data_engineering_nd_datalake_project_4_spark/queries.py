@@ -1086,3 +1086,185 @@ def q46_having(spark, sf_dir):
     return aggregates.having(
         o, ["o_custkey"], [F.count(F.lit(1)).alias("n_orders")], F.col("n_orders") > 12
     ).orderBy("o_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Remaining scalar/window/join surface (SURVEY §2.2 C/E/H gaps)
+# ---------------------------------------------------------------------------
+
+@q(
+    "q47_date_math",
+    """SELECT o_orderkey,
+              CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+              CAST(date_diff('day', o_orderdate, TIMESTAMP '2001-01-01') AS INT) AS days_to_2001,
+              CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS plus_3m
+       FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""",
+    "date arithmetic: date_trunc, datediff, add_months",
+)
+def q47_date_math(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.datediff(F.lit("2001-01-01").cast("timestamp"), F.col("o_orderdate")).alias("days_to_2001"),
+        F.add_months("o_orderdate", 3).cast("timestamp").alias("plus_3m"),
+    ).orderBy("o_orderkey")
+
+
+@q(
+    "q48_math_funcs",
+    """SELECT l_orderkey, l_linenumber,
+              ABS(l_discount - 0.05) AS abs_diff,
+              CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+              CAST(CEIL(l_extendedprice / 1000) AS BIGINT) AS price_k_ceil,
+              ROUND(SQRT(l_quantity), 4) AS qty_sqrt,
+              ROUND(LN(l_extendedprice), 4) AS price_ln,
+              ROUND(POW(1 + l_tax, 2), 6) AS tax_sq,
+              CAST(l_linenumber % 3 AS INT) AS ln_mod3
+       FROM lineitem WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber""",
+    "math function surface: abs/floor/ceil/sqrt/ln/pow/mod",
+)
+def q48_math_funcs(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_diff"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.ceil(F.col("l_extendedprice") / 1000).alias("price_k_ceil"),
+        F.round(F.sqrt("l_quantity"), 4).alias("qty_sqrt"),
+        F.round(F.log(F.col("l_extendedprice")), 4).alias("price_ln"),
+        F.round(F.pow(F.lit(1) + F.col("l_tax"), 2), 6).alias("tax_sq"),
+        (F.col("l_linenumber") % 3).alias("ln_mod3"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@q(
+    "q49_array_funcs",
+    """SELECT doc_id,
+              len(string_split(text, ' ')) AS n_tokens,
+              len(list_distinct(string_split(text, ' '))) AS n_distinct,
+              array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], '|') AS first3_sorted,
+              string_split(text, ' ')[1] AS first_token,
+              string_split(text, ' ')[-1] AS last_token
+       FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+    "array surface: split/size/distinct/sort/slice/element_at",
+)
+def q49_array_funcs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = tokens("text")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.array_join(F.slice(F.array_sort(F.array_distinct(toks)), 1, 3), "|").alias("first3_sorted"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.element_at(toks, -1).alias("last_token"),
+    ).orderBy("doc_id")
+
+
+@q(
+    "q50_stats_agg",
+    """SELECT c_mktsegment,
+              CAST(MIN(c_acctbal) AS DECIMAL(18,2)) AS min_bal,
+              CAST(MAX(c_acctbal) AS DECIMAL(18,2)) AS max_bal,
+              ROUND(AVG(c_acctbal), 1) AS avg_bal,
+              ROUND(STDDEV_SAMP(c_acctbal), 1) AS sd_bal,
+              ROUND(VAR_SAMP(c_acctbal), 0) AS var_bal
+       FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "statistical aggregates: min/max/avg/stddev/variance",
+)
+def q50_stats_agg(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.min(dec("c_acctbal")).alias("min_bal"),
+            F.max(dec("c_acctbal")).alias("max_bal"),
+            F.round(F.avg("c_acctbal"), 1).alias("avg_bal"),
+            F.round(F.stddev_samp("c_acctbal"), 1).alias("sd_bal"),
+            F.round(F.var_samp("c_acctbal"), 0).alias("var_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@q(
+    "q51_ntile_first_last",
+    """SELECT c_custkey, c_mktsegment,
+              CAST(ntile(4) OVER w AS INT) AS quartile,
+              CAST(first_value(c_custkey) OVER w AS BIGINT) AS richest_in_seg,
+              CAST(nth_value(c_custkey, 2) OVER w AS BIGINT) AS second_richest
+       FROM customer
+       WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       ORDER BY c_mktsegment, quartile, c_custkey""",
+    "ntile / first_value / nth_value window functions",
+)
+def q51_ntile_first_last(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(
+            Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        ).alias("quartile"),
+        F.first("c_custkey").over(w).alias("richest_in_seg"),
+        F.nth_value("c_custkey", 2).over(w).alias("second_richest"),
+    ).orderBy("c_mktsegment", "quartile", "c_custkey")
+
+
+@q(
+    "q52_full_outer",
+    """SELECT COALESCE(cn.k, sn.k) AS nationkey,
+              COALESCE(cn.n_cust, 0) AS n_cust,
+              COALESCE(sn.n_supp, 0) AS n_supp
+       FROM (SELECT c_nationkey AS k, COUNT(*) AS n_cust FROM customer GROUP BY k) cn
+       FULL OUTER JOIN (SELECT s_nationkey AS k, COUNT(*) AS n_supp FROM supplier GROUP BY k) sn
+         ON cn.k = sn.k
+       ORDER BY nationkey""",
+    "full outer equi-join with null-completion on both sides",
+)
+def q52_full_outer(spark, sf_dir):
+    cn = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    sn = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    j = joins.equi_join(cn, sn, cn["k"] == sn["k"], "full")
+    return j.select(
+        F.coalesce(cn["k"], sn["k"]).alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    ).orderBy("nationkey")
+
+
+@q(
+    "q53_json_map",
+    """SELECT event_type,
+              array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,
+              COUNT(*) AS cnt
+       FROM events GROUP BY event_type, prop_keys ORDER BY event_type, prop_keys""",
+    "JSON → map: from_json + map_keys (↔ duckdb json_keys)",
+)
+def q53_json_map(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    keys = F.array_join(
+        F.array_sort(F.map_keys(F.from_json("props", "MAP<STRING, INT>"))), ","
+    )
+    return (
+        e.select("event_type", keys.alias("prop_keys"))
+        .groupBy("event_type", "prop_keys")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("event_type", "prop_keys")
+    )
