@@ -1,0 +1,43 @@
+"""Source/sink coverage (SURVEY §2.2 A): CSV scan, multiline JSON, schema'd
+reads, partitioned sink options."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from data_engineering_nd_datalake_project_4_spark.sources import read_csv, read_json
+from data_engineering_nd_datalake_project_4_spark.sources.sinks import write_parquet
+
+
+def test_csv_scan_with_schema(spark, tmp_path):
+    p = tmp_path / "data.csv"
+    p.write_text("id,name,score\n1,alpha,0.5\n2,beta,0.75\n")
+    df = read_csv(spark, str(p), "id INT, name STRING, score DOUBLE")
+    rows = df.orderBy("id").collect()
+    assert [r["name"] for r in rows] == ["alpha", "beta"]
+    assert df.schema["score"].dataType.simpleString() == "double"
+
+
+def test_multiline_json_object_per_file(spark, tmp_path):
+    d = tmp_path / "nested" / "a" / "b"
+    d.mkdir(parents=True)
+    (d / "one.json").write_text(json.dumps({"k": 1, "v": "x"}, indent=2))
+    (d / "two.json").write_text(json.dumps({"k": 2, "v": "y"}, indent=2))
+    df = read_json(spark, str(tmp_path / "nested"), "k INT, v STRING", multiline=True)
+    assert df.count() == 2
+
+
+def test_partitioned_sink_max_records(spark, tmp_path):
+    df = spark.range(100).withColumn("bucket", (F.col("id") % 2).cast("int"))
+    out = str(tmp_path / "parted")
+    write_parquet(df, out, partition_by=["bucket"], max_records_per_file=10)
+    files = []
+    for root, _, fns in os.walk(out):
+        files += [f for f in fns if f.endswith(".parquet")]
+    assert len(files) >= 10  # 100 rows / ≤10 per file
+    back = spark.read.parquet(out)
+    assert back.count() == 100
+    assert {r["bucket"] for r in back.select("bucket").distinct().collect()} == {0, 1}
