@@ -107,7 +107,12 @@ def doc_fingerprint(text_col: Column | str) -> Column:
 def rolling_hash_fingerprints(text_col: Column | str, window: int = 5, keep_mod: int = 8) -> Column:
     """Winnowing-style selective fingerprints: hash every ``window``-token
     shingle, keep hashes ≡ 0 (mod ``keep_mod``) — a deterministic ~1/keep_mod
-    sample robust to local edits. Returns array<bigint> (sorted)."""
+    sample robust to local edits. Returns array<bigint> (sorted).
+
+    NOTE: single-expression form; on hot paths prefer
+    :func:`winnowing_fingerprints`, which pre-hashes tokens once and chains
+    fixed-width hashes per window instead of building a string per window.
+    """
     toks = tokens(text_col)
     k = F.size(toks) - F.lit(window - 1)
     idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0)))
@@ -116,3 +121,37 @@ def rolling_hash_fingerprints(text_col: Column | str, window: int = 5, keep_mod:
         F.transform(idx, lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, window), " "))),
     ).otherwise(F.array(F.xxhash64(F.array_join(toks, " "))))
     return F.array_sort(F.filter(hashes, lambda h: h % keep_mod == 0))
+
+
+def winnowing_fingerprints(
+    df, text_col: str, id_col: str, window: int = 5, keep_mod: int = 8
+):
+    """Staged winnowing fingerprints: ``(id_col, fingerprints array<bigint>,
+    n_selected)``.
+
+    Two projections: (1) hash each token ONCE (``xxhash64`` per token);
+    (2) per window position, chain the pre-hashed longs with
+    ``xxhash64(acc, x)`` — fixed-width work per window element instead of
+    re-joining and re-hashing strings, and the staging stops CollapseProject
+    from re-inlining the token hashing into every window.
+    """
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(tokens(text_col), lambda t: F.xxhash64(t)).alias("__th"),
+    )
+    th = F.col("__th")
+    k = F.size(th) - F.lit(window - 1)
+    idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0)))
+
+    def window_hash(i):
+        return F.aggregate(
+            F.slice(th, i + 1, window), F.lit(0).cast("long"), lambda acc, x: F.xxhash64(acc, x)
+        )
+
+    all_fps = F.when(F.size(th) >= window, F.transform(idx, window_hash)).otherwise(
+        F.array(F.aggregate(th, F.lit(0).cast("long"), lambda acc, x: F.xxhash64(acc, x)))
+    )
+    selected = F.array_sort(F.filter(all_fps, lambda h: h % keep_mod == 0))
+    return hashed.select(
+        id_col, selected.alias("fingerprints"), F.size(selected).alias("n_selected")
+    )

@@ -951,6 +951,9 @@ def q39_token_counts(spark, sf_dir):
     "winnowing rolling-hash fingerprints (xxhash64 — rows-only check)",
 )
 def q40_fingerprints(spark, sf_dir):
+    # single-expression winnowing: at these document lengths the string-join
+    # window hash and the staged chain-hash variant (text.winnowing_fingerprints)
+    # are equal-cost, and this form avoids a join in the output plan
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
@@ -1267,4 +1270,27 @@ def q53_json_map(spark, sf_dir):
         .groupBy("event_type", "prop_keys")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy("event_type", "prop_keys")
+    )
+
+
+@q(
+    "q54_grouping_sets",
+    """SELECT COALESCE(l_returnflag, 'ALL') AS flag_g,
+              COALESCE(l_linestatus, 'ALL') AS status_g,
+              COUNT(*) AS cnt
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+       ORDER BY flag_g, status_g""",
+    "SQL GROUPING SETS through the spark.sql surface (catalog temp views, "
+    "reference R19/R20: /root/reference/etl.py:132-134)",
+)
+def q54_grouping_sets(spark, sf_dir):
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q54")
+    return spark.sql(
+        """SELECT COALESCE(l_returnflag, 'ALL') AS flag_g,
+                  COALESCE(l_linestatus, 'ALL') AS status_g,
+                  COUNT(*) AS cnt
+           FROM lineitem_q54
+           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+           ORDER BY flag_g, status_g"""
     )

@@ -133,3 +133,19 @@ def test_union_except_roundtrip(spark, sf_dir):
     u = c.union(s).distinct()
     assert u.subtract(c).subtract(s).count() == 0
     assert u.count() >= max(c.count(), s.count())
+
+
+def test_winnowing_fingerprints_edit_robustness(spark):
+    """Winnowing claim: a single-token edit changes at most `window`
+    window-hashes, so the selected-fingerprint sets of the original and the
+    edited doc overlap heavily."""
+    from data_engineering_nd_datalake_project_4_spark.operators.text import winnowing_fingerprints
+
+    base = " ".join(f"tok{i}" for i in range(200))
+    edited = " ".join(("XXX" if i == 100 else f"tok{i}") for i in range(200))
+    df = spark.createDataFrame([(1, base), (2, edited)], "doc_id INT, text STRING")
+    fps = {r["doc_id"]: set(r["fingerprints"]) for r in
+           winnowing_fingerprints(df, "text", "doc_id", window=5, keep_mod=4).collect()}
+    inter = len(fps[1] & fps[2])
+    union = len(fps[1] | fps[2])
+    assert union > 0 and inter / union > 0.7, (inter, union)

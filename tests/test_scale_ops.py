@@ -1,0 +1,68 @@
+"""Scale machinery: salted joins equal plain joins; bucketed tables join
+without a shuffle; skewed-key detection."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_nd_datalake_project_4_spark import plans
+from data_engineering_nd_datalake_project_4_spark.operators.skew import salted_join, skewed_keys
+from data_engineering_nd_datalake_project_4_spark.sources.sinks import write_bucketed_table
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    """90% of rows share key=0; keys 1..9 split the rest."""
+    big = spark.range(10_000).select(
+        F.when(F.col("id") % 10 < 9, 0).otherwise((F.col("id") % 9) + 1).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.createDataFrame([(i, f"dim_{i}") for i in range(10)], "k INT, name STRING")
+    return big, small
+
+
+def test_skewed_keys_detection(skewed):
+    big, _ = skewed
+    hot = skewed_keys(big, "k", min_share=0.5)
+    assert [r["k"] for r in hot.collect()] == [0]
+
+
+def test_salted_join_equals_plain_join(skewed):
+    big, small = skewed
+    plain = big.join(small, "k").groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("payload").alias("s")
+    )
+    salted = salted_join(big, small, "k", n_salts=8).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("payload").alias("s")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    big = spark.createDataFrame([(1, "a"), (99, "b")], "k INT, v STRING")
+    small = spark.createDataFrame([(1, "dim")], "k INT, name STRING")
+    out = salted_join(big, small, "k", n_salts=4, how="left").collect()
+    by_k = {r["k"]: r["name"] for r in out}
+    assert by_k == {1: "dim", 99: None}
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    # tables land in the session's default warehouse dir (gitignored);
+    # warehouse.dir is a static conf and can't be pointed at tmp_path
+    a = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+    b = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
+    write_bucketed_table(a, "bt_a", ["k"], 8, sort_by=["k"])
+    write_bucketed_table(b, "bt_b", ["k"], 8, sort_by=["k"])
+    try:
+        ta = spark.table("bt_a")
+        tb = spark.table("bt_b")
+        # forbid broadcast so the only shuffle-free path is bucket co-location
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = ta.join(tb, "k")
+        assert plans.shuffle_count(joined) == 0, plans.explain_str(joined, "simple")
+        assert joined.count() == 1000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")
