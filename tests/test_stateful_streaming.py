@@ -1,0 +1,58 @@
+"""applyInPandasWithState: running counts accumulate across micro-batches."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from data_engineering_nd_datalake_project_4_spark.streaming.stateful import running_count_per_key
+
+
+def test_running_count_accumulates_across_batches(spark, tmp_path):
+    src = str(tmp_path / "src")
+    chk = str(tmp_path / "chk")
+    os.makedirs(src)
+    # two single-file batches on disk; maxFilesPerTrigger=1 → two micro-batches
+    # in one availableNow run (memory sink cannot recover a checkpoint, so
+    # cross-micro-batch state is the testable surface)
+    spark.createDataFrame([(1,), (1,), (2,)], "user_id LONG").coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame([(1,)], "user_id LONG").coalesce(1).write.parquet(src + "/b2")
+
+    stream = (
+        spark.readStream.schema("user_id LONG")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    out = running_count_per_key(stream.groupBy("user_id"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running_counts")
+        .outputMode("update")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("running_counts").collect()
+    emitted = {(r["key"], r["running_n"]) for r in rows}
+    # user 1 was emitted at 2 (after its first batch) and 3 (after the second)
+    assert (1, 3) in emitted and (2, 1) in emitted, emitted
+    latest = {}
+    for r in rows:
+        latest[r["key"]] = max(latest.get(r["key"], 0), r["running_n"])
+    assert latest == {1: 3, 2: 1}
+
+
+def test_grouped_zscore_pandas_udf(spark, sf_dir):
+    from data_engineering_nd_datalake_project_4_spark.catalog import load_table
+    from data_engineering_nd_datalake_project_4_spark.functions.udfs import grouped_zscore
+
+    c = load_table(spark, sf_dir, "customer")
+    z = grouped_zscore(c, "c_acctbal", ["c_mktsegment"])
+    stats = z.groupBy("c_mktsegment").agg(
+        F.round(F.avg("zscore"), 6).alias("mu"), F.round(F.stddev_pop("zscore"), 3).alias("sd")
+    )
+    for r in stats.collect():
+        assert abs(r["mu"]) < 1e-6
+        assert abs(r["sd"] - 1.0) < 0.01

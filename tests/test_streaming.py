@@ -89,7 +89,10 @@ def test_watermark_drops_late_data(spark, tmp_path_factory):
     df2 = spark.createDataFrame(rows2, "id INT, ts STRING").select(
         "id", F.to_timestamp("ts").alias("ts")
     )
-    df1.write.mode("overwrite").parquet(os.path.join(src, "b1"))
+    # exactly ONE file per batch: multiple part-files would become separate
+    # micro-batches in nondeterministic order, and the Jan-10 file processing
+    # first would (correctly) drop the Jan-1 event as late in run 1 already
+    df1.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b1"))
 
     schema = "id INT, ts TIMESTAMP"
 
@@ -117,7 +120,7 @@ def test_watermark_drops_late_data(spark, tmp_path_factory):
         q.awaitTermination()
 
     run_once("wm1")
-    df2.write.mode("overwrite").parquet(os.path.join(src, "b2"))
+    df2.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b2"))
     run_once("wm2")
 
     out = spark.read.parquet(sink)
