@@ -1294,3 +1294,54 @@ def q54_grouping_sets(spark, sf_dir):
            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
            ORDER BY flag_g, status_g"""
     )
+
+
+@q(
+    "q55_pivot",
+    """SELECT l_returnflag,
+              COUNT(*) FILTER (WHERE l_linestatus = 'F') AS status_F,
+              COUNT(*) FILTER (WHERE l_linestatus = 'O') AS status_O,
+              CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS qty_F,
+              CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS qty_O
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "pivot (wide aggregation): groupBy().pivot() with explicit value list — "
+    "explicit values keep it one pass (no distinct-scan planning stage)",
+)
+def q55_pivot(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.count(F.lit(1)).alias("status"),
+            F.sum(dec("l_quantity")).cast(DEC18_2).alias("qty"),
+        )
+    )
+    return p.select(
+        "l_returnflag",
+        F.col("F_status").alias("status_F"),
+        F.col("O_status").alias("status_O"),
+        F.col("F_qty").alias("qty_F"),
+        F.col("O_qty").alias("qty_O"),
+    ).orderBy("l_returnflag")
+
+
+@q(
+    "q56_percentiles",
+    """SELECT c_mktsegment,
+              ROUND(median(c_acctbal), 2) AS med_bal,
+              ROUND(quantile_cont(c_acctbal, 0.9), 2) AS p90_bal
+       FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "exact median + interpolated percentile (Spark percentile ↔ duckdb "
+    "quantile_cont); approx_percentile is the sketch-based 100TB path",
+)
+def q56_percentiles(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.round(F.median("c_acctbal"), 2).alias("med_bal"),
+            F.round(F.percentile("c_acctbal", F.lit(0.9)), 2).alias("p90_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
