@@ -54,3 +54,36 @@ def session_builder(
 def get_spark(**kwargs) -> SparkSession:
     """Get-or-create a session with engine defaults."""
     return session_builder(**kwargs).getOrCreate()
+
+
+def scale_conf(
+    input_bytes: int,
+    target_partition_bytes: int = 128 * 1024 * 1024,
+    executor_cores_total: int | None = None,
+) -> dict[str, str]:
+    """Shuffle/scan sizing for a given input volume — the knobs that matter
+    when the same plans run against 100 TB instead of 100 MB.
+
+    Rationale:
+    - ``spark.sql.files.maxPartitionBytes`` bounds scan-task size; 128 MB
+      keeps a task's working set comfortably inside an executor core's
+      memory share while amortizing task overhead.
+    - initial ``spark.sql.shuffle.partitions`` targets ~target_partition_bytes
+      per reduce partition pre-AQE; AQE then *coalesces* down — starting high
+      and coalescing is safe, starting low and splitting is not possible
+      (except for skew-join splits), so round UP and never below total cores.
+    - advisory partition size feeds AQE's coalescing target.
+
+    Apply with ``for k, v in scale_conf(...).items(): builder.config(k, v)``.
+    """
+    import math
+
+    n_shuffle = max(
+        executor_cores_total or 32,
+        math.ceil(input_bytes / target_partition_bytes),
+    )
+    return {
+        "spark.sql.files.maxPartitionBytes": str(target_partition_bytes),
+        "spark.sql.shuffle.partitions": str(n_shuffle),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(target_partition_bytes // 2),
+    }

@@ -1,0 +1,68 @@
+"""Randomized property tests (hypothesis): operator semantics vs a pandas
+reference model on arbitrary small inputs. Few examples, tiny data — each
+example runs real Spark jobs."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from data_engineering_nd_datalake_project_4_spark.operators.dedup import (
+    canonical_text_key,
+    latest_per_key,
+)
+
+ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),   # key
+        st.integers(min_value=0, max_value=50),  # ts
+        st.integers(min_value=0, max_value=9),   # id (tie-break)
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _spark():
+    from data_engineering_nd_datalake_project_4_spark.session import get_spark
+
+    return get_spark(app_name="tests", shuffle_partitions=8)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ROWS)
+def test_latest_per_key_matches_pandas_reference(rows):
+    spark = _spark()
+    df = spark.createDataFrame(rows, "k INT, ts INT, id INT")
+    got = {
+        (r["k"], r["ts"], r["id"])
+        for r in latest_per_key(df, ["k"], [F.desc("ts"), F.desc("id")]).collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["k", "ts", "id"])
+    ref = {
+        tuple(g.sort_values(["ts", "id"], ascending=False).iloc[0])
+        for _, g in pdf.groupby("k")
+    }
+    assert got == ref
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "bb", "ccc", "dd", "e"]), min_size=1, max_size=6),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_canonical_key_is_permutation_invariant(token_lists):
+    spark = _spark()
+    texts = [" ".join(toks) for toks in token_lists]
+    reversed_texts = [" ".join(reversed(toks)) for toks in token_lists]
+    df = spark.createDataFrame(
+        list(zip(texts, reversed_texts)), "t1 STRING, t2 STRING"
+    ).select(
+        canonical_text_key("t1").alias("k1"), canonical_text_key("t2").alias("k2")
+    )
+    assert df.filter(F.col("k1") != F.col("k2")).count() == 0

@@ -66,3 +66,14 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bt_a")
         spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+def test_scale_conf_sizing():
+    from data_engineering_nd_datalake_project_4_spark.session import scale_conf
+
+    # 100 TB at 128 MB targets ~800k initial shuffle partitions (AQE coalesces)
+    big = scale_conf(100 * 1024**4)
+    assert int(big["spark.sql.shuffle.partitions"]) == 819200
+    # tiny inputs never drop below the core floor
+    small = scale_conf(10 * 1024**2, executor_cores_total=32)
+    assert int(small["spark.sql.shuffle.partitions"]) == 32
