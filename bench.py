@@ -34,12 +34,20 @@ def main() -> None:
     # warm-up: JVM, codegen, parquet footers
     _run_plan(spark.read.parquet(f"{sf_dir}/region.parquet"))
 
+    try:
+        reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")))
+    except ValueError:
+        reps = 1
     timings: dict[str, float] = {}
     for name in sorted(REGISTRY):
-        df = REGISTRY[name].spark_fn(spark, sf_dir)
-        t0 = time.perf_counter()
-        _run_plan(df)
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(reps):
+            df = REGISTRY[name].spark_fn(spark, sf_dir)
+            t0 = time.perf_counter()
+            _run_plan(df)
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 3)  # median
         print(f"{name:28s} {timings[name]:7.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
