@@ -54,3 +54,14 @@ def test_window_dedup_single_shuffle(spark, sf_dir):
     # the final presentation ORDER BY); the reference's join-back needed two
     # hash shuffles + a join
     assert plans.explain_str(df, "simple").count("Exchange hashpartitioning") == 1
+
+
+def test_aqe_runtime_broadcast_conversion(spark, sf_dir):
+    """AQE should convert the orders⋈customer shuffle join to broadcast at
+    runtime (customer is far under the 10MB threshold at test scale) — the
+    design relies on runtime conversion instead of hard-coded hints for
+    data-dependent joins."""
+    df = REGISTRY["q04"].spark_fn(spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in executed, executed[:2000]

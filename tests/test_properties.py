@@ -149,3 +149,24 @@ def test_winnowing_fingerprints_edit_robustness(spark):
     inter = len(fps[1] & fps[2])
     union = len(fps[1] | fps[2])
     assert union > 0 and inter / union > 0.7, (inter, union)
+
+
+def test_operators_handle_empty_input(spark):
+    """Every core operator must be a no-op (not an error) on empty input."""
+    from data_engineering_nd_datalake_project_4_spark.operators.dedup import (
+        canonical_near_dedup_groups,
+        latest_per_key,
+        minhash_lsh_candidate_pairs,
+    )
+    from data_engineering_nd_datalake_project_4_spark.operators.text import word_counts
+    from data_engineering_nd_datalake_project_4_spark.operators.similarity import brute_force_topk
+
+    empty_docs = spark.createDataFrame([], "doc_id LONG, text STRING")
+    empty_events = spark.createDataFrame([], "user_id LONG, ts TIMESTAMP, event_id LONG")
+    empty_vecs = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<FLOAT>")
+
+    assert word_counts(empty_docs, "text").count() == 0
+    assert canonical_near_dedup_groups(empty_docs, "text", "doc_id").count() == 0
+    assert minhash_lsh_candidate_pairs(empty_docs, "text", "doc_id").count() == 0
+    assert latest_per_key(empty_events, ["user_id"], [F.desc("ts")]).count() == 0
+    assert brute_force_topk(empty_vecs, empty_vecs).count() == 0
