@@ -25,6 +25,80 @@ def _run_plan(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _bench_sparkify_pipeline(spark, n_events: int = 100_000, n_songs: int = 100) -> dict:
+    """Workload B (BASELINE.md): the reference's 5-table pipeline end-to-end —
+    JSON ingest → transforms → partitioned parquet — on deterministic
+    synthetic inputs shaped like FIXTURES.md §A, timed as one wall-clock.
+
+    The reference computes every table twice and re-reads staging per table
+    (/root/reference/etl.py:110-111 etc.); this pipeline builds/writes each
+    table once, so this number is the apples-to-apples single-node
+    throughput comparison point.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_nd_datalake_project_4_spark.pipelines import sparkify
+
+    root = tempfile.mkdtemp(prefix="bench_sparkify_")
+    base_ts = 1_541_000_000_000
+    try:
+        # --- synthesize inputs (not timed) ---
+        logs = (
+            spark.range(n_events)
+            .select(
+                F.when(F.col("id") % 20 < 17, F.concat(F.lit("Artist "), F.col("id") % 97)).alias("artist"),
+                F.when(F.col("id") % 29 == 0, F.lit("Logged Out")).otherwise(F.lit("Logged In")).alias("auth"),
+                F.concat(F.lit("First"), F.col("id") % 500).alias("firstName"),
+                F.when(F.col("id") % 2 == 0, "F").otherwise("M").alias("gender"),
+                (F.col("id") % 10).cast("int").alias("itemInSession"),
+                F.concat(F.lit("Last"), F.col("id") % 500).alias("lastName"),
+                (F.lit(120.0) + (F.col("id") % 300)).alias("length"),
+                F.when(F.col("id") % 7 < 5, "free").otherwise("paid").alias("level"),
+                F.concat(F.lit("City "), F.col("id") % 50).alias("location"),
+                F.lit("PUT").alias("method"),
+                F.when(F.col("id") % 20 < 17, "NextSong").otherwise("Home").alias("page"),
+                F.lit(1.54e12).alias("registration"),
+                (F.col("id") % 1000).cast("int").alias("sessionId"),
+                F.when(F.col("id") % 1000 == 0, F.concat(F.lit("Song Title "), F.col("id") % 100))
+                .otherwise(F.concat(F.lit("Unmatched "), F.col("id"))).alias("song"),
+                F.lit(200).cast("int").alias("status"),
+                (F.lit(base_ts) + F.col("id") * 1000).alias("ts"),
+                F.lit("UA").alias("userAgent"),
+                F.when(F.col("id") % 29 == 0, "").otherwise((F.col("id") % 500).cast("string")).alias("userId"),
+            )
+        )
+        logs.write.mode("overwrite").json(f"{root}/log_data")
+        songs = spark.range(n_songs).select(
+            F.lit(1).cast("int").alias("num_songs"),
+            F.concat(F.lit("AR"), F.col("id") % 400).alias("artist_id"),
+            F.when(F.col("id") % 2 == 0, 35.0 + F.col("id") % 90).alias("artist_latitude"),
+            F.when(F.col("id") % 2 == 0, -120.0 + F.col("id") % 90).alias("artist_longitude"),
+            F.concat(F.lit("City "), F.col("id") % 50).alias("artist_location"),
+            F.concat(F.lit("Artist "), F.col("id") % 400).alias("artist_name"),
+            F.concat(F.lit("SO"), F.col("id")).alias("song_id"),
+            F.concat(F.lit("Song Title "), F.col("id")).alias("title"),
+            (F.lit(100.0) + F.col("id") % 300).alias("duration"),
+            F.when(F.col("id") % 5 == 0, 0).otherwise(1990 + (F.col("id") % 30)).cast("int").alias("year"),
+        )
+        songs.write.mode("overwrite").json(f"{root}/song_data")
+
+        # --- timed: ingest → 5 tables → partitioned parquet ---
+        cfg = sparkify.SparkifyConfig(
+            log_data_path=f"{root}/log_data",
+            song_data_path=f"{root}/song_data",
+            output_root=f"{root}/lake",
+        )
+        t0 = time.perf_counter()
+        tables = sparkify.run_pipeline(spark, cfg)
+        secs = round(time.perf_counter() - t0, 3)
+        return {"seconds": secs, "n_events": n_events, "n_songs": n_songs}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -50,6 +124,8 @@ def main() -> None:
         timings[name] = round(samples[len(samples) // 2], 3)  # median
         print(f"{name:28s} {timings[name]:7.3f}s", file=sys.stderr)
 
+    pipeline = _bench_sparkify_pipeline(spark)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -59,6 +135,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "sparkify_pipeline": pipeline,
             }
         )
     )
