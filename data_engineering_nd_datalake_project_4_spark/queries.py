@@ -1344,3 +1344,23 @@ def q56_percentiles(spark, sf_dir):
         )
         .orderBy("c_mktsegment")
     )
+
+
+@q(
+    "q57_blocked_near_dup",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                  FROM embeddings WHERE vec_id < 500)
+       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              ROUND(list_cosine_similarity(a.emb, b.emb), 3) AS cos_sim
+       FROM e a JOIN e b ON a.vec_id < b.vec_id
+       WHERE list_cosine_similarity(a.emb, b.emb) >= 0.8
+       ORDER BY id_a, id_b""",
+    "q41's exact semantics on the SCALE path: blocked matmul (cogroup block "
+    "pairs -> one numpy BLAS kernel per pair, threshold applied in-task)",
+)
+def q57_blocked_near_dup(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    pairs = similarity.blocked_all_pairs_cosine(e, "vec_id", "embedding", threshold=0.8, block_size=128)
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine", 3).alias("cos_sim")
+    ).orderBy("id_a", "id_b")

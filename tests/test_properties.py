@@ -170,3 +170,19 @@ def test_operators_handle_empty_input(spark):
     assert minhash_lsh_candidate_pairs(empty_docs, "text", "doc_id").count() == 0
     assert latest_per_key(empty_events, ["user_id"], [F.desc("ts")]).count() == 0
     assert brute_force_topk(empty_vecs, empty_vecs).count() == 0
+
+
+def test_blocked_cosine_equals_catalyst_kernel(spark, sf_dir):
+    """The blocked-matmul scale path must produce the identical pair set to
+    the per-pair Catalyst kernel."""
+    from data_engineering_nd_datalake_project_4_spark.operators.dedup import embedding_near_dup_pairs
+    from data_engineering_nd_datalake_project_4_spark.operators.similarity import blocked_all_pairs_cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    # threshold 0.2: unclustered testdata embeddings max out near cosine 0.33,
+    # so higher thresholds would vacuously compare empty sets
+    cat = {(r["id_a"], r["id_b"]) for r in
+           embedding_near_dup_pairs(emb, "embedding", "vec_id", threshold=0.2).collect()}
+    blk = {(r["id_a"], r["id_b"]) for r in
+           blocked_all_pairs_cosine(emb, "vec_id", "embedding", threshold=0.2, block_size=64).collect()}
+    assert cat == blk and len(cat) > 0
