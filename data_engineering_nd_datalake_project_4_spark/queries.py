@@ -1364,3 +1364,35 @@ def q57_blocked_near_dup(spark, sf_dir):
     return pairs.select(
         "id_a", "id_b", F.round("cosine", 3).alias("cos_sim")
     ).orderBy("id_a", "id_b")
+
+
+@q(
+    "q58_training_curation",
+    """WITH scored AS (
+         SELECT doc_id, text, lang,
+                ROUND(0.4 * (CASE WHEN len(string_split(text,' ')) BETWEEN 5 AND 10000
+                                  THEN 1.0 ELSE 0.0 END)
+                    + 0.3 * (CAST(len(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+                             / GREATEST(len(text), 1))
+                    + 0.3 * LEAST(1.0,
+                        len(list_intersect(list_distinct(string_split(text,' ')),
+                            ['the','and','of','to','in'])) / 2.0), 4) AS quality,
+                len(string_split(text, ' ')) AS n_tokens
+         FROM documents),
+       filtered AS (SELECT * FROM scored WHERE quality >= 0.3),
+       canon AS (SELECT *, array_to_string(list_sort(list_distinct(string_split(text,' '))),' ') AS ck
+                 FROM filtered),
+       keep AS (SELECT MIN(doc_id) AS doc_id FROM canon GROUP BY ck),
+       survivors AS (SELECT c.* FROM canon c JOIN keep k ON c.doc_id = k.doc_id)
+       SELECT lang, COUNT(*) AS n_docs,
+              ROUND(AVG(quality), 3) AS avg_quality,
+              CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+       FROM survivors GROUP BY lang ORDER BY lang""",
+    "end-to-end curation pipeline: score -> quality filter -> exact dedup "
+    "-> canonical near-dedup (keep lowest id) -> per-language stats",
+)
+def q58_training_curation(spark, sf_dir):
+    from data_engineering_nd_datalake_project_4_spark.pipelines.training_data import corpus_stats, curate
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus_stats(curate(d, min_quality=0.3), "lang")
