@@ -151,22 +151,46 @@ def minhash_lsh_candidate_pairs(
     """
     rows_per_band = num_hashes // bands
 
-    def seeded_hash(seed: int):
-        return lambda s: F.xxhash64(s, F.lit(seed))
+    # Staged projections: shingles → shingle hashes → signature → bands.
+    # Each stage's output is referenced MANY times by the next (num_hashes
+    # derivations over __h, `bands` slices of __sig), which stops Catalyst's
+    # CollapseProject from inlining the expensive array expression into
+    # every consumer — without the staging, the shingle construction runs
+    # num_hashes× per row.
+    #
+    # Universal hashing: each shingle STRING is xxhash64'd exactly once;
+    # the per-seed values derive arithmetically as (aᵢ·h + bᵢ) mod M in a
+    # 31-bit field (products stay < 2^62 — no ANSI overflow). This replaces
+    # num_hashes string hashes per shingle with one hash + cheap mult-adds.
+    M = (1 << 31) - 1  # Mersenne prime 2^31-1
+    rng_a, rng_b = [], []
+    state = 0x9E3779B9
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        rng_a.append(state % (M - 1) + 1)
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        rng_b.append(state % M)
 
-    # Staged projections: shingles → signature → bands. Each stage's output
-    # is referenced MANY times by the next (32 seeds over __sh, `bands`
-    # slices of __sig), which stops Catalyst's CollapseProject from inlining
-    # the expensive array expression into every consumer — without the
-    # staging, the shingle construction runs 32× per row.
     shingled = df.select(
         F.col(id_col).alias("__id"),
         _shingles(F.col(text_col), shingle_n).alias("__sh"),
     )
-    signed = shingled.select(
+    hashed = shingled.select(
+        "__id",
+        F.transform(F.col("__sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(M))).alias("__h"),
+    )
+    signed = hashed.select(
         "__id",
         F.array(
-            *[F.array_min(F.transform(F.col("__sh"), seeded_hash(i))) for i in range(num_hashes)]
+            *[
+                F.array_min(
+                    F.transform(
+                        F.col("__h"),
+                        (lambda a, b: lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(M))(rng_a[i], rng_b[i]),
+                    )
+                )
+                for i in range(num_hashes)
+            ]
         ).alias("__sig"),
     )
     banded = signed.select(
@@ -189,6 +213,10 @@ def minhash_lsh_candidate_pairs(
         ).alias("__band", "__bucket"),
     )
     if max_bucket_size is not None:
+        # window (not agg + anti-join): banded rows are already tiny
+        # (id, band, bucket ≈ 24 bytes), so one shuffle-and-count-over-window
+        # is cheap — while any two-pass scheme recomputes the MinHash
+        # signatures, which dominate the cost (measured 4x slower).
         w = Window.partitionBy("__band", "__bucket")
         banded = (
             banded.withColumn("__bsz", F.count(F.lit(1)).over(w))

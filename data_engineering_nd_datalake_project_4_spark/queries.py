@@ -1396,3 +1396,50 @@ def q58_training_curation(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return corpus_stats(curate(d, min_quality=0.3), "lang")
+
+
+@q(
+    "q59_grouping_fn",
+    """SELECT CASE WHEN GROUPING(r_name) = 1 THEN '<total>' ELSE r_name END AS r_g,
+              CASE WHEN GROUPING(n_name) = 1 THEN '<subtotal>' ELSE n_name END AS n_g,
+              COUNT(*) AS cnt
+       FROM region JOIN nation ON n_regionkey = r_regionkey
+       GROUP BY ROLLUP(r_name, n_name)
+       ORDER BY r_g, n_g""",
+    "GROUPING() disambiguates rollup NULLs from data NULLs (unlike the "
+    "COALESCE idiom in q25, this is correct even when the column has nulls)",
+)
+def q59_grouping_fn(spark, sf_dir):
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    j = n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    # grouping() is only resolvable inside the rollup's own agg projection
+    out = j.rollup("r_name", "n_name").agg(
+        F.grouping("r_name").alias("__gr"),
+        F.grouping("n_name").alias("__gn"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return out.select(
+        F.when(F.col("__gr") == 1, "<total>").otherwise(F.col("r_name")).alias("r_g"),
+        F.when(F.col("__gn") == 1, "<subtotal>").otherwise(F.col("n_name")).alias("n_g"),
+        "cnt",
+    ).orderBy("r_g", "n_g")
+
+
+@q(
+    "q60_approx_percentile",
+    None,
+    "approx_percentile (t-digest-style sketch): the 100TB path for q56's "
+    "exact percentiles — fixed-size mergeable state, no per-group sort. "
+    "Probabilistic -> rows-only; accuracy vs exact is property-tested",
+)
+def q60_approx_percentile(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
+            F.approx_percentile("o_totalprice", F.lit(0.99), F.lit(10000)).alias("p99_approx"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -75,6 +75,27 @@ def run_available_now(
     return stream_df.sparkSession.table(query_name)
 
 
+def run_foreach_batch(
+    stream_df: DataFrame,
+    batch_fn,
+    checkpoint: str,
+    query_name: str = "foreach_batch",
+):
+    """Run a stream through ``foreachBatch`` with trigger=availableNow and
+    block until drained. ``batch_fn(batch_df, batch_id)`` gets each
+    micro-batch as a BATCH DataFrame — the escape hatch for sinks without
+    native streaming support (JDBC, multi-table fan-out, merge/upsert) and
+    for exactly-once-per-batch side effects keyed on ``batch_id``."""
+    q = (
+        stream_df.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .queryName(query_name)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_dedup(
     df: DataFrame, keys: list[str], ts_col: str | None = None, watermark: str | None = None
 ) -> DataFrame:

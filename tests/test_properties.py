@@ -186,3 +186,15 @@ def test_blocked_cosine_equals_catalyst_kernel(spark, sf_dir):
     blk = {(r["id_a"], r["id_b"]) for r in
            blocked_all_pairs_cosine(emb, "vec_id", "embedding", threshold=0.2, block_size=64).collect()}
     assert cat == blk and len(cat) > 0
+
+
+def test_approx_percentile_accuracy(spark, sf_dir):
+    """approx_percentile with accuracy=10000 must sit within a tight rank
+    band of the exact percentile at test scale."""
+    o = load_table(spark, sf_dir, "orders")
+    rows = o.groupBy("o_orderpriority").agg(
+        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("approx"),
+        F.percentile("o_totalprice", F.lit(0.5)).alias("exact"),
+    ).collect()
+    for r in rows:
+        assert abs(r["approx"] - r["exact"]) / r["exact"] < 0.05, r

@@ -140,3 +140,27 @@ def test_stream_dedup_with_watermark(spark, tmp_path_factory):
     deduped = stream_dedup(stream, ["id"], "ts", "10 minutes")
     out = run_available_now(deduped.select("id"), "dedup_stream", output_mode="append")
     assert sorted(r["id"] for r in out.collect()) == [1, 2]
+
+
+def test_foreach_batch_sink(spark, tmp_path_factory):
+    """foreachBatch delivers each micro-batch exactly once with its id; the
+    collected union equals the source."""
+    from data_engineering_nd_datalake_project_4_spark.streaming import run_foreach_batch
+
+    src = str(tmp_path_factory.mktemp("fb_src"))
+    out = str(tmp_path_factory.mktemp("fb_out"))
+    chk = str(tmp_path_factory.mktemp("fb_chk"))
+    spark.createDataFrame([(1,), (2,)], "id INT").coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame([(3,)], "id INT").coalesce(1).write.parquet(src + "/b2")
+
+    stream = (
+        spark.readStream.schema("id INT").option("maxFilesPerTrigger", "1").parquet(src + "/*")
+    )
+
+    def sink(batch_df, batch_id):
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(out)
+
+    run_foreach_batch(stream, sink, chk)
+    got = spark.read.parquet(out)
+    assert sorted(r["id"] for r in got.collect()) == [1, 2, 3]
+    assert got.select("batch_id").distinct().count() == 2
