@@ -110,25 +110,6 @@ def _shingles(text_col: Column, n: int) -> Column:
     )
 
 
-def minhash_signature(text_col: Column, num_hashes: int = 32, shingle_n: int = 3) -> Column:
-    """MinHash signature as array<bigint>: min over shingles of
-    ``xxhash64(shingle, seed=i)`` for each of ``num_hashes`` seeds.
-
-    Pure Catalyst (transform + array_min over xxhash64) — vectorized, no UDF,
-    no shuffle. Signature column is ~256 bytes regardless of document size.
-    """
-    sh = _shingles(text_col, shingle_n)
-
-    def seeded_hash(seed: int):
-        # closure, NOT a 2-arg lambda: F.transform passes (element, index)
-        # to 2-parameter lambdas, which would silently replace the seed
-        return lambda s: F.xxhash64(s, F.lit(seed))
-
-    return F.array(
-        *[F.array_min(F.transform(sh, seeded_hash(i))) for i in range(num_hashes)]
-    )
-
-
 def minhash_lsh_candidate_pairs(
     df: DataFrame,
     text_col: str,
@@ -149,6 +130,13 @@ def minhash_lsh_candidate_pairs(
     near-duplication; route it to exact dedup instead). AQE skew-join splits
     what remains.
     """
+    if bands <= 0 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must evenly divide num_hashes ({num_hashes}): "
+            "a zero-width band hashes an empty slice, putting EVERY document "
+            "in one bucket (O(N^2) candidates); a ragged split silently drops "
+            "trailing signature rows"
+        )
     rows_per_band = num_hashes // bands
 
     # Staged projections: shingles → shingle hashes → signature → bands.

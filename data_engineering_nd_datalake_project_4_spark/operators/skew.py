@@ -23,12 +23,16 @@ from pyspark.sql import functions as F
 
 def skewed_keys(df: DataFrame, key: str, min_share: float = 0.01) -> DataFrame:
     """Keys holding at least ``min_share`` of the rows — candidates for
-    salting. One agg pass; output is dimension-sized by construction."""
-    total = df.count()
+    salting. ONE pass over the input: the total comes from summing the
+    (key-cardinality-sized) aggregated counts with an unpartitioned window,
+    not from a second full-table ``count()``."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+    total = F.sum("n").over(Window.partitionBy())
     return (
-        df.groupBy(key)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= total * min_share)
+        counts.withColumn("__total", total)
+        .filter(F.col("n") >= F.col("__total") * min_share)
         .select(key, "n")
     )
 

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_engineering_nd_datalake_project_4_spark import schemas
+from data_engineering_nd_datalake_project_4_spark.functions import weekday_monday
 from data_engineering_nd_datalake_project_4_spark.operators.dedup import latest_per_key
 from data_engineering_nd_datalake_project_4_spark.sources import read_json
 from data_engineering_nd_datalake_project_4_spark.sources.sinks import write_parquet
@@ -131,7 +132,7 @@ def time_table(logs: DataFrame) -> DataFrame:
         F.weekofyear(d).alias("week"),
         F.month(d).alias("month"),
         F.year(d).alias("year"),
-        ((F.dayofweek(d) + F.lit(5)) % 7 + F.lit(1)).cast("int").alias("weekday"),
+        weekday_monday(d).alias("weekday"),
     ).distinct()
 
 

@@ -40,9 +40,36 @@ def read_schema(df: DataFrame) -> str:
 
 
 def scan_is_pruned(df: DataFrame, table_cols: int) -> bool:
-    """True if every scan reads fewer columns than the full table width."""
+    """True if every scan reads fewer columns than the full table width.
+
+    Counts top-level fields inside the ``struct<...>`` body (commas at
+    nesting depth 0 + 1) — counting colons would include the ``ReadSchema:``
+    label itself and every nested-struct field.
+    """
     lines = read_schema(df).splitlines()
-    return bool(lines) and all(line.count(":") < table_cols for line in lines)
+    if not lines:
+        return False
+    for line in lines:
+        start = line.find("struct<")
+        if start == -1:
+            return False
+        body = line[start + len("struct<"):]
+        depth, fields = 0, 1
+        for ch in body:
+            if ch == "<":
+                depth += 1
+            elif ch == ">":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif ch == "," and depth == 0:
+                fields += 1
+        # formatted explain truncates long ReadSchema lines with "..." —
+        # a truncated list is necessarily >= the visible field count, which
+        # is the conservative direction for this check
+        if fields >= table_cols:
+            return False
+    return True
 
 
 def has_broadcast_join(df: DataFrame) -> bool:

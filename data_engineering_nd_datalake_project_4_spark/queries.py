@@ -1170,9 +1170,9 @@ def q49_array_funcs(spark, sf_dir):
     """SELECT c_mktsegment,
               CAST(MIN(c_acctbal) AS DECIMAL(18,2)) AS min_bal,
               CAST(MAX(c_acctbal) AS DECIMAL(18,2)) AS max_bal,
-              ROUND(AVG(c_acctbal), 1) AS avg_bal,
-              ROUND(STDDEV_SAMP(c_acctbal), 1) AS sd_bal,
-              ROUND(VAR_SAMP(c_acctbal), 0) AS var_bal
+              ROUND(AVG(c_acctbal), 4) AS avg_bal,
+              ROUND(STDDEV_SAMP(c_acctbal), 4) AS sd_bal,
+              ROUND(VAR_SAMP(c_acctbal), 4) AS var_bal
        FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "statistical aggregates: min/max/avg/stddev/variance",
 )
@@ -1183,9 +1183,9 @@ def q50_stats_agg(spark, sf_dir):
         .agg(
             F.min(dec("c_acctbal")).alias("min_bal"),
             F.max(dec("c_acctbal")).alias("max_bal"),
-            F.round(F.avg("c_acctbal"), 1).alias("avg_bal"),
-            F.round(F.stddev_samp("c_acctbal"), 1).alias("sd_bal"),
-            F.round(F.var_samp("c_acctbal"), 0).alias("var_bal"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+            F.round(F.stddev_samp("c_acctbal"), 4).alias("sd_bal"),
+            F.round(F.var_samp("c_acctbal"), 4).alias("var_bal"),
         )
         .orderBy("c_mktsegment")
     )
@@ -1328,8 +1328,8 @@ def q55_pivot(spark, sf_dir):
 @q(
     "q56_percentiles",
     """SELECT c_mktsegment,
-              ROUND(median(c_acctbal), 2) AS med_bal,
-              ROUND(quantile_cont(c_acctbal, 0.9), 2) AS p90_bal
+              ROUND(median(c_acctbal), 4) AS med_bal,
+              ROUND(quantile_cont(c_acctbal, 0.9), 4) AS p90_bal
        FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "exact median + interpolated percentile (Spark percentile ↔ duckdb "
     "quantile_cont); approx_percentile is the sketch-based 100TB path",
@@ -1339,8 +1339,10 @@ def q56_percentiles(spark, sf_dir):
     return (
         c.groupBy("c_mktsegment")
         .agg(
-            F.round(F.median("c_acctbal"), 2).alias("med_bal"),
-            F.round(F.percentile("c_acctbal", F.lit(0.9)), 2).alias("p90_bal"),
+            # scale 4: the median of an even group of 2-decimal values is a
+            # half-cent — exactly the Spark/DuckDB rounding-mode divergence
+            F.round(F.median("c_acctbal"), 4).alias("med_bal"),
+            F.round(F.percentile("c_acctbal", F.lit(0.9)), 4).alias("p90_bal"),
         )
         .orderBy("c_mktsegment")
     )
