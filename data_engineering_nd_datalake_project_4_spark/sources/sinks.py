@@ -64,3 +64,87 @@ def write_bucketed_table(
     if sort_by:
         writer = writer.sortBy(*sort_by)
     writer.format("parquet").saveAsTable(table)
+
+
+def upsert_partitioned(
+    spark,
+    updates: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    order_col: str,
+    partition_by: Sequence[str],
+) -> None:
+    """Upsert (merge) into a partitioned parquet table without a table
+    format: union the existing rows of the TOUCHED partitions with the
+    updates, keep the highest-``order_col`` row per key, and dynamically
+    overwrite only those partitions.
+
+    Scale shape: the touched-partition filter prunes the read to the
+    partitions present in ``updates`` (partition pruning, not a full-table
+    scan); the merge itself is one window shuffle on ``keys``. A real table
+    format (Delta/Iceberg) adds ACID + concurrent writers; the data motion
+    is the same.
+
+    Assumes partition-stable keys: an update that moves a key to a new
+    partition value leaves the stale row in its old (untouched) partition —
+    the same contract as Hive-style INSERT OVERWRITE upserts.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    prev_overwrite_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    touched = [tuple(r) for r in updates.select(*partition_by).distinct().collect()]
+    try:
+        existing = spark.read.parquet(path)
+        pred = F.lit(False)
+        for combo in touched:
+            clause = F.lit(True)
+            for col, val in zip(partition_by, combo):
+                clause = clause & (F.col(col) == F.lit(val))
+            pred = pred | clause
+        existing = existing.filter(pred).select(*updates.columns)
+        merged = existing.unionByName(updates)
+    except Exception:  # first write: nothing to merge
+        merged = updates
+    w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
+    latest = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        latest.repartition(*partition_by).write.mode("overwrite").partitionBy(
+            *partition_by
+        ).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_overwrite_mode)
+
+
+def compact_parquet_dir(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Compact a small-file parquet directory in place: read, coalesce to
+    ~target-sized files, atomically replace via a temp dir. Returns the new
+    file count. The antidote to streaming sinks and over-parallel writes
+    accumulating thousands of KB-sized files (each file costs a task +
+    footer fetch on every downstream scan)."""
+    import math
+    import shutil
+    import os
+
+    df = spark.read.parquet(path)
+    total_bytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+    tmp = path.rstrip("/") + "__compacting"
+    df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files

@@ -77,3 +77,53 @@ def test_scale_conf_sizing():
     # tiny inputs never drop below the core floor
     small = scale_conf(10 * 1024**2, executor_cores_total=32)
     assert int(small["spark.sql.shuffle.partitions"]) == 32
+
+
+def test_upsert_partitioned(spark, tmp_path):
+    from data_engineering_nd_datalake_project_4_spark.sources.sinks import upsert_partitioned
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 1, 10), (2, "b", 1, 10), (3, "c", 2, 10)],
+        "id INT, v STRING, part INT, ver INT",
+    )
+    upsert_partitioned(spark, base, path, ["id"], "ver", ["part"])
+    # update id=1, insert id=4 — only partition 1 touched; partition 2 untouched
+    upd = spark.createDataFrame(
+        [(1, "a2", 1, 20), (4, "d", 1, 20)], "id INT, v STRING, part INT, ver INT"
+    )
+    upsert_partitioned(spark, upd, path, ["id"], "ver", ["part"])
+    got = {r["id"]: (r["v"], r["ver"]) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a2", 20), 2: ("b", 10), 3: ("c", 10), 4: ("d", 20)}
+
+
+def test_upsert_older_version_loses(spark, tmp_path):
+    from data_engineering_nd_datalake_project_4_spark.sources.sinks import upsert_partitioned
+
+    path = str(tmp_path / "tbl2")
+    upsert_partitioned(
+        spark,
+        spark.createDataFrame([(1, "new", 1, 30)], "id INT, v STRING, part INT, ver INT"),
+        path, ["id"], "ver", ["part"],
+    )
+    upsert_partitioned(
+        spark,
+        spark.createDataFrame([(1, "old", 1, 5)], "id INT, v STRING, part INT, ver INT"),
+        path, ["id"], "ver", ["part"],
+    )
+    rows = spark.read.parquet(path).collect()
+    assert len(rows) == 1 and rows[0]["v"] == "new"
+
+
+def test_compact_parquet_dir(spark, tmp_path):
+    import os
+    from data_engineering_nd_datalake_project_4_spark.sources.sinks import compact_parquet_dir
+
+    path = str(tmp_path / "many")
+    spark.range(10000).repartition(40).write.parquet(path)
+    before = sum(1 for _, _, fs in os.walk(path) for f in fs if f.endswith(".parquet"))
+    assert before >= 40
+    compact_parquet_dir(spark, path)
+    after = sum(1 for _, _, fs in os.walk(path) for f in fs if f.endswith(".parquet"))
+    assert after < before
+    assert spark.read.parquet(path).count() == 10000
