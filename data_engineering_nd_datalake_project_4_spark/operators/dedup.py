@@ -329,3 +329,27 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b", dot_product(F.col("__va"), F.col("__vb")).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def stratified_sample(
+    df: DataFrame, stratum_col: str, fractions: dict, seed: int = 42
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (``sampleBy``): the corpus-mixing
+    primitive — downweight overrepresented sources/languages by fraction.
+    Deterministic for a fixed seed+partitioning, but engine-specific RNG →
+    never oracle-hashed; per-stratum rates are property-tested."""
+    return df.sampleBy(stratum_col, fractions, seed)
+
+
+def weighted_corpus_mix(
+    corpora: Sequence[tuple[DataFrame, float]], seed: int = 42
+) -> DataFrame:
+    """Mix corpora by sampling each to its weight (≤1.0) and unioning by
+    name — the standard recipe for blending sources into a training mix."""
+    parts = []
+    for i, (df, w) in enumerate(corpora):
+        parts.append(df if w >= 1.0 else df.sample(fraction=w, seed=seed + i))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

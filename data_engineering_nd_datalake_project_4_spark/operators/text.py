@@ -48,7 +48,7 @@ def bpe_ish_token_count(text_col: Column | str) -> Column:
     """Count of BPE-ish pretokens (regexp-based). Approximates LLM token
     counts without a tokenizer model; deterministic and SQL-expressible."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    return F.size(F.filter(F.split(F.regexp_replace(c, BPE_ISH_PATTERN, "$0"), ""), lambda t: F.length(F.trim(t)) > 0))
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0))
 
 
 def text_stats(df: DataFrame, text_col: str = "text", group_col: str = "lang") -> DataFrame:
@@ -162,3 +162,14 @@ def winnowing_fingerprints(
         selected.alias("fingerprints"),
         F.size(selected).alias("n_selected"),
     )
+
+
+def normalize_text(text_col: Column | str) -> Column:
+    """Canonical text normalization for dedup/analysis: lowercase, strip
+    punctuation runs to single spaces, collapse whitespace, trim.
+    Deterministic + SQL-expressible (oracle-checkable)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    lowered = F.lower(c)
+    depunct = F.regexp_replace(lowered, r"[^a-z0-9\s]+", " ")
+    collapsed = F.regexp_replace(depunct, r"\s+", " ")
+    return F.trim(collapsed)

@@ -1445,3 +1445,31 @@ def q60_approx_percentile(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@q(
+    "q61_normalize",
+    """SELECT doc_id,
+              trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 \t\n\r]+', ' ', 'g'),
+                                  '[ \t\n\r]+', ' ', 'g')) AS norm_text
+       FROM documents WHERE doc_id < 50 ORDER BY doc_id""",
+    "canonical text normalization (lower, de-punctuate, collapse whitespace)",
+)
+def q61_normalize(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select("doc_id", text.normalize_text("text").alias("norm_text")).orderBy("doc_id")
+
+
+@q(
+    "q62_stratified_sample",
+    None,
+    "per-language Bernoulli sampling (sampleBy) — the corpus-mixing "
+    "primitive; engine-specific RNG -> rows-only, rates property-tested",
+)
+def q62_stratified_sample(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    frac = {"en": 1.0, "fr": 0.5, "es": 0.5, "de": 0.25, "zh": 0.25}
+    s = dedup.stratified_sample(d, "lang", frac, seed=42)
+    return (
+        s.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled")).orderBy("lang")
+    )

@@ -198,3 +198,33 @@ def test_approx_percentile_accuracy(spark, sf_dir):
     ).collect()
     for r in rows:
         assert abs(r["approx"] - r["exact"]) / r["exact"] < 0.05, r
+
+
+def test_stratified_sample_rates(spark, sf_dir):
+    from data_engineering_nd_datalake_project_4_spark.operators.dedup import stratified_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    frac = {"en": 1.0, "fr": 0.5, "es": 0.5, "de": 0.25, "zh": 0.25}
+    before = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    after = {r["lang"]: r["n"] for r in
+             stratified_sample(d, "lang", frac, 42).groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, f in frac.items():
+        got = after.get(lang, 0) / before[lang]
+        assert abs(got - f) < 0.25, (lang, got, f)
+    # determinism for fixed seed
+    again = {r["lang"]: r["n"] for r in
+             stratified_sample(d, "lang", frac, 42).groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert after == again
+
+
+def test_weighted_corpus_mix(spark, sf_dir):
+    from data_engineering_nd_datalake_project_4_spark.operators.dedup import weighted_corpus_mix
+
+    d = load_table(spark, sf_dir, "documents")
+    en = d.filter(F.col("lang") == "en")
+    zh = d.filter(F.col("lang") == "zh")
+    mix = weighted_corpus_mix([(en, 1.0), (zh, 0.3)], seed=7)
+    n_en, n_zh = en.count(), zh.count()
+    got = {r["lang"]: r["n"] for r in mix.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got["en"] == n_en
+    assert 0 < got.get("zh", 0) < n_zh
