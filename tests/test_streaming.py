@@ -164,3 +164,52 @@ def test_foreach_batch_sink(spark, tmp_path_factory):
     got = spark.read.parquet(out)
     assert sorted(r["id"] for r in got.collect()) == [1, 2, 3]
     assert got.select("batch_id").distinct().count() == 2
+
+
+def test_stream_static_join(spark, sf_dir, events_stream_dir):
+    """Stream enriched by a static dimension (the everyday pattern: fact
+    stream ⋈ broadcast dim)."""
+    schema = spark.read.parquet(events_stream_dir).schema
+    stream = read_file_stream(spark, events_stream_dir, schema, "parquet")
+    dim = spark.createDataFrame(
+        [(i, f"user_{i}") for i in range(100)], "user_id LONG, user_name STRING"
+    )
+    joined = stream.join(F.broadcast(dim), "user_id").groupBy("user_name").count()
+    out = run_available_now(joined, "ss_join")
+    assert out.count() > 0
+    batch = (
+        load_table(spark, sf_dir, "events").join(dim, "user_id").groupBy("user_name").count()
+    )
+    assert {tuple(r) for r in out.collect()} == {tuple(r) for r in batch.collect()}
+
+
+def test_stream_stream_join_time_bounded(spark, tmp_path_factory):
+    """Stream-stream inner join with watermarks + a time-range condition —
+    the bounded-state two-stream correlation pattern (impressions ⋈ clicks
+    within 10 minutes)."""
+    imp_dir = str(tmp_path_factory.mktemp("impressions"))
+    clk_dir = str(tmp_path_factory.mktemp("clicks"))
+    imps = [(1, "2024-01-01 00:00:00"), (2, "2024-01-01 01:00:00"), (3, "2024-01-01 02:00:00")]
+    clks = [(1, "2024-01-01 00:05:00"),  # within 10 min -> joins
+            (2, "2024-01-01 01:30:00")]  # 30 min late -> no join
+    spark.createDataFrame(imps, "ad_id INT, ts STRING").select(
+        "ad_id", F.to_timestamp("ts").alias("imp_ts")
+    ).coalesce(1).write.parquet(imp_dir + "/b")
+    spark.createDataFrame(clks, "ad_id INT, ts STRING").select(
+        "ad_id", F.to_timestamp("ts").alias("clk_ts")
+    ).coalesce(1).write.parquet(clk_dir + "/b")
+
+    imp_s = spark.readStream.schema("ad_id INT, imp_ts TIMESTAMP").parquet(
+        imp_dir + "/*"
+    ).withWatermark("imp_ts", "1 hour")
+    clk_s = spark.readStream.schema("ad_id INT, clk_ts TIMESTAMP").parquet(
+        clk_dir + "/*"
+    ).withWatermark("clk_ts", "1 hour")
+    joined = imp_s.join(
+        clk_s,
+        (imp_s["ad_id"] == clk_s["ad_id"])
+        & F.expr("clk_ts BETWEEN imp_ts AND imp_ts + INTERVAL 10 MINUTES"),
+    ).select(imp_s["ad_id"].alias("ad_id"), "imp_ts", "clk_ts")
+    out = run_available_now(joined, "ss2_join", output_mode="append")
+    rows = out.collect()
+    assert [r["ad_id"] for r in rows] == [1], rows
