@@ -65,3 +65,23 @@ def test_aqe_runtime_broadcast_conversion(spark, sf_dir):
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in executed, executed[:2000]
+
+
+#: queries whose semantics REQUIRE a non-equi (nested-loop) join: cross
+#: joins, pair-generation (id_a < id_b), and broadcast-crossJoin scoring
+NON_EQUI_BY_DESIGN = {
+    "q10", "q30", "q34_unigram_jaccard", "q36_simhash",
+    "q41_embedding_near_dup", "q42_ivf_topk",
+}
+
+
+def test_no_accidental_nested_loop_joins(spark, sf_dir):
+    """Every equi-join query must plan hash/sort-merge/broadcast-hash, never
+    BroadcastNestedLoop — a silent BNLJ regression is an O(N·M) scale bug
+    that still returns correct answers at test size."""
+    offenders = []
+    for name, query in sorted(REGISTRY.items()):
+        plan = plans.explain_str(query.spark_fn(spark, sf_dir), "simple")
+        if "BroadcastNestedLoopJoin" in plan and name not in NON_EQUI_BY_DESIGN:
+            offenders.append(name)
+    assert not offenders, f"unexpected nested-loop joins in: {offenders}"

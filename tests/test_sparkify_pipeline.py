@@ -149,3 +149,22 @@ def test_partitioned_readback_roundtrip(built, spark):
     back = spark.read.parquet(os.path.join(cfg.output_root, "songplays"))
     assert back.count() == tables["songplays"].count()
     assert set(back.columns) == set(tables["songplays"].columns)
+
+
+def test_declared_float_schema_variant(spark, tmp_path_factory, built):
+    """The reference declares registration/length as FLOAT (schema.py:12,17),
+    which destroys epoch-ms precision — the declared-schema mode reproduces
+    that faithfully; the default mode preserves it (SURVEY.md §1.2)."""
+    cfg, *_ = built
+    import dataclasses
+
+    declared_cfg = dataclasses.replace(cfg, declared_schemas=True)
+    logs_declared = sparkify.ingest_logs(spark, declared_cfg)
+    logs_default = sparkify.ingest_logs(spark, cfg)
+    assert dict(logs_declared.dtypes)["registration"] == "float"
+    assert dict(logs_default.dtypes)["registration"] == "double"
+    reg_declared = logs_declared.filter(F.col("registration").isNotNull()).first()["registration"]
+    reg_default = logs_default.filter(F.col("registration").isNotNull()).first()["registration"]
+    # float32 of 1.54e12 loses the low-order digits; double keeps them
+    assert reg_default == 1.54e12
+    assert reg_declared != reg_default
