@@ -56,3 +56,55 @@ def range_join(
     date). The equi conjunct keeps the join hash-partitionable; the range
     predicate is applied as a post-join filter by the planner."""
     return left.join(right, equi & range_pred, how)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+) -> DataFrame:
+    """As-of join: for every left row, the right row with the greatest
+    ``right_ts <= left_ts`` within the same ``key`` (inclusive, LEFT
+    semantics — unmatched left rows keep NULLs).
+
+    Spark-first plan (Spark has no native ASOF): tag and union both sides,
+    sort per key by (ts, side) with right rows first at equal ts, and fill
+    ``right_cols`` forward with ``last(ignorenulls)`` over a running frame —
+    ONE shuffle on the key, no range nested-loop, state bounded by the
+    window. The classic alternative (range-condition theta join) degrades
+    to BNLJ and O(L·R) comparisons.
+
+    Ties on ``right_ts`` within a key are the caller's to resolve (dedupe
+    the right side first); matches DuckDB ``ASOF LEFT JOIN`` semantics.
+    """
+    from pyspark.sql import Window
+
+    lcols = [c for c in left.columns]
+    l_tagged = left.select(
+        *lcols,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_l"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in right_cols],
+    )
+    r_tagged = right.select(
+        *[F.lit(None).cast(dict(left.dtypes).get(c, "string")).alias(c) for c in lcols if c != key],
+        F.col(key),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_l"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    ).select(*lcols, "__ts", "__is_l", *[f"__r_{c}" for c in right_cols])
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.asc("__ts"), F.asc("__is_l"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *lcols,
+        "__is_l",
+        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(c) for c in right_cols],
+    )
+    return filled.filter(F.col("__is_l") == 1).drop("__is_l")

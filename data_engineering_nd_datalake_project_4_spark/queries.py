@@ -1473,3 +1473,37 @@ def q62_stratified_sample(spark, sf_dir):
     return (
         s.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled")).orderBy("lang")
     )
+
+
+@q(
+    "q63_asof_join",
+    """WITH p AS (
+         SELECT user_id, CAST(ts AS TIMESTAMP) AS pts, event_id
+         FROM events WHERE event_type = 'purchase'
+         QUALIFY row_number() OVER (PARTITION BY user_id, CAST(ts AS TIMESTAMP)
+                                    ORDER BY event_id DESC) = 1),
+       e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ets FROM events)
+       SELECT e.event_id, e.user_id, p.event_id AS last_purchase_id
+       FROM e ASOF LEFT JOIN p
+         ON e.user_id = p.user_id AND e.ets >= p.pts
+       ORDER BY e.event_id""",
+    "as-of join (custom operator — Spark has no native ASOF): latest "
+    "purchase at-or-before each event per user; union+last-value window, "
+    "one shuffle ↔ DuckDB native ASOF LEFT JOIN",
+)
+def q63_asof_join(spark, sf_dir):
+    from data_engineering_nd_datalake_project_4_spark.operators.dedup import latest_per_key
+
+    e = _t(spark, sf_dir, "events")
+    purchases = latest_per_key(
+        e.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", F.col("event_id").alias("purchase_id")
+        ),
+        ["user_id", "ts"],
+        [F.desc("purchase_id")],
+    )
+    left = e.select("event_id", "user_id", "ts")
+    out = joins.asof_join(left, purchases, "user_id", "ts", "ts", ["purchase_id"])
+    return out.select(
+        "event_id", "user_id", F.col("purchase_id").alias("last_purchase_id")
+    ).orderBy("event_id")
