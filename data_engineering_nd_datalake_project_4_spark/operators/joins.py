@@ -108,3 +108,43 @@ def asof_join(
         *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(c) for c in right_cols],
     )
     return filled.filter(F.col("__is_l") == 1).drop("__is_l")
+
+
+def interval_point_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_point: str,
+    bin_width: int,
+) -> DataFrame:
+    """Point-in-interval join WITHOUT an equi key, made hash-partitionable
+    by binning: each interval explodes to the bins it overlaps, each point
+    maps to exactly one bin, the join is equi on bin id + exact containment
+    filter. A point matches inside one specific bin of an interval, so no
+    dedup pass is needed.
+
+    Columns must be LONG (for timestamps: ``unix_micros`` first, with
+    ``bin_width`` in the same unit). Without this, Spark plans a pure range
+    predicate as BroadcastNestedLoopJoin — O(L·R) comparisons; binned, the
+    cost is O((L·avg_bins + R) shuffle + per-bin candidates). Choose
+    ``bin_width`` ≈ the typical interval length so avg_bins stays ~2.
+    """
+    l = left.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                (F.col(left_start) / bin_width).cast("long"),
+                (F.col(left_end) / bin_width).cast("long"),
+            )
+        ),
+    )
+    r = right.withColumn("__bin", (F.col(right_point) / bin_width).cast("long"))
+    return (
+        l.join(r, "__bin")
+        .filter(
+            (F.col(right_point) >= F.col(left_start))
+            & (F.col(right_point) <= F.col(left_end))
+        )
+        .drop("__bin")
+    )

@@ -1507,3 +1507,91 @@ def q63_asof_join(spark, sf_dir):
     return out.select(
         "event_id", "user_id", F.col("purchase_id").alias("last_purchase_id")
     ).orderBy("event_id")
+
+
+@q(
+    "q64_time_rollup",
+    """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day_start,
+              CASE WHEN GROUPING(hour_start) = 1 THEN NULL
+                   ELSE hour_start END AS hour_start,
+              CAST(GROUPING(hour_start) AS INT) AS is_daily,
+              COUNT(*) AS cnt,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+       FROM (SELECT ts, value,
+                    CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour_start
+             FROM events)
+       GROUP BY GROUPING SETS ((day_start), (day_start, hour_start))
+       ORDER BY day_start, is_daily, hour_start""",
+    "hypertable-style continuous aggregate: hourly AND daily rollups in ONE "
+    "scan via GROUPING SETS over truncated timestamps (the multi-granularity "
+    "time-series pattern; at scale this feeds materialized rollup tables)",
+)
+def q64_time_rollup(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day_start"),
+        F.date_trunc("hour", "ts").alias("hour_start"),
+        "value",
+    )
+    e.createOrReplaceTempView("events_q64")
+    return _t(spark, sf_dir, "events").sparkSession.sql(
+        """SELECT day_start,
+                  CASE WHEN GROUPING(hour_start) = 1 THEN NULL ELSE hour_start END AS hour_start,
+                  CAST(GROUPING(hour_start) AS INT) AS is_daily,
+                  COUNT(*) AS cnt,
+                  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+           FROM events_q64
+           GROUP BY day_start, GROUPING SETS ((), (hour_start))
+           ORDER BY day_start, is_daily, hour_start"""
+    )
+
+
+@q(
+    "q65_window_dist",
+    """SELECT c_custkey, c_mktsegment,
+              ROUND(percent_rank() OVER w, 4) AS pct_rank,
+              ROUND(cume_dist() OVER w, 4) AS cume,
+              lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key,
+              rtrim(ltrim('  ' || c_name || '  ')) AS trimmed_name
+       FROM customer
+       WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+       ORDER BY c_mktsegment, c_custkey""",
+    "percent_rank / cume_dist distribution windows + lpad/trim string fns",
+)
+def q65_window_dist(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded_key"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit("  "))).alias("trimmed_name"),
+    ).orderBy("c_mktsegment", "c_custkey")
+
+
+@q(
+    "q66_interval_join",
+    """WITH l AS (SELECT event_id AS l_id,
+                         epoch_us(CAST(ts AS TIMESTAMP)) AS start_us,
+                         epoch_us(CAST(ts AS TIMESTAMP)) + 1800000000 AS end_us
+                  FROM events WHERE event_id < 100),
+         r AS (SELECT event_id AS r_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_us FROM events)
+       SELECT l_id, COUNT(*) AS n_within
+       FROM l JOIN r ON r.p_us BETWEEN l.start_us AND l.end_us
+       GROUP BY l_id ORDER BY l_id""",
+    "interval-point join with NO equi key, hash-partitionable via time "
+    "binning (explode intervals to bins, equi-join on bin, exact filter) — "
+    "the plain range predicate would be a BroadcastNestedLoopJoin",
+)
+def q66_interval_join(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    HALF_HOUR_US = 30 * 60 * 1_000_000
+    left = e.filter(F.col("event_id") < 100).select(
+        F.col("event_id").alias("l_id"),
+        F.unix_micros("ts").alias("start_us"),
+        (F.unix_micros("ts") + HALF_HOUR_US).alias("end_us"),
+    )
+    right = e.select(F.col("event_id").alias("r_id"), F.unix_micros("ts").alias("p_us"))
+    joined = joins.interval_point_join(left, right, "start_us", "end_us", "p_us", HALF_HOUR_US)
+    return joined.groupBy("l_id").agg(F.count(F.lit(1)).alias("n_within")).orderBy("l_id")

@@ -228,3 +228,21 @@ def test_weighted_corpus_mix(spark, sf_dir):
     got = {r["lang"]: r["n"] for r in mix.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert got["en"] == n_en
     assert 0 < got.get("zh", 0) < n_zh
+
+
+def test_interval_join_equals_theta_join(spark, sf_dir):
+    """Binned interval join must equal the naive range-predicate join."""
+    from data_engineering_nd_datalake_project_4_spark.operators.joins import interval_point_join
+
+    e = load_table(spark, sf_dir, "events")
+    left = e.filter(F.col("event_id") < 50).select(
+        F.col("event_id").alias("l_id"),
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + 600_000_000).alias("t"),
+    )
+    right = e.select(F.col("event_id").alias("r_id"), F.unix_micros("ts").alias("p"))
+    binned = {(r["l_id"], r["r_id"]) for r in
+              interval_point_join(left, right, "s", "t", "p", 600_000_000).collect()}
+    naive = {(r["l_id"], r["r_id"]) for r in
+             left.join(right, (F.col("p") >= F.col("s")) & (F.col("p") <= F.col("t"))).collect()}
+    assert binned == naive and len(binned) > 0
