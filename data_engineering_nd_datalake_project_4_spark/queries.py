@@ -1595,3 +1595,54 @@ def q66_interval_join(spark, sf_dir):
     right = e.select(F.col("event_id").alias("r_id"), F.unix_micros("ts").alias("p_us"))
     joined = joins.interval_point_join(left, right, "start_us", "end_us", "p_us", HALF_HOUR_US)
     return joined.groupBy("l_id").agg(F.count(F.lit(1)).alias("n_within")).orderBy("l_id")
+
+
+@q(
+    "q67_funnel",
+    """WITH v AS (SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS tv
+                  FROM events WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS tc
+               FROM events e JOIN v ON e.user_id = v.user_id
+                AND CAST(e.ts AS TIMESTAMP) > v.tv
+               WHERE e.event_type = 'click' GROUP BY e.user_id),
+         p AS (SELECT e.user_id
+               FROM events e JOIN c ON e.user_id = c.user_id
+                AND CAST(e.ts AS TIMESTAMP) > c.tc
+               WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+       SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+       UNION ALL SELECT '2_click', COUNT(*) FROM c
+       UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+       ORDER BY stage""",
+    "conversion funnel (view -> click-after-view -> purchase-after-click): "
+    "ordered-event analytics via staged min-timestamp joins",
+)
+def q67_funnel(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("tc"))
+        .select("user_id")
+        .distinct()
+    )
+    count_of = lambda df, tag: df.agg(F.count(F.lit(1)).alias("n_users")).select(  # noqa: E731
+        F.lit(tag).alias("stage"), "n_users"
+    )
+    return (
+        count_of(v, "1_view")
+        .unionByName(count_of(c, "2_click"))
+        .unionByName(count_of(p, "3_purchase"))
+        .orderBy("stage")
+    )
