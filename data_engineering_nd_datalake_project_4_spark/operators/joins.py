@@ -78,24 +78,40 @@ def asof_join(
     to BNLJ and O(L·R) comparisons.
 
     Ties on ``right_ts`` within a key are the caller's to resolve (dedupe
-    the right side first); matches DuckDB ``ASOF LEFT JOIN`` semantics.
+    the right side first); matches DuckDB ``ASOF LEFT JOIN`` semantics —
+    including NULLs: right rows with NULL ``right_ts`` never match, and a
+    matched right row's NULL column value stays NULL (the right columns are
+    forward-filled as ONE struct, so a non-null older row can't bleed into
+    individual fields).
     """
     from pyspark.sql import Window
 
     lcols = [c for c in left.columns]
+    clashes = set(right_cols) & set(lcols)
+    if clashes:
+        raise ValueError(
+            f"right_cols {sorted(clashes)} collide with left columns — "
+            "alias them on the right side before the asof join"
+        )
+    rtypes = dict(right.dtypes)
+    struct_t = "struct<" + ",".join(f"{c}:{rtypes[c]}" for c in right_cols) + ">"
     l_tagged = left.select(
         *lcols,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_l"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in right_cols],
+        F.lit(None).cast(struct_t).alias("__r"),
     )
-    r_tagged = right.select(
-        *[F.lit(None).cast(dict(left.dtypes).get(c, "string")).alias(c) for c in lcols if c != key],
-        F.col(key),
-        F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__is_l"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
-    ).select(*lcols, "__ts", "__is_l", *[f"__r_{c}" for c in right_cols])
+    r_tagged = (
+        right.filter(F.col(right_ts).isNotNull())  # NULL ts never matches
+        .select(
+            *[F.lit(None).cast(dict(left.dtypes).get(c, "string")).alias(c) for c in lcols if c != key],
+            F.col(key),
+            F.col(right_ts).alias("__ts"),
+            F.lit(0).alias("__is_l"),
+            F.struct(*[F.col(c) for c in right_cols]).alias("__r"),
+        )
+        .select(*lcols, "__ts", "__is_l", "__r")
+    )
     unioned = l_tagged.unionByName(r_tagged)
     w = (
         Window.partitionBy(key)
@@ -105,9 +121,12 @@ def asof_join(
     filled = unioned.select(
         *lcols,
         "__is_l",
-        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(c) for c in right_cols],
+        F.last("__r", ignorenulls=True).over(w).alias("__rf"),
     )
-    return filled.filter(F.col("__is_l") == 1).drop("__is_l")
+    return (
+        filled.filter(F.col("__is_l") == 1)
+        .select(*lcols, *[F.col("__rf")[c].alias(c) for c in right_cols])
+    )
 
 
 def interval_point_join(

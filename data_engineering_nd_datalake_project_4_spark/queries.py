@@ -1532,17 +1532,25 @@ def q64_time_rollup(spark, sf_dir):
         F.date_trunc("hour", "ts").alias("hour_start"),
         "value",
     )
-    e.createOrReplaceTempView("events_q64")
-    return _t(spark, sf_dir, "events").sparkSession.sql(
-        """SELECT day_start,
-                  CASE WHEN GROUPING(hour_start) = 1 THEN NULL ELSE hour_start END AS hour_start,
-                  CAST(GROUPING(hour_start) AS INT) AS is_daily,
-                  COUNT(*) AS cnt,
-                  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
-           FROM events_q64
-           GROUP BY day_start, GROUPING SETS ((), (hour_start))
-           ORDER BY day_start, is_daily, hour_start"""
+    # DataFrame rollup gives groupings (day,hour), (day), (); keep the first
+    # two — grouping_id bits for (day_start, hour_start) are 0b00 and 0b01
+    out = (
+        e.rollup("day_start", "hour_start")
+        .agg(
+            F.grouping_id().alias("__gid"),
+            F.grouping("hour_start").alias("__gh"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(dec("value")).cast(DEC18_2).alias("sum_value"),
+        )
+        .filter(F.col("__gid") < 2)
     )
+    return out.select(
+        "day_start",
+        F.when(F.col("__gh") == 1, F.lit(None)).otherwise(F.col("hour_start")).alias("hour_start"),
+        F.col("__gh").cast("int").alias("is_daily"),
+        "cnt",
+        "sum_value",
+    ).orderBy("day_start", "is_daily", "hour_start")
 
 
 @q(
