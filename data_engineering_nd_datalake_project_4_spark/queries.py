@@ -1654,3 +1654,25 @@ def q67_funnel(spark, sf_dir):
         .unionByName(count_of(p, "3_purchase"))
         .orderBy("stage")
     )
+
+
+@q(
+    "q68_salted_join",
+    """SELECT o_orderpriority, COUNT(*) AS cnt,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "salted skew join: semantically identical to the plain equi-join (the "
+    "oracle IS the plain join) while spreading each hot key over 8 salts",
+)
+def q68_salted_join(spark, sf_dir):
+    from data_engineering_nd_datalake_project_4_spark.operators.skew import salted_join
+
+    o = _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "custkey")
+    c = _t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "custkey")
+    j = salted_join(o, c, "custkey", n_salts=8)
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"), dec_sum("o_totalprice", "sum_price"))
+        .orderBy("o_orderpriority")
+    )
