@@ -241,16 +241,19 @@ def ngram_jaccard_pairs(
     scale only. Output: ``id_a, id_b, jaccard`` (double).
     """
     sh = df.select(
-        F.col(id_col).alias("__id"), _shingles(F.col(text_col), n).alias("__sh")
-    )
-    a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"))
-    b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"))
+        F.col(id_col).alias("__id"),
+        _shingles(F.col(text_col), n).alias("__sh"),
+    ).withColumn("__n", F.size("__sh"))
+    a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"), F.col("__n").alias("__na"))
+    b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"), F.col("__n").alias("__nb"))
     if candidates is not None:
         joined = candidates.join(a, "id_a").join(b, "id_b")
     else:
         joined = a.join(b, F.col("id_a") < F.col("id_b"))
+    # |A∪B| = |A|+|B|-|A∩B| with per-side sizes precomputed: one array
+    # intersection per pair instead of intersection + union
     inter = F.size(F.array_intersect("__sha", "__shb")).cast("double")
-    union = F.size(F.array_union("__sha", "__shb")).cast("double")
+    union = (F.col("__na") + F.col("__nb")).cast("double") - inter
     return (
         joined.select("id_a", "id_b", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
