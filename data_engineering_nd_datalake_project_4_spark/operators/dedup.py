@@ -334,6 +334,70 @@ def embedding_near_dup_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected edge list — the clustering
+    step that turns near-dup *candidate pairs* (MinHash/SimHash/Jaccard
+    output) into dedup *groups*, so one canonical doc per component survives.
+
+    Algorithm: iterative min-label propagation. Each node starts labeled
+    with its own id; every round each node takes the min of its own label
+    and its neighbors' labels; stop when a round changes nothing. Rounds
+    needed = graph diameter — for dedup graphs (small, dense clusters)
+    that is 2-4. Each round is one shuffle join + one groupBy min, all
+    DataFrame ops; ``localCheckpoint`` truncates the growing lineage so
+    round N's plan doesn't replay rounds 1..N-1. The loop is driver-side
+    over *iterations*, never over rows (GraphFrames does the same).
+
+    At 100 TB: label propagation is O(diameter) rounds; for adversarial
+    long-path graphs the published fix is alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond"),
+    which converges in O(log² n) rounds — same join+min building blocks,
+    worth swapping in if components can be path-shaped. The early-exit
+    count per round is a tiny aggregate (one long per node), not a data
+    collect.
+
+    Returns ``(node, component)`` where component = min node id reachable.
+    """
+    sym = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    sym = sym.filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
+
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # neighbor labels: edge (u,v) carries v's current label to u
+        msgs = sym.join(
+            labels.select(F.col("node").alias("v"), F.col("component")), "v"
+        ).select(F.col("u").alias("node"), "component")
+        new_labels = (
+            labels.union(msgs)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def stratified_sample(
     df: DataFrame, stratum_col: str, fractions: dict, seed: int = 42
 ) -> DataFrame:

@@ -1676,3 +1676,31 @@ def q68_salted_join(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("cnt"), dec_sum("o_totalprice", "sum_price"))
         .orderBy("o_orderpriority")
     )
+
+
+@q(
+    "q69_dedup_components",
+    """WITH RECURSIVE
+       s AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+             FROM documents WHERE doc_id < 300),
+       e AS (SELECT a.doc_id AS u, b.doc_id AS v
+             FROM s a JOIN s b ON a.doc_id < b.doc_id
+             WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                   / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8),
+       sym AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+       reach(u, v) AS (
+         SELECT u, v FROM sym
+         UNION
+         SELECT r.u, s2.v FROM reach r JOIN sym s2 ON r.v = s2.u WHERE s2.v <> r.u
+       )
+       SELECT u AS doc_id, LEAST(u, MIN(v)) AS component
+       FROM reach GROUP BY u ORDER BY doc_id""",
+    "near-dup candidate pairs -> dedup clusters: min-label-propagation "
+    "connected components (Spark) vs transitive-closure recursive CTE "
+    "(oracle); one canonical doc per component survives dedup",
+)
+def q69_dedup_components(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    pairs = dedup.ngram_jaccard_pairs(d, "text", "doc_id", n=1, threshold=0.8)
+    cc = dedup.connected_components(pairs, "id_a", "id_b")
+    return cc.select(F.col("node").alias("doc_id"), "component").orderBy("doc_id")

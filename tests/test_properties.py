@@ -246,3 +246,25 @@ def test_interval_join_equals_theta_join(spark, sf_dir):
     naive = {(r["l_id"], r["r_id"]) for r in
              left.join(right, (F.col("p") >= F.col("s")) & (F.col("p") <= F.col("t"))).collect()}
     assert binned == naive and len(binned) > 0
+
+
+def test_connected_components_path_and_islands(spark):
+    # path 1-2-3-4-5 (diameter 4 -> needs multiple propagation rounds),
+    # triangle 10-11-12, isolated edge 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (21, 20)],
+        ["id_a", "id_b"],
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in dedup.connected_components(edges).collect()
+    }
+    want = {(n, 1) for n in (1, 2, 3, 4, 5)} | {
+        (n, 10) for n in (10, 11, 12)
+    } | {(20, 20), (21, 20)}
+    assert got == want
+
+
+def test_connected_components_empty_edges(spark):
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup.connected_components(edges).count() == 0
