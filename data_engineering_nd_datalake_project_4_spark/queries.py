@@ -1704,3 +1704,125 @@ def q69_dedup_components(spark, sf_dir):
     pairs = dedup.ngram_jaccard_pairs(d, "text", "doc_id", n=1, threshold=0.8)
     cc = dedup.connected_components(pairs, "id_a", "id_b")
     return cc.select(F.col("node").alias("doc_id"), "component").orderBy("doc_id")
+
+
+@q(
+    "q70_fuzzy_match",
+    """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+              levenshtein(a.c_name, b.c_name) AS dist
+       FROM customer a JOIN customer b
+         ON a.c_mktsegment = b.c_mktsegment AND a.c_custkey < b.c_custkey
+       WHERE a.c_custkey < 200 AND b.c_custkey < 200
+         AND levenshtein(a.c_name, b.c_name) <= 1
+       ORDER BY id_a, id_b""",
+    "fuzzy entity matching: blocked self-join (segment as blocking key) + "
+    "bounded levenshtein; Spark's 3-arg levenshtein(l, r, k) is the scale "
+    "path (O(k*n) banded DP, early-exit above k, vs O(n^2) full distance)",
+)
+def q70_fuzzy_match(spark, sf_dir):
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 200)
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+    a = c.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    return (
+        a.join(b, "seg")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein(F.col("name_a"), F.col("name_b"), 1))
+        .filter(F.col("dist") >= 0)
+        .select("id_a", "id_b", "dist")
+        .orderBy("id_a", "id_b")
+    )
+
+
+@q(
+    "q71_unpivot",
+    """WITH wide AS (
+         SELECT YEAR(o_orderdate) AS yr,
+                CAST(COUNT(*) AS DOUBLE) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+                ROUND(AVG(o_totalprice), 4) AS avg_price
+         FROM orders GROUP BY YEAR(o_orderdate))
+       SELECT yr, measure, val FROM (
+         SELECT yr, 'n_orders' AS measure, n_orders AS val FROM wide
+         UNION ALL SELECT yr, 'total_price', total_price FROM wide
+         UNION ALL SELECT yr, 'avg_price', avg_price FROM wide)
+       ORDER BY yr, measure""",
+    "unpivot/melt: wide per-year measures to long (yr, measure, val); "
+    "Spark native df.unpivot vs UNION ALL oracle",
+)
+def q71_unpivot(spark, sf_dir):
+    wide = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_orders"),
+            dec_sum("o_totalprice", "total_price"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+        .withColumn("total_price", F.col("total_price").cast("double"))
+    )
+    return (
+        wide.unpivot(
+            ["yr"], ["n_orders", "total_price", "avg_price"], "measure", "val"
+        )
+        .orderBy("yr", "measure")
+    )
+
+
+@q(
+    "q72_corr_covar",
+    """SELECT l_returnflag,
+              ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qp,
+              ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS covs_qp,
+              ROUND(COVAR_POP(l_quantity, l_discount), 6) AS covp_qd
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "bivariate stats aggregates: Pearson corr + sample/population covariance "
+    "(single-pass co-moment partial aggregation, one shuffle)",
+)
+def q72_corr_covar(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qp"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covs_qp"),
+            F.round(F.covar_pop("l_quantity", "l_discount"), 6).alias("covp_qd"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@q(
+    "q73_list_agg",
+    """SELECT r_name,
+              STRING_AGG(DISTINCT n_name, ',' ORDER BY n_name) AS nations,
+              COUNT(DISTINCT n_name) AS n_nations
+       FROM region JOIN nation ON r_regionkey = n_regionkey
+       GROUP BY r_name ORDER BY r_name""",
+    "list aggregation with deterministic order: collect_set -> array_sort -> "
+    "array_join (order imposed AFTER collection — collect order itself is "
+    "partition-dependent and never exposed)",
+)
+def q73_list_agg(spark, sf_dir):
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        r.join(n, F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("n_name")), ",").alias("nations"),
+            F.countDistinct("n_name").alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )
