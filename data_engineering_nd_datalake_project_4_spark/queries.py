@@ -1826,3 +1826,206 @@ def q73_list_agg(spark, sf_dir):
         )
         .orderBy("r_name")
     )
+
+
+@q(
+    "q74_higher_order_fns",
+    """SELECT doc_id,
+              len(list_filter(list_distinct(string_split(text, ' ')),
+                              t -> length(t) > 5)) AS n_long,
+              list_sum(list_transform(string_split(text, ' '),
+                                      t -> length(t))) AS total_chars,
+              len(list_filter(string_split(text, ' '),
+                              t -> regexp_matches(t, '[0-9]'))) > 0 AS has_digit
+       FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+    "higher-order array lambdas (filter/transform/aggregate/exists) stay "
+    "JVM-side in whole-stage codegen — no UDF for per-token analysis",
+)
+def q74_higher_order_fns(spark, sf_dir):
+    toks = F.split(F.col("text"), " ")
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            F.size(
+                F.filter(F.array_distinct(toks), lambda t: F.length(t) > 5)
+            ).alias("n_long"),
+            F.aggregate(
+                toks, F.lit(0), lambda acc, t: acc + F.length(t)
+            ).cast("long").alias("total_chars"),
+            F.exists(toks, lambda t: t.rlike("[0-9]")).alias("has_digit"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "q75_date_spine",
+    """WITH spine AS (
+         SELECT CAST(g AS DATE) AS d
+         FROM generate_series(DATE '1995-01-01', DATE '1995-03-31',
+                              INTERVAL 1 DAY) AS t(g)),
+       daily AS (
+         SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n,
+                SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+         FROM orders GROUP BY 1)
+       SELECT spine.d AS d, COALESCE(daily.n, 0) AS n_orders,
+              CAST(COALESCE(daily.s, 0) AS DECIMAL(18,2)) AS sum_price
+       FROM spine LEFT JOIN daily ON spine.d = daily.d
+       ORDER BY d""",
+    "time-series gap fill: generated calendar spine (sequence+explode, no "
+    "driver loop) left-joined to daily aggregates, zero-filled; the spine "
+    "side is tiny -> broadcast",
+)
+def q75_date_spine(spark, sf_dir):
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("1995-03-31").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("d")
+    )
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"), dec_sum("o_totalprice", "s"))
+    )
+    return (
+        F.broadcast(spine)
+        .join(daily, "d", "left")
+        .select(
+            "d",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_orders"),
+            F.coalesce(F.col("s"), F.lit(0)).cast(DEC18_2).alias("sum_price"),
+        )
+        .orderBy("d")
+    )
+
+
+@q(
+    "q76_range_window",
+    """SELECT o_custkey, o_orderkey,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                   OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                         RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+                   AS DECIMAL(18,2)) AS rolling_30d
+       FROM orders WHERE o_custkey < 300
+       ORDER BY o_custkey, o_orderkey""",
+    "time-range rolling window (30-day trailing sum): rangeBetween on epoch "
+    "seconds — value-based frame, peers on the same date share the frame",
+)
+def q76_range_window(spark, sf_dir):
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 300)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(dec("o_totalprice")).over(w).cast(DEC18_2).alias("rolling_30d"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@q(
+    "q77_shipping_priority",
+    """SELECT l_orderkey,
+              CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                   AS DECIMAL(18,4)) AS revenue,
+              o_orderdate, o_orderpriority
+       FROM customer
+       JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < TIMESTAMP '1997-06-01'
+         AND l_shipdate > TIMESTAMP '1997-06-01'
+       GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       ORDER BY revenue DESC, l_orderkey
+       LIMIT 10""",
+    "TPC-H Q3 shape: selective dim filter -> fact join -> agg -> top-k; "
+    "customer side is filtered+broadcast, limit folds to TakeOrderedAndProject",
+)
+def q77_shipping_priority(spark, sf_dir):
+    cutoff = F.lit("1997-06-01").cast("timestamp")
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC18_4)
+            ).cast(DEC18_4).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@q(
+    "q78_large_orders",
+    """SELECT c_custkey, o_orderkey, o_orderdate,
+              CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+       FROM customer
+       JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON o_orderkey = l_orderkey
+       WHERE o_orderkey IN (
+         SELECT l_orderkey FROM lineitem
+         GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+       GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+       ORDER BY totalprice DESC, o_orderkey
+       LIMIT 100""",
+    "TPC-H Q18 shape: HAVING-subquery membership as aggregate->semi-join "
+    "(no IN-list materialization on the driver), then re-join + re-agg",
+)
+def q78_large_orders(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__sq"))
+        .filter(F.col("__sq") > 300)
+        .select("l_orderkey")
+    )
+    o = _t(spark, sf_dir, "orders").join(
+        big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "semi"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(dec("l_quantity")).cast(DEC18_2).alias("sum_qty"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast(DEC18_2).alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
