@@ -2029,3 +2029,383 @@ def q78_large_orders(spark, sf_dir):
         .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# q79-q88: arg-min/max, histograms+bitwise aggs, array set ops, extended
+# strings, TPC-H Q12/Q14/Q19/Q22/Q2 shapes, TF-IDF
+# ---------------------------------------------------------------------------
+
+# Deterministic arg-max key: zero-padded fixed-width "%020.4f|%020d" makes
+# lexicographic string order equal numeric (value, unique-key) order for
+# non-negative values, so Spark max_by and DuckDB arg_max pick the same row
+# even on value ties (DuckDB arg_max can't take a struct ordering key).
+_ARGKEY_FMT = "%020.4f|%020d"
+
+
+@q(
+    "q79_arg_min_max",
+    """SELECT c_mktsegment,
+              arg_max(o_orderkey, printf('%020.4f|%020d', o_totalprice, o_orderkey)) AS top_orderkey,
+              CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS top_totalprice,
+              arg_min(o_orderkey, printf('%020.4f|%020d', o_totalprice, o_orderkey)) AS bottom_orderkey,
+              CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS bottom_totalprice
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "min_by/max_by (arg-min/max) aggregates with a deterministic "
+    "lexicographic (value, unique key) tie-break string",
+)
+def q79_arg_min_max(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    key = F.format_string(_ARGKEY_FMT, F.col("o_totalprice"), F.col("o_orderkey"))
+    return (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.max_by("o_orderkey", key).alias("top_orderkey"),
+            F.max(F.col("o_totalprice")).cast(DEC18_2).alias("top_totalprice"),
+            F.min_by("o_orderkey", key).alias("bottom_orderkey"),
+            F.min(F.col("o_totalprice")).cast(DEC18_2).alias("bottom_totalprice"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@q(
+    "q80_histogram_bitwise",
+    """SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                        WHEN o_totalprice >= 500000 THEN 11
+                        ELSE FLOOR(o_totalprice / 50000.0) + 1 END AS BIGINT) AS bucket,
+              COUNT(*) AS cnt,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+              CAST(bit_and(o_orderkey) AS BIGINT) AS key_and,
+              CAST(bit_or(o_orderkey) AS BIGINT) AS key_or,
+              CAST(bit_xor(o_orderkey) AS BIGINT) AS key_xor
+       FROM orders GROUP BY bucket ORDER BY bucket""",
+    "width_bucket histogram (manual floor formula in the oracle — DuckDB has "
+    "no width_bucket) + bitwise AND/OR/XOR aggregates",
+)
+def q80_histogram_bitwise(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.width_bucket(
+        F.col("o_totalprice"), F.lit(0.0), F.lit(500000.0), F.lit(10)
+    ).cast("long")
+    return (
+        o.select(bucket.alias("bucket"), "o_totalprice", "o_orderkey")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dec_sum("o_totalprice", "sum_price"),
+            F.bit_and("o_orderkey").cast("long").alias("key_and"),
+            F.bit_or("o_orderkey").cast("long").alias("key_or"),
+            F.bit_xor("o_orderkey").cast("long").alias("key_xor"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@q(
+    "q81_array_set_ops",
+    """WITH d AS (SELECT doc_id,
+                         list_sort(list_distinct(string_split(text, ' '))) AS toks
+                  FROM documents)
+       SELECT a.doc_id AS doc_id,
+              len(list_intersect(a.toks, b.toks)) AS n_common,
+              len(list_distinct(a.toks || b.toks)) AS n_union,
+              len(list_filter(a.toks, x -> NOT list_contains(b.toks, x))) AS n_only_a,
+              array_to_string(list_sort(list_intersect(a.toks, b.toks)), ' ') AS common_str
+       FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+       WHERE a.doc_id % 100 = 0
+       ORDER BY doc_id""",
+    "array_intersect/array_union/array_except over adjacent-doc token sets "
+    "(DuckDB list_* equivalents in the oracle)",
+)
+def q81_array_set_ops(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.array_sort(F.array_distinct(tokens("text"))).alias("toks")
+    )
+    a = d.filter(F.col("doc_id") % 100 == 0).select(
+        "doc_id", F.col("toks").alias("toks_a")
+    )
+    b = d.select((F.col("doc_id") - 1).alias("doc_id"), F.col("toks").alias("toks_b"))
+    return (
+        a.join(b, "doc_id")
+        .select(
+            "doc_id",
+            F.size(F.array_intersect("toks_a", "toks_b")).alias("n_common"),
+            F.size(F.array_union("toks_a", "toks_b")).alias("n_union"),
+            F.size(F.array_except("toks_a", "toks_b")).alias("n_only_a"),
+            F.array_join(
+                F.array_sort(F.array_intersect("toks_a", "toks_b")), " "
+            ).alias("common_str"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "q82_string_extended",
+    """SELECT c_custkey,
+              lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS padded_key,
+              rpad(lower(c_mktsegment), 12, '.') AS padded_seg,
+              length(ltrim(concat('  ', c_name, '  '))) AS ltrim_len,
+              length(rtrim(concat('  ', c_name, '  '))) AS rtrim_len,
+              length(trim(concat('  ', c_name, '  '))) AS trim_len,
+              translate(c_name, '0123456789', 'abcdefghij') AS translated,
+              repeat(substring(c_name, -2, 2), 3) AS repeated,
+              reverse(c_name) AS reversed,
+              position('1' IN c_name) AS pos1,
+              upper(substring(lower(c_mktsegment), 1, 1))
+                || lower(substring(c_mktsegment, 2)) AS segment_title,
+              len(regexp_extract_all(c_name, '[0-9]')) AS ndigits,
+              CAST(contains(c_name, '00') AS INT) AS has00,
+              CAST(starts_with(c_name, 'Customer') AS INT) AS sw,
+              CAST(ends_with(c_mktsegment, 'E') AS INT) AS ew
+       FROM customer WHERE c_custkey < 100 ORDER BY c_custkey""",
+    "extended string surface: lpad/rpad, trim family, translate, repeat, "
+    "reverse, locate, initcap (emulated in DuckDB), regexp_extract_all, "
+    "contains/startswith/endswith",
+)
+def q82_string_extended(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    spaced = F.concat(F.lit("  "), F.col("c_name"), F.lit("  "))
+    return c.select(
+        "c_custkey",
+        F.lpad(F.col("c_custkey").cast("string"), 6, "0").alias("padded_key"),
+        F.rpad(F.lower("c_mktsegment"), 12, ".").alias("padded_seg"),
+        F.length(F.ltrim(spaced)).alias("ltrim_len"),
+        F.length(F.rtrim(spaced)).alias("rtrim_len"),
+        F.length(F.trim(spaced)).alias("trim_len"),
+        F.translate("c_name", "0123456789", "abcdefghij").alias("translated"),
+        F.repeat(F.substring("c_name", -2, 2), 3).alias("repeated"),
+        F.reverse("c_name").alias("reversed"),
+        F.locate("1", F.col("c_name")).alias("pos1"),
+        F.initcap(F.lower("c_mktsegment")).alias("segment_title"),
+        F.size(F.regexp_extract_all("c_name", F.lit("[0-9]"), 0)).alias("ndigits"),
+        F.contains(F.col("c_name"), F.lit("00")).cast("int").alias("has00"),
+        F.startswith(F.col("c_name"), F.lit("Customer")).cast("int").alias("sw"),
+        F.endswith(F.col("c_mktsegment"), F.lit("E")).cast("int").alias("ew"),
+    ).orderBy("c_custkey")
+
+
+@q(
+    "q83_conditional_agg",
+    """SELECT l_returnflag,
+              CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+              CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS low_count,
+              CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                            ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS high_revenue
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "TPC-H Q12 shape: conditional (CASE-gated) counts and sums in one "
+    "aggregation pass over a fact-fact join",
+)
+def q83_conditional_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    rev = dec4(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_count"),
+            F.sum(F.when(high, rev).otherwise(F.lit(0).cast(DEC18_4)))
+            .cast(DEC18_4)
+            .alias("high_revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@q(
+    "q84_promo_revenue",
+    """WITH j AS (SELECT CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS rev,
+                         p_type
+                  FROM lineitem JOIN part ON l_partkey = p_partkey)
+       SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev
+                            ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS promo_revenue,
+              CAST(SUM(rev) AS DECIMAL(18,4)) AS total_revenue,
+              ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev
+                                          ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                    / CAST(SUM(rev) AS DOUBLE), 4) AS promo_pct
+       FROM j""",
+    "TPC-H Q14 shape: promo revenue ratio — broadcast dim join, conditional "
+    "decimal sums, double ratio rounded at scale 4",
+)
+def q84_promo_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = dec4(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")).select(
+        rev.alias("rev"), "p_type"
+    )
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", F.col("rev")).otherwise(
+            F.lit(0).cast(DEC18_4)
+        )
+    ).cast(DEC18_4)
+    total = F.sum("rev").cast(DEC18_4)
+    return j.agg(
+        promo.alias("promo_revenue"),
+        total.alias("total_revenue"),
+        F.round(
+            100.0 * promo.cast("double") / total.cast("double"), 4
+        ).alias("promo_pct"),
+    )
+
+
+@q(
+    "q85_disjunctive_join",
+    """SELECT COUNT(*) AS cnt,
+              CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+       FROM lineitem JOIN part ON l_partkey = p_partkey AND (
+         (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21) OR
+         (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 40) OR
+         (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 60))""",
+    "TPC-H Q19 shape: disjunctive (OR-of-conjuncts) join predicate — Catalyst "
+    "extracts the common equi-key into a hash join and keeps the OR as a "
+    "residual filter (no nested-loop join)",
+)
+def q85_disjunctive_join(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    qty = F.col("l_quantity")
+    cond = (F.col("l_partkey") == F.col("p_partkey")) & (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & qty.between(1, 21))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & qty.between(10, 40))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & qty.between(20, 60))
+    )
+    return li.join(F.broadcast(p), cond).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(dec4(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .cast(DEC18_4)
+        .alias("revenue"),
+    )
+
+
+@q(
+    "q86_rich_inactive",
+    """WITH ab AS (SELECT ROUND(AVG(c_acctbal), 4) AS avg_bal
+                   FROM customer WHERE c_acctbal > 0.0)
+       SELECT substring(c_name, -1, 1) AS tail,
+              COUNT(*) AS numcust,
+              CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS totacctbal
+       FROM customer, ab
+       WHERE c_acctbal > ab.avg_bal
+         AND NOT EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey
+                           AND o_orderpriority = '1-URGENT')
+       GROUP BY tail ORDER BY tail""",
+    "TPC-H Q22 shape: scalar-subquery threshold (broadcast 1-row cross join) "
+    "+ anti join on a filtered subquery; avg rounded at scale 4 so both "
+    "engines compare against the identical threshold",
+)
+def q86_rich_inactive(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.round(F.avg("c_acctbal"), 4).alias("avg_bal"))
+    )
+    urgent = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, "c_custkey", "anti")
+        .groupBy(F.substring("c_name", -1, 1).alias("tail"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dec_sum("c_acctbal", "totacctbal"),
+        )
+        .orderBy("tail")
+    )
+
+
+@q(
+    "q87_min_per_group_joinback",
+    """WITH m AS (SELECT p_brand, MIN(p_retailprice) AS minp
+                  FROM part GROUP BY p_brand)
+       SELECT p.p_brand, p.p_partkey,
+              CAST(p.p_retailprice AS DECIMAL(18,2)) AS price
+       FROM part p JOIN m ON p.p_brand = m.p_brand AND p.p_retailprice = m.minp
+       ORDER BY p.p_brand, p.p_partkey""",
+    "TPC-H Q2 shape: correlated-min subquery rewritten as aggregate + "
+    "join-back on (group, min) — keeps all ties, exact double equality on "
+    "the stored value",
+)
+def q87_min_per_group_joinback(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").select("p_brand", "p_partkey", "p_retailprice")
+    m = (
+        p.groupBy("p_brand")
+        .agg(F.min("p_retailprice").alias("minp"))
+        .withColumnRenamed("p_brand", "m_brand")
+    )
+    return (
+        p.join(
+            F.broadcast(m),
+            (F.col("p_brand") == F.col("m_brand"))
+            & (F.col("p_retailprice") == F.col("minp")),
+        )
+        .select(
+            "p_brand", "p_partkey", F.col("p_retailprice").cast(DEC18_2).alias("price")
+        )
+        .orderBy("p_brand", "p_partkey")
+    )
+
+
+@q(
+    "q88_tfidf",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                    FROM documents),
+            tf AS (SELECT doc_id, token, COUNT(*) AS tf
+                   FROM tok GROUP BY doc_id, token),
+            dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df
+                      FROM tok GROUP BY token),
+            n AS (SELECT COUNT(*) AS n FROM documents),
+            scored AS (SELECT tf.doc_id, tf.token,
+                              tf.tf * LN(CAST(n.n AS DOUBLE) / dfreq.df) AS score,
+                              ROW_NUMBER() OVER (
+                                PARTITION BY tf.doc_id
+                                ORDER BY tf.tf * LN(CAST(n.n AS DOUBLE) / dfreq.df) DESC,
+                                         tf.token) AS rk
+                       FROM tf JOIN dfreq USING (token) CROSS JOIN n
+                       WHERE tf.doc_id < 40)
+       SELECT doc_id, token, ROUND(score, 4) AS tfidf, rk
+       FROM scored WHERE rk <= 3 ORDER BY doc_id, rk""",
+    "TF-IDF top-3 terms per document: explode -> tf -> document frequency -> "
+    "idf = ln(N/df) -> window top-k; df/N joins stay distributed (no "
+    "driver-side vocabulary)",
+)
+def q88_tfidf(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    score = F.col("tf") * F.log(F.col("n").cast("double") / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        tf.filter(F.col("doc_id") < 40)
+        .join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "token", score.alias("score"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "token", F.round("score", 4).alias("tfidf"), "rk")
+        .orderBy("doc_id", "rk")
+    )
