@@ -271,3 +271,82 @@ def blocked_all_pairs_cosine(
         .cogroup(right.groupBy("__bi", "__bj"))
         .applyInPandas(sim_block, out_schema)
     )
+
+
+def _sq_dist_to_literal(vec: Column, centroid: list[float]) -> Column:
+    """Squared L2 distance from an array<double> column to a constant
+    centroid, as a pure Catalyst expression (zip_with + aggregate)."""
+    clit = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec, clit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 5,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Lloyd's k-means over an ``array<float>`` column; returns
+    ``(assignments DataFrame[id, cluster], final centroids)``.
+
+    Deterministic init: centroids = the vectors of the ``k`` smallest ids.
+    Per iteration the only data-path shuffle is the centroid recompute
+    (posexplode -> partial+final avg per (cluster, dim)); the assignment
+    step is map-side only — the k centroids are folded into the plan as
+    literal arrays, so each row evaluates k codegen'd squared-distance
+    expressions and picks argmin (first-match tie-break = lowest cluster,
+    matching numpy argmin). The driver holds just the k*d model state per
+    round (512 doubles here), never row data — at 100 TB the per-iteration
+    cost is one scan + one k*dim-sized shuffle.
+
+    The reference has no clustering; this is a north-star extension
+    (BASELINE.json training-data ops). Non-SQL-expressible (iterative) —
+    property-tested against a numpy replication instead of the DuckDB
+    oracle.
+    """
+    rows = df.select(
+        F.col(id_col).alias("id"), as_double_array(F.col(vec_col)).alias("v")
+    )
+    init = rows.orderBy("id").limit(k).collect()
+    centroids = [list(r["v"]) for r in init]
+
+    assignments = None
+    for _ in range(iters):
+        dists = F.array(*[_sq_dist_to_literal(F.col("v"), c) for c in centroids])
+        assigned = (
+            rows.withColumn("dists", dists)
+            .withColumn(
+                "cluster",
+                (F.array_position(F.col("dists"), F.array_min("dists")) - 1).cast(
+                    "int"
+                ),
+            )
+            .drop("dists")
+        )
+        dim_means = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+        )
+        new_rows = (
+            dim_means.groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.m,
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        new_centroids = list(centroids)  # empty clusters keep their centroid
+        for r in new_rows:
+            new_centroids[r["cluster"]] = list(r["centroid"])
+        centroids = new_centroids
+        assignments = assigned.select("id", "cluster")
+
+    return assignments, centroids

@@ -2409,3 +2409,115 @@ def q88_tfidf(spark, sf_dir):
         .select("doc_id", "token", F.round("score", 4).alias("tfidf"), "rk")
         .orderBy("doc_id", "rk")
     )
+
+
+@q(
+    "q89_quality_signals",
+    """WITH d AS (SELECT doc_id, text,
+                         string_split(text, ' ') AS toks,
+                         len(string_split(text, ' ')) AS ntok
+                  FROM documents WHERE doc_id < 60),
+            top AS (SELECT doc_id, MAX(c) AS top_cnt FROM (
+                      SELECT doc_id, COUNT(*) AS c
+                      FROM (SELECT doc_id, unnest(toks) AS token FROM d)
+                      GROUP BY doc_id, token)
+                    GROUP BY doc_id)
+       SELECT d.doc_id,
+              d.ntok,
+              len(list_distinct(d.toks)) AS ndistinct,
+              len(list_filter(d.toks, x -> x = 'the' OR x = 'a')) AS stop_cnt,
+              top.top_cnt,
+              length(d.text) - d.ntok + 1 AS tchars,
+              CAST(CASE WHEN (d.ntok - len(list_distinct(d.toks))) * 10 <= 7 * d.ntok
+                         AND len(list_filter(d.toks, x -> x = 'the' OR x = 'a')) >= 2
+                         AND top.top_cnt * 5 <= d.ntok
+                         AND d.ntok BETWEEN 10 AND 1000
+                        THEN 1 ELSE 0 END AS INT) AS quality_pass
+       FROM d JOIN top ON d.doc_id = top.doc_id
+       ORDER BY d.doc_id""",
+    "Gopher-style quality signals with integer-exact arithmetic (no float "
+    "ratios — power-of-two token counts make ROUND(p/2^k, s) a cross-engine "
+    "half-boundary trap): dup-token, stopword, top-token-dominance, length "
+    "gates composed into one pass flag",
+)
+def q89_quality_signals(spark, sf_dir):
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id", "text", tokens("text").alias("toks"))
+        .withColumn("ntok", F.size("toks"))
+    )
+    top = (
+        d.select("doc_id", F.explode("toks").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_cnt"))
+    )
+    ndistinct = F.size(F.array_distinct("toks"))
+    stop_cnt = F.size(
+        F.filter("toks", lambda x: (x == "the") | (x == "a"))
+    )
+    out = d.join(top, "doc_id").select(
+        "doc_id",
+        "ntok",
+        ndistinct.alias("ndistinct"),
+        stop_cnt.alias("stop_cnt"),
+        "top_cnt",
+        (F.length("text") - F.col("ntok") + 1).alias("tchars"),
+        (
+            ((F.col("ntok") - ndistinct) * 10 <= 7 * F.col("ntok"))
+            & (stop_cnt >= 2)
+            & (F.col("top_cnt") * 5 <= F.col("ntok"))
+            & F.col("ntok").between(10, 1000)
+        )
+        .cast("int")
+        .alias("quality_pass"),
+    )
+    return out.orderBy("doc_id")
+
+
+@q(
+    "q90_sliding_window",
+    """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+            starts AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ws FROM e
+                       UNION
+                       SELECT DISTINCT CAST(date_trunc('day', ts) - INTERVAL 1 DAY AS TIMESTAMP) FROM e)
+       SELECT s.ws AS window_start,
+              COUNT(*) AS cnt,
+              CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+       FROM e JOIN starts s ON e.ts >= s.ws AND e.ts < s.ws + INTERVAL 2 DAY
+       GROUP BY window_start ORDER BY window_start""",
+    "2-day window sliding by 1 day (each event lands in 2 windows): Spark "
+    "F.window(slide) vs an oracle spine of day-aligned starts range-joined "
+    "to events; empty windows absent on both sides",
+)
+def q90_sliding_window(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 days", "1 day").alias("window"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(dec("value")).cast(DEC18_2).alias("sum_value"),
+        )
+        .select(F.col("window.start").alias("window_start"), "cnt", "sum_value")
+        .orderBy("window_start")
+    )
+
+
+@q(
+    "q91_kmeans",
+    None,
+    "distributed Lloyd's k-means (k=8, 4 iterations) over the 64-dim "
+    "embeddings: literal-centroid map-side assignment + one posexplode "
+    "avg shuffle per iteration; iterative => rows-only here, exact numpy "
+    "replication in tests/test_similarity.py",
+)
+def q91_kmeans(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    assignments, _ = similarity.kmeans(emb, "vec_id", "embedding", k=8, iters=4)
+    return (
+        assignments.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .orderBy("cluster")
+    )

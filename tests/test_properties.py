@@ -268,3 +268,34 @@ def test_connected_components_path_and_islands(spark):
 def test_connected_components_empty_edges(spark):
     edges = spark.createDataFrame([], "id_a long, id_b long")
     assert dedup.connected_components(edges).count() == 0
+
+
+def test_kmeans_matches_numpy_replication(spark, sf_dir):
+    """similarity.kmeans is an exact distributed replication of Lloyd's
+    algorithm: same deterministic init (k smallest ids), same argmin
+    tie-break (first/lowest cluster), so assignments must equal a numpy
+    run bit-for-bit (double sums differ only in association order — far
+    below any assignment decision boundary on this data)."""
+    import numpy as np
+
+    k, iters = 8, 4
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = similarity.kmeans(emb, "vec_id", "embedding", k=k, iters=iters)
+    got = {r["id"]: r["cluster"] for r in assigned.collect()}
+
+    rows = sorted(
+        ((r["vec_id"], np.array(r["embedding"], dtype=np.float64)) for r in emb.collect()),
+        key=lambda t: t[0],
+    )
+    ids = np.array([t[0] for t in rows])
+    X = np.stack([t[1] for t in rows])
+    C = X[:k].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        for c in range(k):
+            if (a == c).any():
+                C[c] = X[a == c].mean(axis=0)
+    expect = dict(zip(ids.tolist(), a.tolist()))
+    assert got == expect
+    assert len(centroids) == k and all(len(c) == X.shape[1] for c in centroids)
