@@ -1,0 +1,79 @@
+"""Z-order (Morton space-filling curve) clustering for multi-dimensional
+data skipping.
+
+A parquet scan prunes row groups / files with per-column min/max stats.
+Sorting by one column gives perfect pruning on that column and none on any
+other; interleaving the bits of two key columns (the Morton curve) gives
+good pruning on BOTH — each file covers a small square of the key space
+instead of a thin full-width stripe. At 100 TB this is the difference
+between reading ~1/k of the files for a 2-predicate query and reading all
+of them.
+
+The reference writes hive-partitioned layouts only
+(/root/reference/etl.py:106-110 — partitionBy(year, artist_id)); partition
+dirs work for low-cardinality keys, Z-order covers the high-cardinality
+case (user_id, ts) where a directory per value is infeasible.
+
+The bit-spread is a pure Catalyst expression (shiftleft / bitwiseOR /
+bitwiseAND chains inside whole-stage codegen) — no UDF, no Python on the
+data path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Classic 2D Morton spread: double the gaps between the low 31 bits in
+# 5 shift-and-mask rounds (each constant keeps every other bit group).
+_SPREAD_STEPS = [
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+]
+
+_MAX_DIM = (1 << 31) - 1
+
+
+def _spread_bits(c: Column) -> Column:
+    """Spread the low 31 bits of a non-negative long so bit i lands at 2i."""
+    out = c.bitwiseAND(F.lit(_MAX_DIM))
+    for shift, mask in _SPREAD_STEPS:
+        out = (out.bitwiseOR(F.shiftleft(out, shift))).bitwiseAND(F.lit(mask))
+    return out
+
+
+def morton_key(x: Column | str, y: Column | str) -> Column:
+    """Interleave two non-negative integer columns (31 bits each) into one
+    63-bit Z-value: bit i of ``x`` at position 2i, bit i of ``y`` at 2i+1.
+    Values are clamped to [0, 2^31) via masking; callers with other domains
+    (timestamps, doubles) should rank/bucket to ints first."""
+    cx = F.col(x) if isinstance(x, str) else x
+    cy = F.col(y) if isinstance(y, str) else y
+    return _spread_bits(cx.cast("long")).bitwiseOR(
+        F.shiftleft(_spread_bits(cy.cast("long")), 1)
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x: str,
+    y: str,
+    num_files: int = 16,
+) -> None:
+    """Write ``df`` as parquet clustered on the Z-order curve of (x, y):
+    range-partition by Z-value (contiguous curve segments per file, sized
+    by sampling — skew-safe) then sort within each file so row-group stats
+    are tight on both key columns."""
+    keyed = df.withColumn("__z", morton_key(x, y))
+    (
+        keyed.repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .option("compression", "snappy")
+        .parquet(path)
+    )

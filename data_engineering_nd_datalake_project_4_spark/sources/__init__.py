@@ -45,3 +45,15 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Parquet scan (local or object storage via s3a://). Predicate pushdown,
     column pruning and partition pruning all apply — keep plans declarative."""
     return spark.read.parquet(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same columnar pushdown/pruning properties as parquet
+    (Spark's native ORC reader is vectorized and stats-pruned)."""
+    return spark.read.orc(path)
+
+
+def read_text(spark: SparkSession, path: str, whole: bool = False) -> DataFrame:
+    """Line-per-row (or whole-file-per-row) text scan into a single
+    ``value`` string column — the raw-ingest entry for unstructured data."""
+    return spark.read.text(path, wholetext=whole)

@@ -148,3 +148,20 @@ def compact_parquet_dir(
     shutil.rmtree(path)
     os.rename(tmp, path)
     return n_files
+
+
+def write_orc(df: DataFrame, path: str, partition_by: Sequence[str] | None = None) -> None:
+    """ORC sink, overwrite + snappy — mirror of :func:`write_parquet` for
+    ORC-standardized lakes."""
+    w = df.write.mode("overwrite").option("compression", "snappy")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True, sep: str = ",") -> None:
+    """CSV sink (overwrite, headered) — the interchange/export path; flat
+    schemas only, callers serialize arrays/maps first."""
+    df.write.mode("overwrite").option("header", str(header).lower()).option(
+        "sep", sep
+    ).csv(path)

@@ -8,6 +8,7 @@ import os
 
 from pyspark.sql import functions as F
 
+from data_engineering_nd_datalake_project_4_spark.catalog import load_table
 from data_engineering_nd_datalake_project_4_spark.sources import read_csv, read_json
 from data_engineering_nd_datalake_project_4_spark.sources.sinks import write_parquet
 
@@ -41,3 +42,53 @@ def test_partitioned_sink_max_records(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 100
     assert {r["bucket"] for r in back.select("bucket").distinct().collect()} == {0, 1}
+
+
+def test_orc_roundtrip_partitioned(spark, sf_dir):
+    import shutil, tempfile
+
+    from data_engineering_nd_datalake_project_4_spark.sources import read_orc
+    from data_engineering_nd_datalake_project_4_spark.sources.sinks import write_orc
+
+    nation = load_table(spark, sf_dir, "nation")
+    d = tempfile.mkdtemp(prefix="orc_")
+    try:
+        write_orc(nation, d, partition_by=["n_regionkey"])
+        back = read_orc(spark, d)
+        assert sorted(back.columns) == sorted(nation.columns)
+        a = sorted(tuple(r) for r in nation.collect())
+        b = sorted(tuple(r) for r in back.select(*nation.columns).collect())
+        assert a == b
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_csv_sink_roundtrip(spark, sf_dir):
+    import shutil, tempfile
+
+    from data_engineering_nd_datalake_project_4_spark.sources import read_csv
+    from data_engineering_nd_datalake_project_4_spark.sources.sinks import write_csv
+
+    region = load_table(spark, sf_dir, "region")
+    d = tempfile.mkdtemp(prefix="csv_")
+    try:
+        write_csv(region, d)
+        back = read_csv(spark, d, schema=region.schema.simpleString()
+                        .removeprefix("struct<").removesuffix(">")
+                        .replace(":", " "))
+        a = sorted(tuple(r) for r in region.collect())
+        b = sorted(tuple(r) for r in back.select(*region.columns).collect())
+        assert a == b
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_text_source_reads_lines(spark, tmp_path):
+    from data_engineering_nd_datalake_project_4_spark.sources import read_text
+
+    p = tmp_path / "t.txt"
+    p.write_text("alpha\nbeta\ngamma\n")
+    got = sorted(r["value"] for r in read_text(spark, str(p)).collect())
+    assert got == ["alpha", "beta", "gamma"]
+    whole = read_text(spark, str(p), whole=True).collect()
+    assert len(whole) == 1 and whole[0]["value"].startswith("alpha")
