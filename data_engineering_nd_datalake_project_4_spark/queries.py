@@ -2521,3 +2521,65 @@ def q91_kmeans(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_points"))
         .orderBy("cluster")
     )
+
+
+@q(
+    "q92_forward_fill",
+    """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                         CAST(json_extract_string(props, '$.k') AS INT) AS k
+                  FROM events WHERE user_id < 20),
+            s AS (SELECT user_id, event_id, ts,
+                         CASE WHEN k % 7 = 0 THEN NULL ELSE k END AS k_sparse
+                  FROM e)
+       SELECT user_id, event_id, k_sparse,
+              last_value(k_sparse IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k_filled
+       FROM s ORDER BY user_id, event_id""",
+    "forward fill / LOCF (time-series gap repair): last non-null over an "
+    "unbounded-preceding window — Spark last(ignorenulls) vs DuckDB "
+    "last_value IGNORE NULLS; leading nulls stay null",
+)
+def q92_forward_fill(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    k = F.get_json_object("props", "$.k").cast("int")
+    s = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(k % 7 != 0, k).alias("k_sparse"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        s.withColumn("k_filled", F.last("k_sparse", ignorenulls=True).over(w))
+        .select("user_id", "event_id", "k_sparse", "k_filled")
+        .orderBy("user_id", "event_id")
+    )
+
+
+@q(
+    "q93_correlated_scalar_subquery",
+    """SELECT n_nationkey, n_name,
+              (SELECT COUNT(*) FROM customer WHERE c_nationkey = n_nationkey) AS ncust,
+              (SELECT CAST(MAX(c_acctbal) AS DECIMAL(18,2)) FROM customer
+               WHERE c_nationkey = n_nationkey) AS top_bal
+       FROM nation ORDER BY n_nationkey""",
+    "correlated scalar subqueries in the SELECT list, run through the "
+    "spark.sql entry (catalog temp views) — Catalyst decorrelates both "
+    "into left outer aggregate-joins; COUNT-over-empty is 0, MAX is NULL",
+)
+def q93_correlated_scalar_subquery(spark, sf_dir):
+    from data_engineering_nd_datalake_project_4_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """SELECT n_nationkey, n_name,
+                  (SELECT COUNT(*) FROM customer WHERE c_nationkey = n_nationkey) AS ncust,
+                  (SELECT CAST(MAX(c_acctbal) AS DECIMAL(18,2)) FROM customer
+                   WHERE c_nationkey = n_nationkey) AS top_bal
+           FROM nation ORDER BY n_nationkey"""
+    )

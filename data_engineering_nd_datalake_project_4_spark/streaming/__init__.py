@@ -41,6 +41,22 @@ def tumbling_agg(
     return df.groupBy(F.window(ts_col, duration).alias("window"), *keys).agg(*aggs)
 
 
+def sliding_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    keys: list[str],
+    aggs: list[Column],
+    watermark: str | None = None,
+) -> DataFrame:
+    """Sliding-window aggregate (each event lands in duration/slide
+    windows); identical plan on batch and stream inputs (q90)."""
+    if watermark and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return df.groupBy(F.window(ts_col, duration, slide).alias("window"), *keys).agg(*aggs)
+
+
 def session_agg(
     df: DataFrame,
     ts_col: str,

@@ -21,6 +21,7 @@ from data_engineering_nd_datalake_project_4_spark.streaming import (
     run_available_now,
     session_agg,
     stream_dedup,
+    sliding_agg,
     tumbling_agg,
 )
 
@@ -213,3 +214,25 @@ def test_stream_stream_join_time_bounded(spark, tmp_path_factory):
     out = run_available_now(joined, "ss2_join", output_mode="append")
     rows = out.collect()
     assert [r["ad_id"] for r in rows] == [1], rows
+
+
+def _slide(df):
+    agg = sliding_agg(
+        df,
+        "ts",
+        "2 days",
+        "1 day",
+        [],
+        [F.count(F.lit(1)).alias("cnt"), F.sum(dec("value")).cast(DEC18_2).alias("sum_value")],
+    )
+    return agg.select(F.col("window.start").alias("window_start"), "cnt", "sum_value")
+
+
+def test_q90_sliding_stream_batch_equivalence(spark, sf_dir, events_stream_dir):
+    """The q90 sliding-window plan produces identical windows on the batch
+    path and as a Structured Streaming availableNow run."""
+    batch = _slide(load_table(spark, sf_dir, "events"))
+    schema = spark.read.parquet(events_stream_dir).schema
+    stream = read_file_stream(spark, events_stream_dir, schema, "parquet")
+    streamed = run_available_now(_slide(stream), "q90_stream")
+    assert {tuple(r) for r in batch.collect()} == {tuple(r) for r in streamed.collect()}
