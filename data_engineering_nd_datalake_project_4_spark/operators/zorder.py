@@ -38,18 +38,20 @@ _MAX_DIM = (1 << 31) - 1
 
 
 def _spread_bits(c: Column) -> Column:
-    """Spread the low 31 bits of a non-negative long so bit i lands at 2i."""
-    out = c.bitwiseAND(F.lit(_MAX_DIM))
+    """Spread the low 31 bits of a non-negative long so bit i lands at 2i.
+    Input is saturating-clamped to [0, 2^31) first — masking alone would
+    WRAP out-of-range values (2^31 -> 0) and silently scramble the curve."""
+    out = F.least(F.greatest(c, F.lit(0)), F.lit(_MAX_DIM))
     for shift, mask in _SPREAD_STEPS:
         out = (out.bitwiseOR(F.shiftleft(out, shift))).bitwiseAND(F.lit(mask))
     return out
 
 
 def morton_key(x: Column | str, y: Column | str) -> Column:
-    """Interleave two non-negative integer columns (31 bits each) into one
-    63-bit Z-value: bit i of ``x`` at position 2i, bit i of ``y`` at 2i+1.
-    Values are clamped to [0, 2^31) via masking; callers with other domains
-    (timestamps, doubles) should rank/bucket to ints first."""
+    """Interleave two integer columns into one 63-bit Z-value: bit i of
+    ``x`` at position 2i, bit i of ``y`` at 2i+1. Values saturate at the
+    [0, 2^31) domain edges; callers with other domains (timestamps,
+    doubles) should rank/bucket into 31-bit ints first."""
     cx = F.col(x) if isinstance(x, str) else x
     cy = F.col(y) if isinstance(y, str) else y
     return _spread_bits(cx.cast("long")).bitwiseOR(

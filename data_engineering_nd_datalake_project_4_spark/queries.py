@@ -2381,7 +2381,7 @@ def q87_min_per_group_joinback(spark, sf_dir):
                               tf.tf * LN(CAST(n.n AS DOUBLE) / dfreq.df) AS score,
                               ROW_NUMBER() OVER (
                                 PARTITION BY tf.doc_id
-                                ORDER BY tf.tf * LN(CAST(n.n AS DOUBLE) / dfreq.df) DESC,
+                                ORDER BY ROUND(tf.tf * LN(CAST(n.n AS DOUBLE) / dfreq.df), 6) DESC,
                                          tf.token) AS rk
                        FROM tf JOIN dfreq USING (token) CROSS JOIN n
                        WHERE tf.doc_id < 40)
@@ -2389,7 +2389,10 @@ def q87_min_per_group_joinback(spark, sf_dir):
        FROM scored WHERE rk <= 3 ORDER BY doc_id, rk""",
     "TF-IDF top-3 terms per document: explode -> tf -> document frequency -> "
     "idf = ln(N/df) -> window top-k; df/N joins stay distributed (no "
-    "driver-side vocabulary)",
+    "driver-side vocabulary). Ranking uses the scale-6 ROUNDED score so "
+    "mathematically-equal scores computed differently (2*ln(5) vs ln(25), "
+    "1-ulp libm drift) collapse to the same key and the token tie-break "
+    "fires identically in both engines",
 )
 def q88_tfidf(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -2398,7 +2401,9 @@ def q88_tfidf(spark, sf_dir):
     dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n"))
     score = F.col("tf") * F.log(F.col("n").cast("double") / F.col("df"))
-    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.round(F.col("score"), 6)), F.asc("token")
+    )
     return (
         tf.filter(F.col("doc_id") < 40)
         .join(F.broadcast(dfreq), "token")
@@ -2561,13 +2566,18 @@ def q92_forward_fill(spark, sf_dir):
     )
 
 
-@q(
-    "q93_correlated_scalar_subquery",
-    """SELECT n_nationkey, n_name,
+# one SQL text, run by BOTH engines (Spark parses/decorrelates it, DuckDB is
+# the oracle) — a single constant so the two sides can never drift
+_Q93_SQL = """SELECT n_nationkey, n_name,
               (SELECT COUNT(*) FROM customer WHERE c_nationkey = n_nationkey) AS ncust,
               (SELECT CAST(MAX(c_acctbal) AS DECIMAL(18,2)) FROM customer
                WHERE c_nationkey = n_nationkey) AS top_bal
-       FROM nation ORDER BY n_nationkey""",
+       FROM nation ORDER BY n_nationkey"""
+
+
+@q(
+    "q93_correlated_scalar_subquery",
+    _Q93_SQL,
     "correlated scalar subqueries in the SELECT list, run through the "
     "spark.sql entry (catalog temp views) — Catalyst decorrelates both "
     "into left outer aggregate-joins; COUNT-over-empty is 0, MAX is NULL",
@@ -2576,10 +2586,4 @@ def q93_correlated_scalar_subquery(spark, sf_dir):
     from data_engineering_nd_datalake_project_4_spark.catalog import register_views
 
     register_views(spark, sf_dir)
-    return spark.sql(
-        """SELECT n_nationkey, n_name,
-                  (SELECT COUNT(*) FROM customer WHERE c_nationkey = n_nationkey) AS ncust,
-                  (SELECT CAST(MAX(c_acctbal) AS DECIMAL(18,2)) FROM customer
-                   WHERE c_nationkey = n_nationkey) AS top_bal
-           FROM nation ORDER BY n_nationkey"""
-    )
+    return spark.sql(_Q93_SQL)

@@ -35,10 +35,9 @@ def tumbling_agg(
     watermark: str | None = None,
 ) -> DataFrame:
     """Tumbling-window aggregate; works identically on batch and stream
-    inputs. ``watermark`` (streams only) bounds state and drops late data."""
-    if watermark and df.isStreaming:
-        df = df.withWatermark(ts_col, watermark)
-    return df.groupBy(F.window(ts_col, duration).alias("window"), *keys).agg(*aggs)
+    inputs. ``watermark`` (streams only) bounds state and drops late data.
+    A tumbling window is the slide == duration case of :func:`sliding_agg`."""
+    return sliding_agg(df, ts_col, duration, duration, keys, aggs, watermark)
 
 
 def sliding_agg(

@@ -72,6 +72,9 @@ def test_aqe_runtime_broadcast_conversion(spark, sf_dir):
 NON_EQUI_BY_DESIGN = {
     "q10", "q30", "q34_unigram_jaccard", "q36_simhash",
     "q41_embedding_near_dup", "q42_ivf_topk",
+    # scalar-subquery pattern: crossJoin of a broadcast 1-row aggregate
+    # (threshold / corpus size) — O(N·1), not a pair-generation blowup
+    "q86_rich_inactive", "q88_tfidf",
 }
 
 

@@ -44,43 +44,30 @@ def test_partitioned_sink_max_records(spark, tmp_path):
     assert {r["bucket"] for r in back.select("bucket").distinct().collect()} == {0, 1}
 
 
-def test_orc_roundtrip_partitioned(spark, sf_dir):
-    import shutil, tempfile
-
+def test_orc_roundtrip_partitioned(spark, sf_dir, tmp_path):
     from data_engineering_nd_datalake_project_4_spark.sources import read_orc
     from data_engineering_nd_datalake_project_4_spark.sources.sinks import write_orc
 
     nation = load_table(spark, sf_dir, "nation")
-    d = tempfile.mkdtemp(prefix="orc_")
-    try:
-        write_orc(nation, d, partition_by=["n_regionkey"])
-        back = read_orc(spark, d)
-        assert sorted(back.columns) == sorted(nation.columns)
-        a = sorted(tuple(r) for r in nation.collect())
-        b = sorted(tuple(r) for r in back.select(*nation.columns).collect())
-        assert a == b
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
+    d = str(tmp_path / "orc")
+    write_orc(nation, d, partition_by=["n_regionkey"])
+    back = read_orc(spark, d)
+    assert sorted(back.columns) == sorted(nation.columns)
+    a = sorted(tuple(r) for r in nation.collect())
+    b = sorted(tuple(r) for r in back.select(*nation.columns).collect())
+    assert a == b
 
 
-def test_csv_sink_roundtrip(spark, sf_dir):
-    import shutil, tempfile
-
-    from data_engineering_nd_datalake_project_4_spark.sources import read_csv
+def test_csv_sink_roundtrip(spark, sf_dir, tmp_path):
     from data_engineering_nd_datalake_project_4_spark.sources.sinks import write_csv
 
     region = load_table(spark, sf_dir, "region")
-    d = tempfile.mkdtemp(prefix="csv_")
-    try:
-        write_csv(region, d)
-        back = read_csv(spark, d, schema=region.schema.simpleString()
-                        .removeprefix("struct<").removesuffix(">")
-                        .replace(":", " "))
-        a = sorted(tuple(r) for r in region.collect())
-        b = sorted(tuple(r) for r in back.select(*region.columns).collect())
-        assert a == b
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
+    d = str(tmp_path / "csv")
+    write_csv(region, d)
+    back = read_csv(spark, d, schema=region.schema)
+    a = sorted(tuple(r) for r in region.collect())
+    b = sorted(tuple(r) for r in back.select(*region.columns).collect())
+    assert a == b
 
 
 def test_text_source_reads_lines(spark, tmp_path):

@@ -2,9 +2,6 @@
 the actual data-skipping payoff — per-file min/max ranges on BOTH key
 columns shrink vs a naive (arrival-order) layout."""
 
-import shutil
-import tempfile
-
 from pyspark.sql import functions as F
 
 from data_engineering_nd_datalake_project_4_spark.catalog import load_table
@@ -39,28 +36,24 @@ def _per_file_ranges(spark, path, col):
     return sum(r["r"] for r in rows), len(rows)
 
 
-def test_zorder_layout_tightens_both_dimensions(spark, sf_dir):
+def test_zorder_layout_tightens_both_dimensions(spark, sf_dir, tmp_path):
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", (F.dayofmonth("ts")).cast("long").alias("day")
     )
-    zdir = tempfile.mkdtemp(prefix="zorder_")
-    ndir = tempfile.mkdtemp(prefix="naive_")
-    try:
-        write_zordered(ev, zdir, "user_id", "day", num_files=8)
-        ev.repartition(8).write.mode("overwrite").parquet(ndir)
+    zdir = str(tmp_path / "zorder")
+    ndir = str(tmp_path / "naive")
+    write_zordered(ev, zdir, "user_id", "day", num_files=8)
+    ev.repartition(8).write.mode("overwrite").parquet(ndir)
 
-        z_user, zn = _per_file_ranges(spark, zdir, "user_id")
-        n_user, nn = _per_file_ranges(spark, ndir, "user_id")
-        z_day, _ = _per_file_ranges(spark, zdir, "day")
-        n_day, _ = _per_file_ranges(spark, ndir, "day")
-        assert zn >= 4 and nn >= 4
-        # naive round-robin files each span ~the full domain on both
-        # columns; Z-ordered files cover sub-squares — strictly tighter on
-        # both dimensions simultaneously
-        assert z_user < n_user
-        assert z_day < n_day
-        # and the clustered write loses no rows
-        assert spark.read.parquet(zdir).count() == ev.count()
-    finally:
-        shutil.rmtree(zdir, ignore_errors=True)
-        shutil.rmtree(ndir, ignore_errors=True)
+    z_user, zn = _per_file_ranges(spark, zdir, "user_id")
+    n_user, nn = _per_file_ranges(spark, ndir, "user_id")
+    z_day, _ = _per_file_ranges(spark, zdir, "day")
+    n_day, _ = _per_file_ranges(spark, ndir, "day")
+    assert zn >= 4 and nn >= 4
+    # naive round-robin files each span ~the full domain on both
+    # columns; Z-ordered files cover sub-squares — strictly tighter on
+    # both dimensions simultaneously
+    assert z_user < n_user
+    assert z_day < n_day
+    # and the clustered write loses no rows
+    assert spark.read.parquet(zdir).count() == ev.count()
