@@ -2587,3 +2587,22 @@ def q93_correlated_scalar_subquery(spark, sf_dir):
 
     register_views(spark, sf_dir)
     return spark.sql(_Q93_SQL)
+
+
+@q(
+    "q94_cms_heavy_hitters",
+    None,
+    "Count-Min-sketch heavy hitters: one-scan fixed-size (5x2048) sketch, "
+    "broadcast probe join, top-10 by estimated frequency. Hash-dependent "
+    "=> rows-only; over/merge bounds property-tested in test_properties",
+)
+def q94_cms_heavy_hitters(spark, sf_dir):
+    from data_engineering_nd_datalake_project_4_spark.operators import sketches
+
+    tok = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(tokens("text")).alias("token"))
+    )
+    cms = sketches.build_cms(tok, "token")
+    est = sketches.cms_estimate(cms, tok, "token")
+    return est.orderBy(F.desc("est"), F.asc("item")).limit(10)

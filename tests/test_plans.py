@@ -88,3 +88,49 @@ def test_no_accidental_nested_loop_joins(spark, sf_dir):
         if "BroadcastNestedLoopJoin" in plan and name not in NON_EQUI_BY_DESIGN:
             offenders.append(name)
     assert not offenders, f"unexpected nested-loop joins in: {offenders}"
+
+
+def test_q85_disjunctive_join_is_hash_join(spark, sf_dir):
+    """Catalyst must extract the common l_partkey = p_partkey equi-key from
+    the OR-of-conjuncts predicate and plan a broadcast hash join with the
+    OR as residual — not a nested loop over lineitem × part."""
+    plan = plans.explain_str(
+        REGISTRY["q85_disjunctive_join"].spark_fn(spark, sf_dir), "simple"
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q79_argminmax_single_aggregation_pass(spark, sf_dir):
+    """min_by/max_by/min/max over one groupBy must compile to ONE partial+
+    final aggregate pair (one shuffle), not a self-join per aggregate."""
+    df = REGISTRY["q79_arg_min_max"].spark_fn(spark, sf_dir)
+    # shuffles: broadcast join adds none; agg adds 1; global sort adds 1
+    assert plans.shuffle_count(df) <= 2
+    assert "Join Inner" not in plans.explain_str(df, "simple").replace(
+        "BroadcastHashJoin", ""
+    )
+
+
+def test_q88_tfidf_shuffle_budget(spark, sf_dir):
+    """tf (groupBy doc,token), df (groupBy token), the broadcast joins and
+    the per-doc window — the whole TF-IDF pipeline should fit in a handful
+    of exchanges; the df/N sides must join as broadcasts, not shuffles."""
+    df = REGISTRY["q88_tfidf"].spark_fn(spark, sf_dir)
+    plan = plans.explain_str(df, "simple")
+    assert "BroadcastHashJoin" in plan  # dfreq joined broadcast
+    assert plans.shuffle_count(df) <= 5
+
+
+def test_zorder_morton_key_stays_in_codegen(spark, sf_dir):
+    """The Morton bit-spread must be pure codegen expression work — no
+    BatchEvalPython / ArrowEvalPython stage on the write path."""
+    from data_engineering_nd_datalake_project_4_spark.catalog import load_table
+    from data_engineering_nd_datalake_project_4_spark.operators.zorder import morton_key
+
+    ev = load_table(spark, sf_dir, "events").select(
+        morton_key("user_id", "event_id").alias("z")
+    )
+    plan = plans.explain_str(ev, "formatted")
+    assert "EvalPython" not in plan
+    assert plans.codegen_stage_count(ev) >= 1

@@ -299,3 +299,41 @@ def test_kmeans_matches_numpy_replication(spark, sf_dir):
     expect = dict(zip(ids.tolist(), a.tolist()))
     assert got == expect
     assert len(centroids) == k and all(len(c) == X.shape[1] for c in centroids)
+
+
+def test_count_min_sketch_bounds(spark, sf_dir):
+    """CMS never underestimates, and overestimates by at most e/width * N
+    (within the 1-e^-depth confidence — deterministic here since the hash
+    seeds are fixed). Also: merging two half-sketches equals the sketch of
+    the union."""
+    import math
+
+    from data_engineering_nd_datalake_project_4_spark.operators import sketches
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    width, depth = 1024, 5
+    cms = sketches.build_cms(tok, "token", width, depth).cache()
+
+    exact = {r["token"]: r["c"] for r in
+             tok.groupBy("token").agg(F.count(F.lit(1)).alias("c")).collect()}
+    n = sum(exact.values())
+    items = tok.distinct()
+    est = {r["item"]: r["est"] for r in
+           sketches.cms_estimate(cms, items, "token", width, depth).collect()}
+
+    assert set(est) == set(exact)
+    bound = math.e / width * n
+    for t, c in exact.items():
+        assert est[t] >= c, t
+        assert est[t] <= c + bound, (t, est[t], c, bound)
+
+    # mergeability: sketch(half1) + sketch(half2) == sketch(all), with the
+    # halves a deterministic hash-partition of the data
+    tagged = tok.withColumn("__h", F.pmod(F.xxhash64("token"), F.lit(2)))
+    a = sketches.build_cms(tagged.filter("__h = 0"), "token", width, depth)
+    b = sketches.build_cms(tagged.filter("__h = 1"), "token", width, depth)
+    merged = {(r["row"], r["bucket"]): r["cnt"]
+              for r in sketches.merge_cms(a, b).collect()}
+    whole = {(r["row"], r["bucket"]): r["cnt"] for r in cms.collect()}
+    assert merged == whole
