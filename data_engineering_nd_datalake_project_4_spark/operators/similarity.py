@@ -350,3 +350,29 @@ def kmeans(
         assignments = assigned.select("id", "cluster")
 
     return assignments, centroids
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str,
+    out_col: str = "qvec",
+    scale_col: str = "qscale",
+) -> DataFrame:
+    """Symmetric int8 quantization of an ``array<float>`` column: per-vector
+    scale = max(|x|)/127, codes = round(x/scale) in [-127, 127] stored as
+    ``array<tinyint>`` (1 byte/dim at rest vs 4 — the 100 TB storage path
+    for embedding tables; cosine on dequantized vectors stays within ~1e-3
+    of exact for typical distributions). Zero vectors get scale 0 and
+    all-zero codes. Pure Catalyst (transform/aggregate), no UDF."""
+    v = as_double_array(F.col(vec_col))
+    amax = F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
+    scale = (amax / F.lit(127.0)).alias(scale_col)
+    codes = F.when(amax == 0.0, F.transform(v, lambda x: F.lit(0).cast("tinyint"))).otherwise(
+        F.transform(v, lambda x: F.round(x / (amax / F.lit(127.0))).cast("tinyint"))
+    )
+    return df.withColumn(scale_col, scale).withColumn(out_col, codes)
+
+
+def dequantize(qvec: Column, qscale: Column) -> Column:
+    """Reconstruct an approximate double vector from int8 codes + scale."""
+    return F.transform(qvec, lambda c: c.cast("double") * qscale)

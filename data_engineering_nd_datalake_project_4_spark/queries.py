@@ -2606,3 +2606,90 @@ def q94_cms_heavy_hitters(spark, sf_dir):
     cms = sketches.build_cms(tok, "token")
     est = sketches.cms_estimate(cms, tok, "token")
     return est.orderBy(F.desc("est"), F.asc("item")).limit(10)
+
+
+@q(
+    "q95_multi_exists",
+    """SELECT s_name, COUNT(*) AS numwait
+       FROM supplier, lineitem l1, orders o
+       WHERE s_suppkey = l1.l_suppkey
+         AND o.o_orderkey = l1.l_orderkey
+         AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+         AND EXISTS (SELECT 1 FROM lineitem l2
+                     WHERE l2.l_orderkey = l1.l_orderkey
+                       AND l2.l_suppkey <> l1.l_suppkey)
+         AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                         JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+                         WHERE l3.l_orderkey = l1.l_orderkey
+                           AND l3.l_suppkey <> l1.l_suppkey
+                           AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+       GROUP BY s_name
+       ORDER BY numwait DESC, s_name
+       LIMIT 20""",
+    "TPC-H Q21 shape: correlated EXISTS + NOT EXISTS against the same fact "
+    "table — compiled as hash semi/anti joins on the orderkey equi-key with "
+    "the suppkey<>suppkey residual (no nested loop); the only supplier late "
+    "on a multi-supplier order",
+)
+def q95_multi_exists(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("l3_orderkey"), F.col("l_suppkey").alias("l3_suppkey")
+    )
+    return (
+        late.join(
+            l2,
+            (F.col("l_orderkey") == F.col("l2_orderkey"))
+            & (F.col("l_suppkey") != F.col("l2_suppkey")),
+            "semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("l3_orderkey"))
+            & (F.col("l_suppkey") != F.col("l3_suppkey")),
+            "anti",
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+@q(
+    "q96_global_threshold",
+    """WITH sums AS (SELECT l_partkey,
+                            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS value
+                     FROM lineitem GROUP BY l_partkey),
+            thr AS (SELECT ROUND(CAST(SUM(value) AS DOUBLE) * 0.0005, 4) AS t FROM sums)
+       SELECT l_partkey, value
+       FROM sums, thr
+       WHERE CAST(value AS DOUBLE) > thr.t
+       ORDER BY value DESC, l_partkey""",
+    "TPC-H Q11 shape: per-group sums filtered against a fraction of the "
+    "GLOBAL total (scalar aggregate subquery, broadcast 1-row cross join); "
+    "threshold rounded at scale 4 so both engines compare identically",
+)
+def q96_global_threshold(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    sums = li.groupBy("l_partkey").agg(dec_sum("l_extendedprice", "value"))
+    thr = sums.agg(
+        F.round(F.sum("value").cast("double") * 0.0005, 4).alias("t")
+    )
+    return (
+        sums.crossJoin(F.broadcast(thr))
+        .filter(F.col("value").cast("double") > F.col("t"))
+        .select("l_partkey", "value")
+        .orderBy(F.desc("value"), F.asc("l_partkey"))
+    )

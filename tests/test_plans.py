@@ -74,7 +74,7 @@ NON_EQUI_BY_DESIGN = {
     "q41_embedding_near_dup", "q42_ivf_topk",
     # scalar-subquery pattern: crossJoin of a broadcast 1-row aggregate
     # (threshold / corpus size) — O(N·1), not a pair-generation blowup
-    "q86_rich_inactive", "q88_tfidf",
+    "q86_rich_inactive", "q88_tfidf", "q96_global_threshold",
 }
 
 

@@ -337,3 +337,36 @@ def test_count_min_sketch_bounds(spark, sf_dir):
               for r in sketches.merge_cms(a, b).collect()}
     whole = {(r["row"], r["bucket"]): r["cnt"] for r in cms.collect()}
     assert merged == whole
+
+
+def test_int8_quantization_preserves_cosine(spark, sf_dir, tmp_path):
+    """int8-quantized embeddings: codes bounded to [-127,127], cosine of
+    the dequantized vector vs the original >= 0.999, and the quantized
+    parquet is materially smaller at rest."""
+    import os
+
+    from data_engineering_nd_datalake_project_4_spark.functions import cosine_similarity
+    from data_engineering_nd_datalake_project_4_spark.operators.similarity import dequantize, quantize_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb, "embedding")
+    checked = q.select(
+        F.array_max(F.transform("qvec", lambda c: F.abs(c.cast("int")))).alias("cmax"),
+        cosine_similarity(
+            F.col("embedding"), dequantize(F.col("qvec"), F.col("qscale"))
+        ).alias("cos"),
+    ).collect()
+    assert all(r["cmax"] <= 127 for r in checked)
+    assert all(r["cos"] >= 0.999 for r in checked)
+
+    def _dir_bytes(d):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(d) for f in fs if f.endswith(".parquet")
+        )
+
+    full = str(tmp_path / "full")
+    quant = str(tmp_path / "quant")
+    emb.select("vec_id", "embedding").coalesce(1).write.parquet(full)
+    q.select("vec_id", "qvec", "qscale").coalesce(1).write.parquet(quant)
+    assert _dir_bytes(quant) < 0.55 * _dir_bytes(full)
