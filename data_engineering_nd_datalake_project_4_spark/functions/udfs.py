@@ -10,7 +10,7 @@ built-ins can't express.
 """
 
 import pandas as pd
-from pyspark.sql.functions import pandas_udf
+from pyspark.sql.functions import pandas_udf, udtf
 
 
 @pandas_udf("double")
@@ -35,3 +35,21 @@ def grouped_zscore(df, value_col: str, group_cols: list):
         return pdf
 
     return df.groupBy(*group_cols).applyInPandas(zscore, out_schema)
+
+
+@udtf(returnType="chunk_idx int, start int, chunk string")
+class ChunkTokensUDTF:
+    """Python UDTF (table function) emitting overlapping token windows per
+    input row — the UDF-surface twin of the pure-Catalyst
+    ``operators.text.chunk_tokens`` (which is the production path: UDTFs
+    cross the Python boundary per row; the Catalyst version stays in
+    codegen). Kept for API completeness + as a cross-check in tests."""
+
+    def eval(self, text: str, size: int, stride: int):
+        if text is None:
+            return
+        toks = text.split(" ")
+        idx = 0
+        for start in range(0, max(len(toks) - 1, 0) + 1, stride):
+            yield idx, start, " ".join(toks[start : start + size])
+            idx += 1

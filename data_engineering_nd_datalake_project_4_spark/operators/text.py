@@ -173,3 +173,41 @@ def normalize_text(text_col: Column | str) -> Column:
     depunct = F.regexp_replace(lowered, r"[^a-z0-9\s]+", " ")
     collapsed = F.regexp_replace(depunct, r"\s+", " ")
     return F.trim(collapsed)
+
+
+def chunk_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Split each document into fixed-size token windows with overlap
+    (stride < size) — the chunking step every embedding/training pipeline
+    runs before vectorizing long documents.
+
+    Pure Catalyst: tokens staged once, chunk starts from ``sequence``,
+    one ``posexplode`` — fan-out is ~n_tokens/stride rows per doc with no
+    UDF and no shuffle (chunking is map-side; the shuffle only comes from
+    whatever aggregation follows). Output: id, chunk_idx, start, n_chunk
+    tokens, chunk text."""
+    if stride <= 0 or size <= 0:
+        raise ValueError(f"size ({size}) and stride ({stride}) must be positive")
+    toks = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).withColumn("__n", F.size("__toks"))
+    starts = F.sequence(F.lit(0), F.greatest(F.col("__n") - 1, F.lit(0)), F.lit(stride))
+    return (
+        toks.select(
+            F.col(id_col),
+            "__toks",
+            F.posexplode(starts).alias("chunk_idx", "start"),
+        )
+        .select(
+            F.col(id_col),
+            "chunk_idx",
+            "start",
+            F.size(F.slice("__toks", F.col("start") + 1, size)).alias("n_chunk_tokens"),
+            F.array_join(F.slice("__toks", F.col("start") + 1, size), " ").alias("chunk"),
+        )
+    )

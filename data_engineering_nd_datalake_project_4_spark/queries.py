@@ -2693,3 +2693,31 @@ def q96_global_threshold(spark, sf_dir):
         .select("l_partkey", "value")
         .orderBy(F.desc("value"), F.asc("l_partkey"))
     )
+
+
+@q(
+    "q97_chunking",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents WHERE doc_id < 30),
+            e AS (SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS start
+                  FROM d)
+       SELECT doc_id,
+              CAST(start / 24 AS INT) AS chunk_idx,
+              CAST(start AS INT) AS start,
+              len(toks[start + 1 : start + 32]) AS n_chunk_tokens,
+              array_to_string(toks[start + 1 : start + 32], ' ') AS chunk
+       FROM e ORDER BY doc_id, chunk_idx""",
+    "document chunking for embedding/training pipelines: 32-token windows "
+    "with 8-token overlap (stride 24), map-side sequence+posexplode fan-out "
+    "— no UDF, no shuffle until a downstream agg",
+)
+def q97_chunking(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    out = text.chunk_tokens(d, "text", "doc_id", size=32, stride=24)
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("start").cast("int").alias("start"),
+        "n_chunk_tokens",
+        "chunk",
+    ).orderBy("doc_id", "chunk_idx")

@@ -66,3 +66,26 @@ def test_canonical_key_is_permutation_invariant(token_lists):
         canonical_text_key("t1").alias("k1"), canonical_text_key("t2").alias("k2")
     )
     assert df.filter(F.col("k1") != F.col("k2")).count() == 0
+
+
+def test_udtf_chunking_matches_catalyst_chunking(spark, sf_dir):
+    """The Python UDTF and the pure-Catalyst chunk_tokens must emit the
+    same (doc_id, chunk_idx, start, chunk) rows — lateral-join the UDTF,
+    compare set-equal."""
+    from data_engineering_nd_datalake_project_4_spark.catalog import load_table
+    from data_engineering_nd_datalake_project_4_spark.functions.udfs import ChunkTokensUDTF
+    from data_engineering_nd_datalake_project_4_spark.operators.text import chunk_tokens
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    docs.createOrReplaceTempView("udtf_docs")
+    spark.udtf.register("chunk_tokens_udtf", ChunkTokensUDTF)
+    via_udtf = spark.sql(
+        """SELECT d.doc_id, c.chunk_idx, c.start, c.chunk
+           FROM udtf_docs d, LATERAL chunk_tokens_udtf(d.text, 32, 24) c"""
+    )
+    via_catalyst = chunk_tokens(docs, "text", "doc_id", size=32, stride=24).select(
+        "doc_id", "chunk_idx", "start", "chunk"
+    )
+    a = {tuple(r) for r in via_udtf.collect()}
+    b = {tuple(r) for r in via_catalyst.collect()}
+    assert a == b and len(a) > 0
