@@ -2721,3 +2721,94 @@ def q97_chunking(spark, sf_dir):
         "n_chunk_tokens",
         "chunk",
     ).orderBy("doc_id", "chunk_idx")
+
+
+@q(
+    "q98_volume_shipping",
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+              CAST(year(l.l_shipdate) AS INT) AS yr,
+              CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+       FROM lineitem l
+       JOIN supplier s ON s.s_suppkey = l.l_suppkey
+       JOIN orders o ON o.o_orderkey = l.l_orderkey
+       JOIN customer c ON c.c_custkey = o.o_custkey
+       JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+       JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+       WHERE n1.n_name <> n2.n_name
+       GROUP BY supp_nation, cust_nation, yr
+       ORDER BY supp_nation, cust_nation, yr""",
+    "TPC-H Q7 shape: 6-way snowflake join (nation twice, distinct aliases) "
+    "with a cross-dimension inequality; dims broadcast, facts shuffle once "
+    "on their join keys",
+)
+def q98_volume_shipping(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("yr")
+        )
+        .agg(
+            F.sum(dec4(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast(DEC18_4)
+            .alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "yr")
+    )
+
+
+@q(
+    "q99_returned_items",
+    """SELECT c.c_custkey, c.c_name, n.n_name,
+              CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+       FROM customer c
+       JOIN orders o ON o.o_custkey = c.c_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       JOIN nation n ON n.n_nationkey = c.c_nationkey
+       WHERE l.l_returnflag = 'R'
+       GROUP BY c.c_custkey, c.c_name, n.n_name
+       ORDER BY revenue DESC, c.c_custkey
+       LIMIT 20""",
+    "TPC-H Q10 shape: returned-items revenue per customer — selective "
+    "fact filter pushed to the scan, dim joins broadcast, top-k via "
+    "TakeOrderedAndProject",
+)
+def q99_returned_items(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(dec4(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast(DEC18_4)
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
