@@ -2812,3 +2812,30 @@ def q99_returned_items(spark, sf_dir):
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@q(
+    "q100_explode_outer",
+    """WITH d AS (SELECT doc_id,
+                         list_filter(string_split(text, ' '), x -> length(x) > 7) AS lt
+                  FROM documents WHERE doc_id < 50)
+       SELECT d.doc_id, u.token
+       FROM d LEFT JOIN LATERAL (SELECT unnest(d.lt) AS token) u ON TRUE
+       ORDER BY doc_id, token NULLS LAST""",
+    "explode_outer: null-preserving fan-out (docs with NO long tokens keep "
+    "one NULL row — a plain explode silently drops them); NULL sort "
+    "position pinned explicitly (Spark ASC default NULLS FIRST vs DuckDB "
+    "NULLS LAST would silently disagree)",
+)
+def q100_explode_outer(spark, sf_dir):
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            F.filter(tokens("text"), lambda x: F.length(x) > 7).alias("lt"),
+        )
+    )
+    return d.select(
+        "doc_id", F.explode_outer("lt").alias("token")
+    ).orderBy(F.asc("doc_id"), F.asc_nulls_last("token"))
