@@ -2839,3 +2839,95 @@ def q100_explode_outer(spark, sf_dir):
     return d.select(
         "doc_id", F.explode_outer("lt").alias("token")
     ).orderBy(F.asc("doc_id"), F.asc_nulls_last("token"))
+
+
+@q(
+    "q101_small_quantity_parts",
+    """WITH a AS (SELECT l_partkey, ROUND(0.5 * AVG(l_quantity), 4) AS half_avg
+                  FROM lineitem GROUP BY l_partkey)
+       SELECT COUNT(*) AS cnt,
+              ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 4) AS avg_yearly
+       FROM lineitem l JOIN a ON l.l_partkey = a.l_partkey
+       WHERE l.l_quantity < a.half_avg""",
+    "TPC-H Q17 shape: correlated per-group average rewritten as aggregate "
+    "+ join-back; the threshold is rounded at scale 4 BEFORE comparing so "
+    "both engines filter on the identical value",
+)
+def q101_small_quantity_parts(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    a = li.groupBy("l_partkey").agg(
+        F.round(0.5 * F.avg("l_quantity"), 4).alias("half_avg")
+    ).withColumnRenamed("l_partkey", "a_partkey")
+    return (
+        li.join(F.broadcast(a), F.col("l_partkey") == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(
+                F.sum(dec("l_extendedprice")).cast("double") / 7.0, 4
+            ).alias("avg_yearly"),
+        )
+    )
+
+
+@q(
+    "q102_supplier_counts",
+    """SELECT p_brand, p_type,
+              COUNT(DISTINCT l_suppkey) AS supplier_cnt
+       FROM lineitem
+       JOIN part ON p_partkey = l_partkey
+       WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                               WHERE s_name LIKE '%7')
+       GROUP BY p_brand, p_type
+       ORDER BY supplier_cnt DESC, p_brand, p_type
+       LIMIT 20""",
+    "TPC-H Q16 shape: NOT IN exclusion subquery (anti join — the excluded-"
+    "key set never materializes on the driver) + per-group distinct count",
+)
+def q102_supplier_counts(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type")
+    excluded = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_name").like("%7"))
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(excluded, "l_suppkey", "anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"))
+        .limit(20)
+    )
+
+
+@q(
+    "q103_null_safe_join",
+    """WITH o AS (SELECT CASE WHEN o_custkey % 97 = 0 THEN NULL
+                              ELSE o_custkey % 50 END AS k
+                  FROM orders),
+            g AS (SELECT k, COUNT(*) AS grp_cnt FROM o GROUP BY k)
+       SELECT o.k, g.grp_cnt, COUNT(*) AS joined
+       FROM o JOIN g ON o.k IS NOT DISTINCT FROM g.k
+       GROUP BY o.k, g.grp_cnt
+       ORDER BY 1 NULLS FIRST""",
+    "null-safe equality join (Spark <=> / eqNullSafe vs DuckDB IS NOT "
+    "DISTINCT FROM): the NULL key is a real join/group value instead of "
+    "silently dropping; NULL sort position pinned",
+)
+def q103_null_safe_join(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(
+        F.when(F.col("o_custkey") % 97 != 0, F.col("o_custkey") % 50).alias("k")
+    )
+    g = o.groupBy("k").agg(F.count(F.lit(1)).alias("grp_cnt")).withColumnRenamed(
+        "k", "gk"
+    )
+    return (
+        o.join(F.broadcast(g), F.col("k").eqNullSafe(F.col("gk")))
+        .groupBy("k", "grp_cnt")
+        .agg(F.count(F.lit(1)).alias("joined"))
+        .orderBy(F.asc_nulls_first("k"))
+    )
