@@ -134,3 +134,35 @@ def test_zorder_morton_key_stays_in_codegen(spark, sf_dir):
     plan = plans.explain_str(ev, "formatted")
     assert "EvalPython" not in plan
     assert plans.codegen_stage_count(ev) >= 1
+
+
+def test_static_partition_pruning(spark, sf_dir, tmp_path):
+    """A filter on a hive-partition column must become a PartitionFilter
+    (directory-level skip — at 100 TB this is reading 1 year instead of
+    all of them), not a post-scan row filter."""
+    from data_engineering_nd_datalake_project_4_spark.catalog import load_table
+
+    d = str(tmp_path / "orders_by_yr")
+    o = load_table(spark, sf_dir, "orders").withColumn("yr", F.year("o_orderdate"))
+    o.write.partitionBy("yr").mode("overwrite").parquet(d)
+
+    df = spark.read.parquet(d).filter(F.col("yr") == 1995).select("o_orderkey")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "= 1995)" in plan, plan[:1500]
+
+
+def test_dynamic_partition_pruning_on_dim_join(spark, sf_dir, tmp_path):
+    """Joining a partitioned fact to a FILTERED dim must install a
+    dynamicpruning subquery on the fact's partition column — the runtime
+    analogue of static pruning for join-derived predicates."""
+    from data_engineering_nd_datalake_project_4_spark.catalog import load_table
+
+    d = str(tmp_path / "orders_by_yr_dpp")
+    o = load_table(spark, sf_dir, "orders").withColumn("yr", F.year("o_orderdate"))
+    o.write.partitionBy("yr").mode("overwrite").parquet(d)
+
+    fact = spark.read.parquet(d)
+    dim = spark.createDataFrame([(1995, "keep"), (1996, "drop")], "yr int, tag string")
+    j = fact.join(dim.filter(F.col("tag") == "keep"), "yr").select("o_orderkey")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:1500]
