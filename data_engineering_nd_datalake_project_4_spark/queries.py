@@ -2931,3 +2931,213 @@ def q103_null_safe_join(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("joined"))
         .orderBy(F.asc_nulls_first("k"))
     )
+
+
+# ---------------------------------------------------------------------------
+# H (cont.): map functions, try_* functions, stack, extended string surface,
+# boolean/median aggregates, VARIANT semi-structured path
+# ---------------------------------------------------------------------------
+
+@q(
+    "q104_map_functions",
+    """SELECT event_type,
+              COUNT(*) AS cnt,
+              CAST(SUM(2 * (CAST(props->>'k' AS BIGINT) + LENGTH(props))) AS BIGINT)
+                  AS sum_doubled,
+              MIN('k,n') AS keys_sig
+       FROM events
+       WHERE props->>'k' IS NOT NULL
+       GROUP BY event_type ORDER BY event_type""",
+    "MapType surface: from_json→map<string,int>, map_contains_key filter, "
+    "map_concat + create_map, transform_values (genuine (k,v) lambda), "
+    "map_values + aggregate fold, sorted map_keys signature; the oracle "
+    "computes the same values straight from JSON (reference carries no maps "
+    "anywhere — SURVEY.md §1.2 — so this is pure north-star surface)",
+)
+def q104_map_functions(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").filter(
+        F.map_contains_key(F.from_json("props", "map<string,int>"), "k")
+    )
+    # map length keyed off the ORIGINAL props string (to_json does not
+    # round-trip the input's whitespace, so length(to_json(m)) != length(props))
+    m2 = F.map_concat(
+        F.from_json("props", "map<string,int>"),
+        F.create_map(F.lit("n"), F.length("props").cast("int")),
+    )
+    doubled = F.transform_values(m2, lambda k, v: v.cast("long") * 2)
+    row_sum = F.aggregate(
+        F.map_values(doubled), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    keys_sig = F.array_join(F.array_sort(F.map_keys(m2)), ",")
+    return (
+        e.select("event_type", row_sum.alias("rs"), keys_sig.alias("ks"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("rs").alias("sum_doubled"),
+            F.min("ks").alias("keys_sig"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "q105_try_functions",
+    """SELECT o_orderpriority,
+              COUNT(*) AS cnt,
+              SUM(CAST(CASE WHEN o_custkey % 7 = 0 THEN NULL
+                            ELSE o_totalprice / (o_custkey % 7) END
+                       AS DECIMAL(18,4))) AS sum_ratio,
+              CAST(count_if(o_custkey % 7 = 0) AS BIGINT) AS null_ratio_cnt,
+              CAST(MIN(TRY_CAST(split_part(o_orderpriority, '-', 1) AS INT)) AS INT)
+                  AS pri_num,
+              CAST(COUNT(string_split(o_orderpriority, '-')[3]) AS BIGINT)
+                  AS third_part_cnt
+       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "ANSI-safe try_* surface: try_divide (NULL on /0 instead of error), "
+    "try_cast, try_element_at past the end of an array — errors become "
+    "NULLs that flow through aggregates; ratio summed as per-row "
+    "DECIMAL(18,4) per the determinism policy",
+)
+def q105_try_functions(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    ratio = F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 7)
+    pri_num = F.try_element_at(F.split("o_orderpriority", "-"), F.lit(1)).try_cast(
+        "int"
+    )
+    third = F.try_element_at(F.split("o_orderpriority", "-"), F.lit(3))
+    return (
+        o.select(
+            "o_orderpriority",
+            ratio.cast(DEC18_4).alias("r"),
+            pri_num.alias("p"),
+            third.alias("t"),
+            (F.col("o_custkey") % 7 == 0).alias("z"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("r").alias("sum_ratio"),
+            F.count_if("z").alias("null_ratio_cnt"),
+            F.min("p").alias("pri_num"),
+            F.count("t").alias("third_part_cnt"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@q(
+    "q106_stack_long",
+    """SELECT metric, COUNT(*) AS cnt, SUM(val) AS total
+       FROM (SELECT 'custkey' AS metric, CAST(o_custkey AS DECIMAL(18,2)) AS val
+             FROM orders
+             UNION ALL
+             SELECT 'totalprice' AS metric, CAST(o_totalprice AS DECIMAL(18,2)) AS val
+             FROM orders)
+       GROUP BY metric ORDER BY metric""",
+    "wide→long via the stack() table-generating function (the SQL twin of "
+    "q71's native unpivot): one scan fans each row into two (metric, value) "
+    "rows map-side, no shuffle until the final 2-group aggregate",
+)
+def q106_stack_long(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.selectExpr(
+            "stack(2, 'custkey', CAST(o_custkey AS DECIMAL(18,2)), "
+            "'totalprice', CAST(o_totalprice AS DECIMAL(18,2))) AS (metric, val)"
+        )
+        .groupBy("metric")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("val").alias("total"))
+        .orderBy("metric")
+    )
+
+
+@q(
+    "q107_string_parts",
+    """SELECT split_part(p_name, ' ', 2) AS noun,
+              COUNT(*) AS cnt,
+              CAST(SUM(len(regexp_extract_all(p_name, '[aeiou]'))) AS BIGINT)
+                  AS vowels,
+              MIN(split_part(p_name, ' ', 1)) AS first_adj,
+              MIN(left(p_type, 3)) AS type3,
+              MAX(right(p_brand, 2)) AS brand2
+       FROM part GROUP BY noun ORDER BY noun""",
+    "extended string decomposition: split_part / substring_index, "
+    "regexp_count, left/right — grouped by the extracted noun",
+)
+def q107_string_parts(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select(
+            F.split_part("p_name", F.lit(" "), F.lit(2)).alias("noun"),
+            F.regexp_count("p_name", F.lit("[aeiou]")).alias("v"),
+            F.substring_index("p_name", " ", 1).alias("fa"),
+            F.left("p_type", F.lit(3)).alias("t3"),
+            F.right("p_brand", F.lit(2)).alias("b2"),
+        )
+        .groupBy("noun")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("v").alias("vowels"),
+            F.min("fa").alias("first_adj"),
+            F.min("t3").alias("type3"),
+            F.max("b2").alias("brand2"),
+        )
+        .orderBy("noun")
+    )
+
+
+@q(
+    "q108_bool_median_aggs",
+    """SELECT o_orderstatus,
+              COUNT(*) AS cnt,
+              ROUND(median(o_totalprice), 4) AS med_price,
+              CAST(count_if(o_totalprice > 100000) AS BIGINT) AS big_cnt,
+              bool_and(o_totalprice > 0) AS all_positive,
+              bool_or(o_orderpriority = '1-URGENT') AS any_urgent
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "declarative aggregate extensions: exact median (interpolated "
+    "percentile-0.5, identical linear interpolation in both engines), "
+    "count_if, bool_and / bool_or (SQL EVERY/ANY)",
+)
+def q108_bool_median_aggs(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.median("o_totalprice"), 4).alias("med_price"),
+            F.count_if(F.col("o_totalprice") > 100000).alias("big_cnt"),
+            F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+            F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@q(
+    "q109_variant_extract",
+    """SELECT event_type,
+              COUNT(*) AS cnt,
+              CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+              CAST(MAX(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
+       FROM events GROUP BY event_type ORDER BY event_type""",
+    "Spark 4 VARIANT path: parse_json → open semi-structured VariantType "
+    "column → typed try_variant_get('$.k') extraction (binary variant "
+    "encoding, not string re-parsing per access — the scale path for "
+    "schema-on-read JSON); oracle reads the same values via DuckDB JSON",
+)
+def q109_variant_extract(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
