@@ -3141,3 +3141,165 @@ def q109_variant_extract(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL-surface extensions: LATERAL correlated subqueries, ordered listagg,
+# deterministic mode, SQL pipe syntax, XML parsing, HLL sketches
+# ---------------------------------------------------------------------------
+
+@q(
+    "q110_lateral_topk",
+    """SELECT n_name, c.c_custkey,
+              CAST(c.c_acctbal AS DECIMAL(18,2)) AS acctbal
+       FROM nation,
+       LATERAL (SELECT c_custkey, c_acctbal FROM customer
+                WHERE c_nationkey = n_nationkey
+                ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+       ORDER BY n_name, c.c_custkey""",
+    "correlated LATERAL subquery with per-row ORDER BY + LIMIT (top-2 "
+    "customers per nation): Spark decorrelates it into a ranked window "
+    "join rather than re-executing the inner query per outer row — same "
+    "text runs on DuckDB",
+)
+def q110_lateral_topk(spark, sf_dir):
+    for t in ("nation", "customer"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """SELECT n_name, c.c_custkey,
+                  CAST(c.c_acctbal AS DECIMAL(18,2)) AS acctbal
+           FROM nation,
+           LATERAL (SELECT c_custkey, c_acctbal FROM customer
+                    WHERE c_nationkey = n_nationkey
+                    ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+           ORDER BY n_name, c.c_custkey"""
+    )
+
+
+@q(
+    "q111_listagg",
+    """SELECT c_mktsegment,
+              COUNT(*) AS cnt,
+              string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY c_custkey)
+                  AS ids
+       FROM customer WHERE c_custkey <= 200
+       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "native listagg WITHIN GROUP (ORDER BY ...) — the declarative twin of "
+    "q73's collect_list+array_sort composition; ordering inside the "
+    "aggregate makes the concatenation shuffle-order-independent",
+)
+def q111_listagg(spark, sf_dir):
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """SELECT c_mktsegment,
+                  COUNT(*) AS cnt,
+                  listagg(CAST(c_custkey AS STRING), ',')
+                      WITHIN GROUP (ORDER BY c_custkey) AS ids
+           FROM customer WHERE c_custkey <= 200
+           GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+    )
+
+
+@q(
+    "q112_mode_deterministic",
+    """WITH c AS (SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
+                  FROM customer GROUP BY c_mktsegment, c_nationkey),
+            r AS (SELECT c_mktsegment, c_nationkey,
+                         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                            ORDER BY n DESC, c_nationkey) AS rn
+                  FROM c)
+       SELECT c_mktsegment, c_nationkey AS mode_nation
+       FROM r WHERE rn = 1 ORDER BY c_mktsegment""",
+    "mode() with deterministic=true (ties resolve to the lowest value) — "
+    "the oracle spells out the same tie-break as a count + row_number; "
+    "Spark computes it as a single typed-imperative aggregate, no window",
+)
+def q112_mode_deterministic(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(F.mode("c_nationkey", True).alias("mode_nation"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@q(
+    "q113_sql_pipe",
+    """SELECT o_orderpriority, COUNT(*) AS cnt,
+              SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+       FROM orders WHERE o_orderdate >= DATE '1995-01-01'
+       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "SQL pipe syntax (|> WHERE / |> AGGREGATE ... GROUP BY / |> ORDER BY, "
+    "Spark 4.0): operators compose top-down in reading order; parses to "
+    "the identical logical plan as the nested-SELECT oracle",
+)
+def q113_sql_pipe(spark, sf_dir):
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """FROM orders
+           |> WHERE o_orderdate >= DATE '1995-01-01'
+           |> AGGREGATE COUNT(*) AS cnt,
+                        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+              GROUP BY o_orderpriority
+           |> SELECT o_orderpriority, cnt, total
+           |> ORDER BY o_orderpriority"""
+    )
+
+
+@q(
+    "q114_from_xml",
+    """SELECT lang, COUNT(*) AS cnt,
+              CAST(SUM(n_chars) AS BIGINT) AS sum_n
+       FROM documents GROUP BY lang ORDER BY lang""",
+    "XML ingestion path (Spark 4 native from_xml): render each row as an "
+    "XML fragment, parse it back through the schema'd XML parser, and "
+    "aggregate the PARSED fields — values must round-trip exactly for the "
+    "oracle (which reads the raw columns) to hash-match",
+)
+def q114_from_xml(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    xml = F.concat(
+        F.lit("<doc><lang>"), F.col("lang"),
+        F.lit("</lang><n>"), F.col("n_chars"),
+        F.lit("</n></doc>"),
+    )
+    parsed = F.from_xml(xml, "lang STRING, n BIGINT")
+    return (
+        d.select(parsed.alias("p"))
+        .groupBy(F.col("p.lang").alias("lang"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("p.n").alias("sum_n"),
+        )
+        .orderBy("lang")
+    )
+
+
+@q(
+    "q115_hll_sketch",
+    None,
+    "Apache DataSketches HLL (Spark 4 hll_sketch_agg / hll_union_agg / "
+    "hll_sketch_estimate): per-segment distinct-customer sketches unioned "
+    "into a global estimate — fixed-size mergeable state, the 100 TB path "
+    "for COUNT(DISTINCT) over billions of keys; accuracy property-tested "
+    "vs exact counts (rows-only here: the sketch binary is not "
+    "SQL-expressible)",
+)
+def q115_hll_sketch(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    per_seg = (
+        o.join(
+            F.broadcast(_t(spark, sf_dir, "customer")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+    )
+    union_est = per_seg.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        F.lit("ALL").alias("c_mktsegment"),
+    ).select("c_mktsegment", "est")
+    per_seg_est = per_seg.select(
+        "c_mktsegment", F.hll_sketch_estimate("sk").alias("est")
+    )
+    return per_seg_est.unionByName(union_est).orderBy("c_mktsegment")

@@ -47,3 +47,79 @@ def running_count_per_key(grouped_stream, key_col: str = "user_id") -> DataFrame
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4.0+): the successor API to
+# applyInPandasWithState — typed named state handles (value/list/map state),
+# timers, TTL. Gated behind an import-try so the module stays importable on
+# older runtimes; the operator below raises if the API is absent.
+# ---------------------------------------------------------------------------
+
+try:  # pragma: no cover - availability depends on the runtime
+    # the state-server protocol needs protobuf, an optional pyspark dep —
+    # absent protobuf the driver worker crashes at plan time, so gate on it
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    HAS_TWS = True
+except ImportError:  # pragma: no cover
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    StatefulProcessorHandle = None  # type: ignore[assignment]
+    HAS_TWS = False
+
+RUNNING_STATS_OUT = StructType(
+    [
+        StructField("key", LongType()),
+        StructField("running_n", LongType()),
+        StructField("running_max", LongType()),
+    ]
+)
+
+
+class RunningStatsProcessor(StatefulProcessor):
+    """Per-key running (count, max) across micro-batches via ValueState.
+
+    The same accumulation as ``running_count_per_key`` but on the
+    transformWithState surface: state is a named, typed handle the runtime
+    owns (RocksDB-backed on a real cluster), so state size per key is a
+    fixed row regardless of stream length — the 100 TB-stream design is
+    keys × O(1), never buffered rows.
+    """
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState(
+            "stats", StructType([StructField("n", LongType()), StructField("mx", LongType())])
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        n, mx = (self._state.get() or (0, None)) if self._state.exists() else (0, None)
+        for pdf in rows:
+            n += len(pdf)
+            batch_max = int(pdf["value"].max()) if len(pdf) else None
+            if batch_max is not None:
+                mx = batch_max if mx is None else max(mx, batch_max)
+        self._state.update((n, mx))
+        yield pd.DataFrame(
+            {"key": [key[0]], "running_n": [n], "running_max": [mx]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_stats_per_key(grouped_stream) -> DataFrame:
+    """transformWithStateInPandas wrapper (raises if the runtime lacks it)."""
+    if not HAS_TWS:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires PySpark >= 4.0"
+        )
+    return grouped_stream.transformWithStateInPandas(
+        RunningStatsProcessor(),
+        outputStructType=RUNNING_STATS_OUT,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -370,3 +370,31 @@ def test_int8_quantization_preserves_cosine(spark, sf_dir, tmp_path):
     emb.select("vec_id", "embedding").coalesce(1).write.parquet(full)
     q.select("vec_id", "qvec", "qscale").coalesce(1).write.parquet(quant)
     assert _dir_bytes(quant) < 0.55 * _dir_bytes(full)
+
+
+def test_hll_sketch_estimates_close_to_exact(spark, sf_dir):
+    from data_engineering_nd_datalake_project_4_spark.queries import REGISTRY
+
+    est = {
+        r["c_mktsegment"]: r["est"]
+        for r in REGISTRY["q115_hll_sketch"].spark_fn(spark, sf_dir).collect()
+    }
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    exact = {
+        r["c_mktsegment"]: r["d"]
+        for r in o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(F.countDistinct("o_custkey").alias("d"))
+        .collect()
+    }
+    exact["ALL"] = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert set(est) == set(exact)
+    for k, e in est.items():
+        # default lgConfigK=12 → rsd ~1.6%; allow 5%
+        assert abs(e - exact[k]) <= max(2, 0.05 * exact[k]), (k, e, exact[k])

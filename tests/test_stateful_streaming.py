@@ -56,3 +56,48 @@ def test_grouped_zscore_pandas_udf(spark, sf_dir):
     for r in stats.collect():
         assert abs(r["mu"]) < 1e-6
         assert abs(r["sd"] - 1.0) < 0.01
+
+
+def test_transform_with_state_running_stats(spark, tmp_path):
+    import pytest
+
+    from data_engineering_nd_datalake_project_4_spark.streaming.stateful import (
+        HAS_TWS,
+        running_stats_per_key,
+    )
+
+    if not HAS_TWS:
+        pytest.skip("transformWithStateInPandas requires PySpark >= 4.0")
+    src = str(tmp_path / "src")
+    chk = str(tmp_path / "chk")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, 10), (1, 30), (2, 5)], "user_id LONG, value LONG"
+    ).coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame(
+        [(1, 20), (2, 50)], "user_id LONG, value LONG"
+    ).coalesce(1).write.parquet(src + "/b2")
+
+    stream = (
+        spark.readStream.schema("user_id LONG, value LONG")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    out = running_stats_per_key(stream.groupBy("user_id"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running_stats")
+        .outputMode("update")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("running_stats").collect()
+    latest = {}
+    for r in rows:
+        if r["key"] not in latest or r["running_n"] > latest[r["key"]][0]:
+            latest[r["key"]] = (r["running_n"], r["running_max"])
+    # user 1: 3 events, max 30 (state survives the micro-batch boundary);
+    # user 2: 2 events, max 50
+    assert latest == {1: (3, 30), 2: (2, 50)}, rows
