@@ -28,24 +28,31 @@ TABLES = (
 BROADCAST_DIMS = frozenset({"region", "nation"})
 
 
-#: Columns stored as parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-#: as timestamps. We read them as raw int64 nanos (legacy conf) and truncate
-#: to µs — identical to DuckDB's TIMESTAMP_NS → TIMESTAMP cast, so the
-#: oracle and the engine see the same µs values (SURVEY.md §2.3 rule 4).
-_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+#: Timestamp columns whose parquet physical type has varied across testdata
+#: generations: TIMESTAMP(NANOS) (read as int64 nanos via the legacy conf and
+#: truncated to µs) or TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as
+#: TIMESTAMP_NTZ). Either way we normalize to session-TZ TIMESTAMP (UTC
+#: session, SURVEY.md §2.3 rule 4) so `unix_micros`/`F.window`/date fns and
+#: the DuckDB oracle (naive µs) all see identical values.
+_NORMALIZE_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one parquet table. Column pruning + predicate pushdown are left to
     Catalyst — callers express plans declaratively."""
-    if name in _NANOS_TS_COLS:
+    if name in _NORMALIZE_TS_COLS:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for col in _NANOS_TS_COLS.get(name, ()):
-        if dict(df.dtypes).get(col) == "bigint":
+    for col in _NORMALIZE_TS_COLS.get(name, ()):
+        dtype = dict(df.dtypes).get(col)
+        if dtype == "bigint":
             # integer `div` — a double division would lose precision on
             # epoch-nanos (~1.7e18 > 2^53)
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        elif dtype == "timestamp_ntz":
+            # session TZ is pinned to UTC, so this cast is value-preserving
+            # and matches DuckDB's naive-timestamp reading of the same file
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
