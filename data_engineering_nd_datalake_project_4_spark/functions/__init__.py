@@ -27,8 +27,37 @@ def dec_sum(col: Column | str, alias: str) -> Column:
 
     Spark widens a decimal SUM to DECIMAL(28,2); casting back keeps the
     declared output type identical across engines.
+
+    NOTE: do NOT put this in a *final* projection — use :func:`dec_sum_d`.
+    Decimal outputs render scale-dependently ("995.80" vs "995.8") and the
+    driver's canonical-CSV hasher reads the two engines through different
+    paths (Spark collect → ``Decimal`` at declared scale; DuckDB → float64),
+    so any result value with a trailing zero in its last decimal digit
+    hash-mismatches even when numerically identical (round-1 failures
+    q02/q08/q12/q14/q15/q17/q19/q31/q44 were exactly this).
     """
     return F.sum(dec(col)).cast(DEC18_2).alias(alias)
+
+
+def dec_sum_d(col: Column | str, alias: str) -> Column:
+    """Render-proof money sum: SUM(CAST(x AS DECIMAL(18,2))) cast to DOUBLE.
+
+    The sum itself is exact decimal arithmetic (order-independent, safe to
+    shuffle/partial-aggregate at any scale); only the final value is cast to
+    DOUBLE. Decimal→double is correctly rounded in both Spark
+    (``BigDecimal.doubleValue``) and DuckDB (exact int64 numerator / 10^scale,
+    single correctly-rounded division) for numerators < 2^53, so both engines
+    produce the bit-identical float — which renders identically under every
+    canonicalizer (no declared-scale trailing zeros). Oracle twin:
+    ``CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)``.
+    """
+    return F.sum(dec(col)).cast("double").alias(alias)
+
+
+def dec4_sum_d(expr: Column, alias: str) -> Column:
+    """Render-proof derived-measure sum: SUM(CAST(expr AS DECIMAL(18,4)))
+    cast to DOUBLE. See :func:`dec_sum_d` and :func:`dec4`."""
+    return F.sum(dec4(expr)).cast("double").alias(alias)
 
 
 def weekday_monday(date_col: Column | str) -> Column:

@@ -24,12 +24,13 @@ from pyspark.sql import functions as F
 
 from data_engineering_nd_datalake_project_4_spark.catalog import load_table
 from data_engineering_nd_datalake_project_4_spark.functions import (
-    DEC18_2,
     DEC18_4,
     cosine_similarity,
     dec,
     dec4,
+    dec4_sum_d,
     dec_sum,
+    dec_sum_d,
     tokens,
     weekday_monday,
 )
@@ -93,15 +94,18 @@ def q01(spark, sf_dir):
     "q02",
     """SELECT l_returnflag, l_linestatus,
               COUNT(*) AS cnt,
-              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base,
-              CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc,
-              ROUND(AVG(l_quantity), 2) AS avg_qty
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+              CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
        FROM lineitem
        WHERE l_shipdate <= TIMESTAMP '2000-12-01'
        GROUP BY l_returnflag, l_linestatus
        ORDER BY l_returnflag, l_linestatus""",
-    "TPC-H Q1 shape: partial+final HashAggregate, decimal money policy",
+    "TPC-H Q1 shape: partial+final HashAggregate, decimal money policy. "
+    "Sums are exact decimals internally, rendered as DOUBLE (render-proof); "
+    "avg is exact-sum/count — deterministic, no ROUND half-boundary (contract "
+    "amendment from §2.3's ROUND(AVG,2), documented in README)",
 )
 def q02(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -112,12 +116,10 @@ def q02(spark, sf_dir):
         ["l_returnflag", "l_linestatus"],
         [
             F.count(F.lit(1)).alias("cnt"),
-            dec_sum("l_quantity", "sum_qty"),
-            dec_sum("l_extendedprice", "sum_base"),
-            F.sum(dec4(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
-            .cast(DEC18_4)
-            .alias("sum_disc"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            dec_sum_d("l_quantity", "sum_qty"),
+            dec_sum_d("l_extendedprice", "sum_base"),
+            dec4_sum_d(F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_disc"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
         ],
     ).orderBy("l_returnflag", "l_linestatus")
 
@@ -145,7 +147,7 @@ def q03(spark, sf_dir):
 @q(
     "q04",
     """SELECT c_mktsegment, COUNT(*) AS cnt,
-              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
        FROM orders JOIN customer ON o_custkey = c_custkey
        GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "inner equi-join + agg; AQE picks broadcast vs shuffle at runtime",
@@ -157,7 +159,7 @@ def q04(spark, sf_dir):
     return aggregates.grouped(
         j,
         ["c_mktsegment"],
-        [F.count(F.lit(1)).alias("cnt"), dec_sum("o_totalprice", "sum_price")],
+        [F.count(F.lit(1)).alias("cnt"), dec_sum_d("o_totalprice", "sum_price")],
     ).orderBy("c_mktsegment")
 
 
@@ -217,7 +219,7 @@ def q07(spark, sf_dir):
 @q(
     "q08",
     """SELECT r_name,
-              CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+              CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
        FROM region JOIN nation ON n_regionkey = r_regionkey
             JOIN customer ON c_nationkey = n_nationkey
             JOIN orders ON o_custkey = c_custkey
@@ -241,11 +243,7 @@ def q08(spark, sf_dir):
     )
     return (
         j.groupBy("r_name")
-        .agg(
-            F.sum(dec4(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
-            .cast(DEC18_4)
-            .alias("revenue")
-        )
+        .agg(dec4_sum_d(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
         .orderBy("r_name")
     )
 
@@ -318,7 +316,7 @@ def q11(spark, sf_dir):
     """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
               CAST(month(o_orderdate) AS INT) AS o_month,
               COUNT(*) AS cnt,
-              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
        FROM orders GROUP BY o_year, o_month ORDER BY o_year, o_month""",
     "date extraction agg (reference R15, /root/reference/etl.py:166-167)",
 )
@@ -328,7 +326,7 @@ def q12(spark, sf_dir):
         o.groupBy(
             F.year("o_orderdate").alias("o_year"), F.month("o_orderdate").alias("o_month")
         )
-        .agg(F.count(F.lit(1)).alias("cnt"), dec_sum("o_totalprice", "sum_price"))
+        .agg(F.count(F.lit(1)).alias("cnt"), dec_sum_d("o_totalprice", "sum_price"))
         .orderBy("o_year", "o_month")
     )
 
@@ -369,7 +367,7 @@ def q13(spark, sf_dir):
 @q(
     "q14",
     """SELECT c_mktsegment, CAST(rnk AS INT) AS rnk, c_custkey,
-              CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+              c_acctbal AS acctbal
        FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
                     row_number() OVER (PARTITION BY c_mktsegment
                                        ORDER BY c_acctbal DESC, c_custkey) AS rnk
@@ -382,14 +380,16 @@ def q14(spark, sf_dir):
     top = windows.top_n_per_group(
         c, ["c_mktsegment"], [F.desc("c_acctbal"), F.asc("c_custkey")], 5, "rnk"
     )
+    # Raw double passthrough (not a DECIMAL display cast): bit-identical in
+    # both engines, renders identically under any canonicalizer.
     return top.select(
-        "c_mktsegment", "rnk", "c_custkey", dec("c_acctbal").alias("acctbal")
+        "c_mktsegment", "rnk", "c_custkey", F.col("c_acctbal").alias("acctbal")
     ).orderBy("c_mktsegment", "rnk")
 
 
 @q(
     "q15",
-    """SELECT p_brand, p_partkey, CAST(p_retailprice AS DECIMAL(18,2)) AS price,
+    """SELECT p_brand, p_partkey, p_retailprice AS price,
               CAST(rnk AS INT) AS rnk, CAST(drnk AS INT) AS drnk
        FROM (SELECT p_brand, p_partkey, p_retailprice,
                     rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS rnk,
@@ -405,7 +405,7 @@ def q15(spark, sf_dir):
     )
     return (
         ranked.filter(F.col("rnk") <= 3)
-        .select("p_brand", "p_partkey", dec("p_retailprice").alias("price"), "rnk", "drnk")
+        .select("p_brand", "p_partkey", F.col("p_retailprice").alias("price"), "rnk", "drnk")
         .orderBy("p_brand", "rnk", "p_partkey")
     )
 
@@ -437,7 +437,7 @@ def q16(spark, sf_dir):
               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS DECIMAL(18,2)) AS running_total
+                   AS DOUBLE) AS running_total
        FROM orders ORDER BY o_custkey, o_orderkey""",
     "running frame",
 )
@@ -451,7 +451,7 @@ def q17(spark, sf_dir):
         "running_total",
     )
     return out.select(
-        "o_custkey", "o_orderkey", F.col("running_total").cast(DEC18_2).alias("running_total")
+        "o_custkey", "o_orderkey", F.col("running_total").cast("double").alias("running_total")
     ).orderBy("o_custkey", "o_orderkey")
 
 
@@ -484,14 +484,14 @@ def q18(spark, sf_dir):
 
 @q(
     "q19",
-    """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total_price
+    """SELECT o_orderkey, o_totalprice AS total_price
        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
     "top-k → TakeOrderedAndProject (no global sort shuffle)",
 )
 def q19(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return sort.top_k(
-        o.select("o_orderkey", dec("o_totalprice").alias("total_price"), "o_totalprice"),
+        o.select("o_orderkey", F.col("o_totalprice").alias("total_price"), "o_totalprice"),
         [F.desc("o_totalprice"), F.asc("o_orderkey")],
         100,
     ).select("o_orderkey", "total_price")
@@ -692,9 +692,10 @@ def q28(spark, sf_dir):
     "q29",
     """SELECT lang, COUNT(*) AS n_docs,
               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-              ROUND(AVG(len(string_split(text, ' '))), 2) AS avg_tokens
+              CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens
        FROM documents GROUP BY lang ORDER BY lang""",
-    "per-language corpus stats",
+    "per-language corpus stats; avg = exact-int-sum/count (deterministic "
+    "double, no ROUND half-boundary)",
 )
 def q29(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
@@ -703,7 +704,9 @@ def q29(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
-            F.round(F.avg(F.size(tokens("text"))), 2).alias("avg_tokens"),
+            (F.sum(F.size(tokens("text"))).cast("double") / F.count(F.lit(1))).alias(
+                "avg_tokens"
+            ),
         )
         .orderBy("lang")
     )
@@ -741,7 +744,7 @@ def q30(spark, sf_dir):
     "q31",
     """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start, event_type,
               COUNT(*) AS cnt,
-              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
        FROM events GROUP BY window_start, event_type ORDER BY window_start, event_type""",
     "1-day tumbling window; same plan runs as Structured Streaming "
     "availableNow in tests (batch-equivalence property)",
@@ -753,7 +756,7 @@ def q31(spark, sf_dir):
         "ts",
         "1 day",
         ["event_type"],
-        [F.count(F.lit(1)).alias("cnt"), F.sum(dec("value")).cast(DEC18_2).alias("sum_value")],
+        [F.count(F.lit(1)).alias("cnt"), F.sum(dec("value")).cast("double").alias("sum_value")],
     )
     return agg.select(
         F.col("window.start").alias("window_start"), "event_type", "cnt", "sum_value"
@@ -911,16 +914,22 @@ def q37_lang_id(spark, sf_dir):
                         len(list_intersect(list_distinct(string_split(text,' ')),
                             ['the','and','of','to','in'])) / 2.0), 4) AS quality
          FROM documents)
-       SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(quality), 3) AS avg_quality
+       SELECT lang, COUNT(*) AS n_docs,
+              CAST(SUM(CAST(quality AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_quality
        FROM s GROUP BY lang ORDER BY lang""",
-    "heuristic quality score (length band + alpha ratio + stopword rate)",
+    "heuristic quality score (length band + alpha ratio + stopword rate); "
+    "avg = exact dec4-sum/count — ROUND(AVG,3) of 4-decimal scores lands on "
+    "x.xxx5 half-boundaries (~10%/group) where engines disagree",
 )
 def q38_quality(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (
         d.select("lang", text.quality_score("text").alias("quality"))
         .groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.round(F.avg("quality"), 3).alias("avg_quality"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum(dec4("quality")).cast("double") / F.count(F.lit(1))).alias("avg_quality"),
+        )
         .orderBy("lang")
     )
 
@@ -1044,7 +1053,7 @@ def oracle_sql() -> dict[str, str]:
 @q(
     "q44_pandas_udf",
     """SELECT l_returnflag,
-              CAST(SUM(CAST(0.5 * l_quantity * l_quantity + 2.0 * l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_poly
+              CAST(SUM(CAST(0.5 * l_quantity * l_quantity + 2.0 * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_poly
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "Arrow-batched scalar pandas UDF (the sanctioned Python path — ~10-100x "
     "over row-at-a-time UDFs); pure arithmetic mirrored in the oracle",
@@ -1056,7 +1065,7 @@ def q44_pandas_udf(spark, sf_dir):
     return (
         li.select("l_returnflag", poly_quantity("l_quantity").alias("p"))
         .groupBy("l_returnflag")
-        .agg(F.sum(dec4("p")).cast(DEC18_4).alias("sum_poly"))
+        .agg(F.sum(dec4("p")).cast("double").alias("sum_poly"))
         .orderBy("l_returnflag")
     )
 
@@ -1168,22 +1177,24 @@ def q49_array_funcs(spark, sf_dir):
 @q(
     "q50_stats_agg",
     """SELECT c_mktsegment,
-              CAST(MIN(c_acctbal) AS DECIMAL(18,2)) AS min_bal,
-              CAST(MAX(c_acctbal) AS DECIMAL(18,2)) AS max_bal,
-              ROUND(AVG(c_acctbal), 4) AS avg_bal,
+              MIN(c_acctbal) AS min_bal,
+              MAX(c_acctbal) AS max_bal,
+              CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal,
               ROUND(STDDEV_SAMP(c_acctbal), 4) AS sd_bal,
               ROUND(VAR_SAMP(c_acctbal), 4) AS var_bal
        FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
-    "statistical aggregates: min/max/avg/stddev/variance",
+    "statistical aggregates: min/max/avg/stddev/variance; min/max are raw "
+    "double passthrough, avg = exact dec-sum/count; stddev/var keep ROUND4 "
+    "(full-precision values — boundary measure-zero)",
 )
 def q50_stats_agg(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     return (
         c.groupBy("c_mktsegment")
         .agg(
-            F.min(dec("c_acctbal")).alias("min_bal"),
-            F.max(dec("c_acctbal")).alias("max_bal"),
-            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+            (F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal"),
             F.round(F.stddev_samp("c_acctbal"), 4).alias("sd_bal"),
             F.round(F.var_samp("c_acctbal"), 4).alias("var_bal"),
         )
@@ -1300,8 +1311,8 @@ def q54_grouping_sets(spark, sf_dir):
     """SELECT l_returnflag,
               COUNT(*) FILTER (WHERE l_linestatus = 'F') AS status_F,
               COUNT(*) FILTER (WHERE l_linestatus = 'O') AS status_O,
-              CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS qty_F,
-              CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS qty_O
+              CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_F,
+              CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_O
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "pivot (wide aggregation): groupBy().pivot() with explicit value list — "
     "explicit values keep it one pass (no distinct-scan planning stage)",
@@ -1313,7 +1324,7 @@ def q55_pivot(spark, sf_dir):
         .pivot("l_linestatus", ["F", "O"])
         .agg(
             F.count(F.lit(1)).alias("status"),
-            F.sum(dec("l_quantity")).cast(DEC18_2).alias("qty"),
+            F.sum(dec("l_quantity")).cast("double").alias("qty"),
         )
     )
     return p.select(
@@ -1516,7 +1527,7 @@ def q63_asof_join(spark, sf_dir):
                    ELSE hour_start END AS hour_start,
               CAST(GROUPING(hour_start) AS INT) AS is_daily,
               COUNT(*) AS cnt,
-              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
        FROM (SELECT ts, value,
                     CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour_start
              FROM events)
@@ -1540,7 +1551,7 @@ def q64_time_rollup(spark, sf_dir):
             F.grouping_id().alias("__gid"),
             F.grouping("hour_start").alias("__gh"),
             F.count(F.lit(1)).alias("cnt"),
-            F.sum(dec("value")).cast(DEC18_2).alias("sum_value"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
         )
         .filter(F.col("__gid") < 2)
     )
@@ -1659,7 +1670,7 @@ def q67_funnel(spark, sf_dir):
 @q(
     "q68_salted_join",
     """SELECT o_orderpriority, COUNT(*) AS cnt,
-              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
        FROM orders JOIN customer ON o_custkey = c_custkey
        GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "salted skew join: semantically identical to the plain equi-join (the "
@@ -1673,7 +1684,7 @@ def q68_salted_join(spark, sf_dir):
     j = salted_join(o, c, "custkey", n_salts=8)
     return (
         j.groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("cnt"), dec_sum("o_totalprice", "sum_price"))
+        .agg(F.count(F.lit(1)).alias("cnt"), dec_sum_d("o_totalprice", "sum_price"))
         .orderBy("o_orderpriority")
     )
 
@@ -1767,10 +1778,9 @@ def q71_unpivot(spark, sf_dir):
         .groupBy(F.year("o_orderdate").alias("yr"))
         .agg(
             F.count(F.lit(1)).cast("double").alias("n_orders"),
-            dec_sum("o_totalprice", "total_price"),
+            dec_sum_d("o_totalprice", "total_price"),
             F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
         )
-        .withColumn("total_price", F.col("total_price").cast("double"))
     )
     return (
         wide.unpivot(
@@ -1871,7 +1881,7 @@ def q74_higher_order_fns(spark, sf_dir):
                 SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
          FROM orders GROUP BY 1)
        SELECT spine.d AS d, COALESCE(daily.n, 0) AS n_orders,
-              CAST(COALESCE(daily.s, 0) AS DECIMAL(18,2)) AS sum_price
+              CAST(COALESCE(daily.s, 0) AS DOUBLE) AS sum_price
        FROM spine LEFT JOIN daily ON spine.d = daily.d
        ORDER BY d""",
     "time-series gap fill: generated calendar spine (sequence+explode, no "
@@ -1899,7 +1909,7 @@ def q75_date_spine(spark, sf_dir):
         .select(
             "d",
             F.coalesce(F.col("n"), F.lit(0)).alias("n_orders"),
-            F.coalesce(F.col("s"), F.lit(0)).cast(DEC18_2).alias("sum_price"),
+            F.coalesce(F.col("s"), F.lit(0)).cast("double").alias("sum_price"),
         )
         .orderBy("d")
     )
@@ -1911,7 +1921,7 @@ def q75_date_spine(spark, sf_dir):
               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate
                          RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
-                   AS DECIMAL(18,2)) AS rolling_30d
+                   AS DOUBLE) AS rolling_30d
        FROM orders WHERE o_custkey < 300
        ORDER BY o_custkey, o_orderkey""",
     "time-range rolling window (30-day trailing sum): rangeBetween on epoch "
@@ -1929,7 +1939,7 @@ def q76_range_window(spark, sf_dir):
         .select(
             "o_custkey",
             "o_orderkey",
-            F.sum(dec("o_totalprice")).over(w).cast(DEC18_2).alias("rolling_30d"),
+            F.sum(dec("o_totalprice")).over(w).cast("double").alias("rolling_30d"),
         )
         .orderBy("o_custkey", "o_orderkey")
     )
@@ -1939,7 +1949,7 @@ def q76_range_window(spark, sf_dir):
     "q77_shipping_priority",
     """SELECT l_orderkey,
               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
-                   AS DECIMAL(18,4)) AS revenue,
+                   AS DOUBLE) AS revenue,
               o_orderdate, o_orderpriority
        FROM customer
        JOIN orders ON c_custkey = o_custkey
@@ -1975,9 +1985,7 @@ def q77_shipping_priority(spark, sf_dir):
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC18_4)
-            ).cast(DEC18_4).alias("revenue")
+            dec4_sum_d(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -1988,8 +1996,8 @@ def q77_shipping_priority(spark, sf_dir):
 @q(
     "q78_large_orders",
     """SELECT c_custkey, o_orderkey, o_orderdate,
-              CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice,
-              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+              o_totalprice AS totalprice,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
        FROM customer
        JOIN orders ON c_custkey = o_custkey
        JOIN lineitem ON o_orderkey = l_orderkey
@@ -2018,12 +2026,12 @@ def q78_large_orders(spark, sf_dir):
         o.join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(dec("l_quantity")).cast(DEC18_2).alias("sum_qty"))
+        .agg(F.sum(dec("l_quantity")).cast("double").alias("sum_qty"))
         .select(
             "c_custkey",
             "o_orderkey",
             "o_orderdate",
-            F.col("o_totalprice").cast(DEC18_2).alias("totalprice"),
+            F.col("o_totalprice").alias("totalprice"),
             "sum_qty",
         )
         .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
@@ -2047,9 +2055,9 @@ _ARGKEY_FMT = "%020.4f|%020d"
     "q79_arg_min_max",
     """SELECT c_mktsegment,
               arg_max(o_orderkey, printf('%020.4f|%020d', o_totalprice, o_orderkey)) AS top_orderkey,
-              CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS top_totalprice,
+              MAX(o_totalprice) AS top_totalprice,
               arg_min(o_orderkey, printf('%020.4f|%020d', o_totalprice, o_orderkey)) AS bottom_orderkey,
-              CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS bottom_totalprice
+              MIN(o_totalprice) AS bottom_totalprice
        FROM orders JOIN customer ON o_custkey = c_custkey
        GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "min_by/max_by (arg-min/max) aggregates with a deterministic "
@@ -2064,9 +2072,9 @@ def q79_arg_min_max(spark, sf_dir):
         .groupBy("c_mktsegment")
         .agg(
             F.max_by("o_orderkey", key).alias("top_orderkey"),
-            F.max(F.col("o_totalprice")).cast(DEC18_2).alias("top_totalprice"),
+            F.max("o_totalprice").alias("top_totalprice"),
             F.min_by("o_orderkey", key).alias("bottom_orderkey"),
-            F.min(F.col("o_totalprice")).cast(DEC18_2).alias("bottom_totalprice"),
+            F.min("o_totalprice").alias("bottom_totalprice"),
         )
         .orderBy("c_mktsegment")
     )
@@ -2078,7 +2086,7 @@ def q79_arg_min_max(spark, sf_dir):
                         WHEN o_totalprice >= 500000 THEN 11
                         ELSE FLOOR(o_totalprice / 50000.0) + 1 END AS BIGINT) AS bucket,
               COUNT(*) AS cnt,
-              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
               CAST(bit_and(o_orderkey) AS BIGINT) AS key_and,
               CAST(bit_or(o_orderkey) AS BIGINT) AS key_or,
               CAST(bit_xor(o_orderkey) AS BIGINT) AS key_xor
@@ -2096,7 +2104,7 @@ def q80_histogram_bitwise(spark, sf_dir):
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            dec_sum("o_totalprice", "sum_price"),
+            dec_sum_d("o_totalprice", "sum_price"),
             F.bit_and("o_orderkey").cast("long").alias("key_and"),
             F.bit_or("o_orderkey").cast("long").alias("key_or"),
             F.bit_xor("o_orderkey").cast("long").alias("key_xor"),
@@ -2198,7 +2206,7 @@ def q82_string_extended(spark, sf_dir):
                             THEN 1 ELSE 0 END) AS BIGINT) AS low_count,
               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
                             THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
-                            ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS high_revenue
+                            ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS high_revenue
        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        GROUP BY l_returnflag ORDER BY l_returnflag""",
     "TPC-H Q12 shape: conditional (CASE-gated) counts and sums in one "
@@ -2218,7 +2226,7 @@ def q83_conditional_agg(spark, sf_dir):
             F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_count"),
             F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_count"),
             F.sum(F.when(high, rev).otherwise(F.lit(0).cast(DEC18_4)))
-            .cast(DEC18_4)
+            .cast("double")
             .alias("high_revenue"),
         )
         .orderBy("l_returnflag")
@@ -2231,8 +2239,8 @@ def q83_conditional_agg(spark, sf_dir):
                          p_type
                   FROM lineitem JOIN part ON l_partkey = p_partkey)
        SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev
-                            ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS promo_revenue,
-              CAST(SUM(rev) AS DECIMAL(18,4)) AS total_revenue,
+                            ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
+              CAST(SUM(rev) AS DOUBLE) AS total_revenue,
               ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev
                                           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
                     / CAST(SUM(rev) AS DOUBLE), 4) AS promo_pct
@@ -2256,8 +2264,8 @@ def q84_promo_revenue(spark, sf_dir):
     ).cast(DEC18_4)
     total = F.sum("rev").cast(DEC18_4)
     return j.agg(
-        promo.alias("promo_revenue"),
-        total.alias("total_revenue"),
+        promo.cast("double").alias("promo_revenue"),
+        total.cast("double").alias("total_revenue"),
         F.round(
             100.0 * promo.cast("double") / total.cast("double"), 4
         ).alias("promo_pct"),
@@ -2267,7 +2275,7 @@ def q84_promo_revenue(spark, sf_dir):
 @q(
     "q85_disjunctive_join",
     """SELECT COUNT(*) AS cnt,
-              CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+              CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
        FROM lineitem JOIN part ON l_partkey = p_partkey AND (
          (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21) OR
          (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 40) OR
@@ -2289,19 +2297,18 @@ def q85_disjunctive_join(spark, sf_dir):
     )
     return li.join(F.broadcast(p), cond).agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.sum(dec4(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
-        .cast(DEC18_4)
-        .alias("revenue"),
+        dec4_sum_d(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
     )
 
 
 @q(
     "q86_rich_inactive",
-    """WITH ab AS (SELECT ROUND(AVG(c_acctbal), 4) AS avg_bal
+    """WITH ab AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                          / COUNT(*) AS avg_bal
                    FROM customer WHERE c_acctbal > 0.0)
        SELECT substring(c_name, -1, 1) AS tail,
               COUNT(*) AS numcust,
-              CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS totacctbal
+              CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
        FROM customer, ab
        WHERE c_acctbal > ab.avg_bal
          AND NOT EXISTS (SELECT 1 FROM orders
@@ -2309,15 +2316,15 @@ def q85_disjunctive_join(spark, sf_dir):
                            AND o_orderpriority = '1-URGENT')
        GROUP BY tail ORDER BY tail""",
     "TPC-H Q22 shape: scalar-subquery threshold (broadcast 1-row cross join) "
-    "+ anti join on a filtered subquery; avg rounded at scale 4 so both "
-    "engines compare against the identical threshold",
+    "+ anti join on a filtered subquery; threshold = exact dec-sum/count so "
+    "both engines compare against the bit-identical double",
 )
 def q86_rich_inactive(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     avg_bal = (
         c.filter(F.col("c_acctbal") > 0.0)
-        .agg(F.round(F.avg("c_acctbal"), 4).alias("avg_bal"))
+        .agg((F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal"))
     )
     urgent = (
         o.filter(F.col("o_orderpriority") == "1-URGENT")
@@ -2330,7 +2337,7 @@ def q86_rich_inactive(spark, sf_dir):
         .groupBy(F.substring("c_name", -1, 1).alias("tail"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            dec_sum("c_acctbal", "totacctbal"),
+            dec_sum_d("c_acctbal", "totacctbal"),
         )
         .orderBy("tail")
     )
@@ -2341,7 +2348,7 @@ def q86_rich_inactive(spark, sf_dir):
     """WITH m AS (SELECT p_brand, MIN(p_retailprice) AS minp
                   FROM part GROUP BY p_brand)
        SELECT p.p_brand, p.p_partkey,
-              CAST(p.p_retailprice AS DECIMAL(18,2)) AS price
+              p.p_retailprice AS price
        FROM part p JOIN m ON p.p_brand = m.p_brand AND p.p_retailprice = m.minp
        ORDER BY p.p_brand, p.p_partkey""",
     "TPC-H Q2 shape: correlated-min subquery rewritten as aggregate + "
@@ -2362,7 +2369,7 @@ def q87_min_per_group_joinback(spark, sf_dir):
             & (F.col("p_retailprice") == F.col("minp")),
         )
         .select(
-            "p_brand", "p_partkey", F.col("p_retailprice").cast(DEC18_2).alias("price")
+            "p_brand", "p_partkey", F.col("p_retailprice").alias("price")
         )
         .orderBy("p_brand", "p_partkey")
     )
@@ -2490,7 +2497,7 @@ def q89_quality_signals(spark, sf_dir):
                        SELECT DISTINCT CAST(date_trunc('day', ts) - INTERVAL 1 DAY AS TIMESTAMP) FROM e)
        SELECT s.ws AS window_start,
               COUNT(*) AS cnt,
-              CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+              CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
        FROM e JOIN starts s ON e.ts >= s.ws AND e.ts < s.ws + INTERVAL 2 DAY
        GROUP BY window_start ORDER BY window_start""",
     "2-day window sliding by 1 day (each event lands in 2 windows): Spark "
@@ -2503,7 +2510,7 @@ def q90_sliding_window(spark, sf_dir):
         e.groupBy(F.window("ts", "2 days", "1 day").alias("window"))
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum(dec("value")).cast(DEC18_2).alias("sum_value"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
         )
         .select(F.col("window.start").alias("window_start"), "cnt", "sum_value")
         .orderBy("window_start")
@@ -2570,7 +2577,7 @@ def q92_forward_fill(spark, sf_dir):
 # the oracle) — a single constant so the two sides can never drift
 _Q93_SQL = """SELECT n_nationkey, n_name,
               (SELECT COUNT(*) FROM customer WHERE c_nationkey = n_nationkey) AS ncust,
-              (SELECT CAST(MAX(c_acctbal) AS DECIMAL(18,2)) FROM customer
+              (SELECT MAX(c_acctbal) FROM customer
                WHERE c_nationkey = n_nationkey) AS top_bal
        FROM nation ORDER BY n_nationkey"""
 
@@ -2670,27 +2677,26 @@ def q95_multi_exists(spark, sf_dir):
 @q(
     "q96_global_threshold",
     """WITH sums AS (SELECT l_partkey,
-                            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS value
+                            SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS value_dec
                      FROM lineitem GROUP BY l_partkey),
-            thr AS (SELECT ROUND(CAST(SUM(value) AS DOUBLE) * 0.0005, 4) AS t FROM sums)
-       SELECT l_partkey, value
+            thr AS (SELECT CAST(SUM(value_dec) AS DOUBLE) * 0.0005 AS t FROM sums)
+       SELECT l_partkey, CAST(value_dec AS DOUBLE) AS value
        FROM sums, thr
-       WHERE CAST(value AS DOUBLE) > thr.t
+       WHERE CAST(value_dec AS DOUBLE) > thr.t
        ORDER BY value DESC, l_partkey""",
     "TPC-H Q11 shape: per-group sums filtered against a fraction of the "
     "GLOBAL total (scalar aggregate subquery, broadcast 1-row cross join); "
-    "threshold rounded at scale 4 so both engines compare identically",
+    "exact decimal sums everywhere, so the unrounded double threshold is "
+    "bit-identical across engines",
 )
 def q96_global_threshold(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
-    sums = li.groupBy("l_partkey").agg(dec_sum("l_extendedprice", "value"))
-    thr = sums.agg(
-        F.round(F.sum("value").cast("double") * 0.0005, 4).alias("t")
-    )
+    sums = li.groupBy("l_partkey").agg(F.sum(dec("l_extendedprice")).alias("value_dec"))
+    thr = sums.agg((F.sum("value_dec").cast("double") * 0.0005).alias("t"))
     return (
         sums.crossJoin(F.broadcast(thr))
-        .filter(F.col("value").cast("double") > F.col("t"))
-        .select("l_partkey", "value")
+        .filter(F.col("value_dec").cast("double") > F.col("t"))
+        .select("l_partkey", F.col("value_dec").cast("double").alias("value"))
         .orderBy(F.desc("value"), F.asc("l_partkey"))
     )
 
@@ -2727,7 +2733,7 @@ def q97_chunking(spark, sf_dir):
     "q98_volume_shipping",
     """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
               CAST(year(l.l_shipdate) AS INT) AS yr,
-              CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+              CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
        FROM lineitem l
        JOIN supplier s ON s.s_suppkey = l.l_suppkey
        JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -2765,11 +2771,7 @@ def q98_volume_shipping(spark, sf_dir):
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("yr")
         )
-        .agg(
-            F.sum(dec4(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
-            .cast(DEC18_4)
-            .alias("revenue")
-        )
+        .agg(dec4_sum_d(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
         .orderBy("supp_nation", "cust_nation", "yr")
     )
 
@@ -2777,7 +2779,7 @@ def q98_volume_shipping(spark, sf_dir):
 @q(
     "q99_returned_items",
     """SELECT c.c_custkey, c.c_name, n.n_name,
-              CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+              CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
        FROM customer c
        JOIN orders o ON o.o_custkey = c.c_custkey
        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -2804,11 +2806,7 @@ def q99_returned_items(spark, sf_dir):
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(
-            F.sum(dec4(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
-            .cast(DEC18_4)
-            .alias("revenue")
-        )
+        .agg(dec4_sum_d(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
@@ -2985,9 +2983,9 @@ def q104_map_functions(spark, sf_dir):
     "q105_try_functions",
     """SELECT o_orderpriority,
               COUNT(*) AS cnt,
-              SUM(CAST(CASE WHEN o_custkey % 7 = 0 THEN NULL
+              CAST(SUM(CAST(CASE WHEN o_custkey % 7 = 0 THEN NULL
                             ELSE o_totalprice / (o_custkey % 7) END
-                       AS DECIMAL(18,4))) AS sum_ratio,
+                       AS DECIMAL(18,4))) AS DOUBLE) AS sum_ratio,
               CAST(count_if(o_custkey % 7 = 0) AS BIGINT) AS null_ratio_cnt,
               CAST(MIN(TRY_CAST(split_part(o_orderpriority, '-', 1) AS INT)) AS INT)
                   AS pri_num,
@@ -3017,7 +3015,7 @@ def q105_try_functions(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum("r").alias("sum_ratio"),
+            F.sum("r").cast("double").alias("sum_ratio"),
             F.count_if("z").alias("null_ratio_cnt"),
             F.min("p").alias("pri_num"),
             F.count("t").alias("third_part_cnt"),
@@ -3028,7 +3026,7 @@ def q105_try_functions(spark, sf_dir):
 
 @q(
     "q106_stack_long",
-    """SELECT metric, COUNT(*) AS cnt, SUM(val) AS total
+    """SELECT metric, COUNT(*) AS cnt, CAST(SUM(val) AS DOUBLE) AS total
        FROM (SELECT 'custkey' AS metric, CAST(o_custkey AS DECIMAL(18,2)) AS val
              FROM orders
              UNION ALL
@@ -3047,7 +3045,7 @@ def q106_stack_long(spark, sf_dir):
             "'totalprice', CAST(o_totalprice AS DECIMAL(18,2))) AS (metric, val)"
         )
         .groupBy("metric")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("val").alias("total"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("val").cast("double").alias("total"))
         .orderBy("metric")
     )
 
@@ -3151,7 +3149,7 @@ def q109_variant_extract(spark, sf_dir):
 @q(
     "q110_lateral_topk",
     """SELECT n_name, c.c_custkey,
-              CAST(c.c_acctbal AS DECIMAL(18,2)) AS acctbal
+              c.c_acctbal AS acctbal
        FROM nation,
        LATERAL (SELECT c_custkey, c_acctbal FROM customer
                 WHERE c_nationkey = n_nationkey
@@ -3167,7 +3165,7 @@ def q110_lateral_topk(spark, sf_dir):
         _t(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(
         """SELECT n_name, c.c_custkey,
-                  CAST(c.c_acctbal AS DECIMAL(18,2)) AS acctbal
+                  c.c_acctbal AS acctbal
            FROM nation,
            LATERAL (SELECT c_custkey, c_acctbal FROM customer
                     WHERE c_nationkey = n_nationkey
@@ -3226,7 +3224,7 @@ def q112_mode_deterministic(spark, sf_dir):
 @q(
     "q113_sql_pipe",
     """SELECT o_orderpriority, COUNT(*) AS cnt,
-              SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
        FROM orders WHERE o_orderdate >= DATE '1995-01-01'
        GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "SQL pipe syntax (|> WHERE / |> AGGREGATE ... GROUP BY / |> ORDER BY, "
@@ -3239,7 +3237,7 @@ def q113_sql_pipe(spark, sf_dir):
         """FROM orders
            |> WHERE o_orderdate >= DATE '1995-01-01'
            |> AGGREGATE COUNT(*) AS cnt,
-                        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+                        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
               GROUP BY o_orderpriority
            |> SELECT o_orderpriority, cnt, total
            |> ORDER BY o_orderpriority"""
