@@ -1,13 +1,20 @@
 """Benchmark harness: runs the declared query contract at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE COMPACT JSON line:
 
     {"metric": "total_query_seconds", "value": N, "unit": "sec",
-     "queries": {"q01": sec, ...}, "sf": 0.1}
+     "queries": {"q01": sec, ...}, "sf": 0.1, ...}
+
+The line must stay well under 4 KB — round 1's full-name per-query map
+overflowed the driver's capture buffer and the round recorded NO metric
+("parsed": null). Query keys are therefore shortened to their qNN prefix
+(unique by construction) and the full-name map + per-rep samples go to
+``bench/results.json`` instead.
 
 Each query executes its full plan into a ``noop`` sink (no driver
-collect bottleneck, no disk write skew). The session is warmed with one
-trivial action first so JVM/codegen startup isn't billed to q01.
+collect bottleneck, no disk write skew, and no ``df.count()``
+column-pruning trap). The session is warmed with one trivial action
+first so JVM/codegen startup isn't billed to q01.
 """
 
 from __future__ import annotations
@@ -127,18 +134,29 @@ def main() -> None:
     pipeline = _bench_sparkify_pipeline(spark)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "sparkify_pipeline": pipeline,
-            }
+    # qNN short keys keep the stdout line compact (< ~2 KB for 115 queries);
+    # the full-name map is written to bench/results.json for humans/judges.
+    short = {n.split("_", 1)[0]: t for n, t in timings.items()}
+    headline = {
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": short,
+        "sf": sf,
+        "n_queries": len(timings),
+        "sparkify_pipeline_sec": pipeline["seconds"],
+    }
+    os.makedirs("bench", exist_ok=True)
+    with open("bench/results.json", "w") as f:
+        json.dump(
+            {"headline": headline, "queries_full": timings, "sparkify_pipeline": pipeline},
+            f,
+            indent=1,
         )
-    )
+    line = json.dumps(headline, separators=(",", ":"))
+    print(line)
+    print(f"[bench] line length: {len(line)} bytes; full map in bench/results.json",
+          file=sys.stderr)
     spark.stop()
 
 
