@@ -40,9 +40,19 @@ _NORMALIZE_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one parquet table. Column pruning + predicate pushdown are left to
     Catalyst — callers express plans declaratively."""
-    if name in _NORMALIZE_TS_COLS:
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        df = spark.read.parquet(path)
+    except Exception as e:  # PARQUET_TYPE_ILLEGAL on TIMESTAMP(NANOS)
+        # Only fall back to the legacy nanos-as-long conf for tables we
+        # explicitly normalize: the conf is session-global and must STAY set
+        # for the lazy scan to execute, so setting it eagerly for every load
+        # would make any OTHER nanos-typed column silently read as bigint
+        # instead of failing loudly here (ADVICE r1).
+        if name not in _NORMALIZE_TS_COLS or "PARQUET_TYPE_ILLEGAL" not in str(e):
+            raise
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = spark.read.parquet(path)
     for col in _NORMALIZE_TS_COLS.get(name, ()):
         dtype = dict(df.dtypes).get(col)
         if dtype == "bigint":

@@ -226,6 +226,72 @@ def minhash_lsh_candidate_pairs(
     return pairs
 
 
+def prefix_filter_candidate_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 1,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT candidate superset for ``jaccard >= threshold`` pairs via prefix
+    filtering (the AllPairs/PPJoin family — Bayardo et al., WWW'07).
+
+    Under any global total order on shingles, if ``J(a,b) >= t`` then the
+    globally-smallest element of ``a ∩ b`` must lie within the first
+    ``|s| - ceil(t*|s|) + 1`` elements of BOTH sets (otherwise the
+    intersection fits in a suffix smaller than ``t*|s|``, contradicting
+    ``|a∩b| >= t*max(|a|,|b|)``). So joining exploded prefixes on the
+    shingle catches every qualifying pair — deterministically, unlike
+    MinHash/LSH banding whose per-pair recall is < 1 (a probabilistic
+    candidate set cannot sit inside an exact-hash oracle gate).
+
+    Scale shape: each doc explodes to only its prefix (~(1-t)·|s| rows),
+    the join shuffles on the shingle hash, and a length filter
+    (``t·|a| <= |b| <= |a|/t``) prunes within buckets before the distinct.
+    The global order here is ``xxhash64`` (deterministic, uniform); the
+    classic ascending-document-frequency order is a drop-in refinement that
+    shrinks hot buckets further at 100 TB.
+
+    Output: distinct ``(id_a, id_b)`` with ``id_a < id_b`` — feed to
+    :func:`ngram_jaccard_pairs` as ``candidates`` for exact verification.
+    """
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        _shingles(F.col(text_col), n).alias("__sh"),
+    ).withColumn("__n", F.size("__sh"))
+    # order shingles by hash, then keep the prefix. floor((1-t)*n)+1 with a
+    # +1e-9 epsilon: float error may only ENLARGE the prefix (safe); the
+    # ceil-based form could shrink it by one and silently drop true pairs.
+    ordered = F.transform(
+        F.array_sort(
+            F.transform(F.col("__sh"), lambda s: F.struct(F.xxhash64(s).alias("h"), s.alias("s")))
+        ),
+        lambda st: st["h"],
+    )
+    plen = (F.floor((1.0 - threshold) * F.col("__n") + 1e-9) + 1).cast("int")
+    pref = sh.select(
+        "__id",
+        "__n",
+        F.explode(F.slice(ordered, 1, plen)).alias("__tok"),
+    )
+    a = pref.select(
+        F.col("__id").alias("id_a"), F.col("__n").alias("__na"), "__tok"
+    )
+    b = pref.select(
+        F.col("__id").alias("id_b"), F.col("__n").alias("__nb"), "__tok"
+    )
+    return (
+        a.join(b, "__tok")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("__nb") * threshold <= F.col("__na"))
+            & (F.col("__na") * threshold <= F.col("__nb"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,

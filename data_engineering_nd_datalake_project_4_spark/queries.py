@@ -818,11 +818,17 @@ def q33_exact_dedup(spark, sf_dir):
        WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
              / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
        ORDER BY id_a, id_b""",
-    "exact n-gram (n=1) Jaccard near-dup pairs; LSH candidates prune this at scale",
+    "exact n-gram (n=1) Jaccard near-dup pairs, candidate-pruned by an exact "
+    "prefix-filter similarity join (AllPairs/PPJoin) — bucketed shingle join "
+    "instead of a cross join, provably identical to the all-pairs oracle "
+    "(LSH stays in q35: its probabilistic recall can't sit in an exact gate)",
 )
 def q34_unigram_jaccard(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    pairs = dedup.ngram_jaccard_pairs(d, "text", "doc_id", n=1, threshold=0.8)
+    cand = dedup.prefix_filter_candidate_pairs(d, "text", "doc_id", n=1, threshold=0.8)
+    pairs = dedup.ngram_jaccard_pairs(
+        d, "text", "doc_id", n=1, threshold=0.8, candidates=cand
+    )
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 3).alias("jac")
     ).orderBy("id_a", "id_b")
@@ -979,11 +985,16 @@ def q40_fingerprints(spark, sf_dir):
        FROM e a JOIN e b ON a.vec_id < b.vec_id
        WHERE list_cosine_similarity(a.emb, b.emb) >= 0.8
        ORDER BY id_a, id_b""",
-    "embedding-cosine near-duplicate pairs (exact, bounded subset)",
+    "embedding-cosine near-duplicate pairs via the blocked-matmul scale path "
+    "(cogroup block pairs + one numpy GEMM per block pair, threshold applied "
+    "in-task) — identical row set to the per-pair Catalyst kernel, which "
+    "tests/test_scale_ops assert set-equal",
 )
 def q41_embedding_near_dup(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
-    pairs = dedup.embedding_near_dup_pairs(e, "embedding", "vec_id", threshold=0.8)
+    pairs = similarity.blocked_all_pairs_cosine(
+        e, "vec_id", "embedding", threshold=0.8, block_size=256
+    )
     return pairs.select(
         "id_a", "id_b", F.round("cosine", 3).alias("cos_sim")
     ).orderBy("id_a", "id_b")

@@ -26,6 +26,34 @@ def read_file_stream(
     return reader.load(path)
 
 
+def read_rate_stream(
+    spark: SparkSession,
+    rows_per_second: int = 10,
+    num_partitions: int | None = None,
+    micro_batch: bool = False,
+    rows_per_batch: int | None = None,
+) -> DataFrame:
+    """Built-in rate source (SURVEY §2.2 J "file/rate source"): synthetic
+    ``(timestamp, value)`` rows for load tests and pipeline smoke runs.
+
+    ``micro_batch=True`` selects the ``rate-micro-batch`` provider, which
+    emits exactly ``rows_per_batch`` rows per trigger — deterministic row
+    counts (the plain ``rate`` provider is wall-clock-driven), which is what
+    tests and reproducible load generators want.
+    """
+    if micro_batch:
+        reader = spark.readStream.format("rate-micro-batch").option(
+            "rowsPerBatch", str(rows_per_batch or rows_per_second)
+        )
+    else:
+        reader = spark.readStream.format("rate").option(
+            "rowsPerSecond", str(rows_per_second)
+        )
+    if num_partitions:
+        reader = reader.option("numPartitions", str(num_partitions))
+    return reader.load()
+
+
 def tumbling_agg(
     df: DataFrame,
     ts_col: str,

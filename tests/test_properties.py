@@ -76,6 +76,27 @@ def test_minhash_lsh_full_recall_on_identical_token_sets(spark, sf_dir, planted_
     assert not missed, f"LSH missed {len(missed)} planted pairs: {sorted(missed)[:5]}"
 
 
+def test_prefix_filter_candidates_are_exact_superset(spark, sf_dir):
+    """Prefix filtering is EXACT: its candidate set must contain every pair
+    with jaccard >= t (guaranteed by construction, unlike LSH banding), and
+    chaining it into ngram_jaccard_pairs must reproduce the all-pairs result
+    verbatim — this is what lets q34 keep its exact all-pairs oracle."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    full = dedup.ngram_jaccard_pairs(d, "text", "doc_id", n=1, threshold=0.8)
+    truth = {(r["id_a"], r["id_b"]) for r in full.collect()}
+
+    cand = dedup.prefix_filter_candidate_pairs(d, "text", "doc_id", n=1, threshold=0.8)
+    cset = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    missed = truth - cset
+    assert not missed, f"prefix filter missed true pairs: {sorted(missed)[:5]}"
+
+    chained = dedup.ngram_jaccard_pairs(
+        d, "text", "doc_id", n=1, threshold=0.8, candidates=cand
+    )
+    got = {(r["id_a"], r["id_b"]) for r in chained.collect()}
+    assert got == truth
+
+
 def test_simhash_zero_distance_on_identical_token_sets(spark, sf_dir, planted_dup_pairs):
     d = load_table(spark, sf_dir, "documents")
     fp = d.select("doc_id", simhash64(F.col("text"), shingle_n=1).alias("fp"))

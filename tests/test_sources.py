@@ -79,3 +79,51 @@ def test_text_source_reads_lines(spark, tmp_path):
     assert got == ["alpha", "beta", "gamma"]
     whole = read_text(spark, str(p), whole=True).collect()
     assert len(whole) == 1 and whole[0]["value"].startswith("alpha")
+
+
+def test_object_store_style_roundtrip(spark, sf_dir, tmp_path):
+    """The reference's day-1 path: write partitioned parquet to a BUCKET-style
+    URI and read it back through the same API (reference R04/R07,
+    /root/reference/etl.py:259, spark_setup.py:20-23). No credentials exist in
+    this container, so a file:// root stands in for s3a:// — what this
+    exercises is the URI-qualified path handling (scheme parsing, partition
+    discovery under a qualified root, overwrite semantics) that a real
+    object store goes through, minus the network."""
+    from data_engineering_nd_datalake_project_4_spark.sources import read_parquet
+    from data_engineering_nd_datalake_project_4_spark.sources.sinks import write_parquet
+
+    bucket_root = f"file://{tmp_path}/lake-bucket/warehouse"
+    nation = load_table(spark, sf_dir, "nation")
+    write_parquet(nation, f"{bucket_root}/nation", partition_by=["n_regionkey"])
+    # overwrite must replace, not append
+    write_parquet(nation, f"{bucket_root}/nation", partition_by=["n_regionkey"])
+    back = read_parquet(spark, f"{bucket_root}/nation")
+    a = sorted(tuple(r) for r in nation.collect())
+    b = sorted(
+        tuple(r)
+        for r in back.select(*nation.columns)
+        .withColumn("n_regionkey", F.col("n_regionkey").cast("long"))
+        .collect()
+    )
+    assert a == b
+
+
+def test_rate_stream_micro_batch_deterministic(spark, tmp_path):
+    """rate-micro-batch emits exactly rowsPerBatch rows per trigger — one
+    trigger(once) batch gives a deterministic count with (timestamp, value)
+    schema (SURVEY §2.2 J rate source)."""
+    from data_engineering_nd_datalake_project_4_spark.streaming import read_rate_stream
+
+    stream = read_rate_stream(spark, micro_batch=True, rows_per_batch=7, num_partitions=2)
+    assert stream.isStreaming
+    assert [f.name for f in stream.schema.fields] == ["timestamp", "value"]
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rate_smoke")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(once=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.table("rate_smoke").count() == 7
