@@ -52,13 +52,19 @@ def bpe_ish_token_count(text_col: Column | str) -> Column:
 
 
 def text_stats(df: DataFrame, text_col: str = "text", group_col: str = "lang") -> DataFrame:
-    """Per-group corpus stats: doc count, char sum, avg token count."""
+    """Per-group corpus stats: doc count, char sum, avg token count.
+
+    avg = exact integer-sum / count (deterministic double) — never
+    ``ROUND(AVG, k)`` of integer data, whose x.xx5 averages land on
+    half-boundaries where Spark and DuckDB rounding disagree."""
     return (
         df.groupBy(group_col)
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.length(text_col)).alias("total_chars"),
-            F.round(F.avg(token_count(text_col)), 2).alias("avg_tokens"),
+            (F.sum(token_count(text_col)).cast("double") / F.count(F.lit(1))).alias(
+                "avg_tokens"
+            ),
         )
     )
 

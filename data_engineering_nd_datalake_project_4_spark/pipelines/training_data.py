@@ -61,11 +61,17 @@ def curate(
 
 
 def corpus_stats(survivors: DataFrame, group_col: str = "lang") -> DataFrame:
+    # avg = exact dec4-sum / count: ROUND(AVG, 3) of 4-decimal quality scores
+    # sits on x.xxx5 half-boundaries where Spark and DuckDB rounding disagree
+    from data_engineering_nd_datalake_project_4_spark.functions import dec4
+
     return (
         survivors.groupBy(group_col)
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("quality"), 3).alias("avg_quality"),
+            (F.sum(dec4("quality")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_quality"
+            ),
             F.sum("n_tokens").alias("total_tokens"),
         )
         .orderBy(group_col)

@@ -1409,7 +1409,7 @@ def q57_blocked_near_dup(spark, sf_dir):
        keep AS (SELECT MIN(doc_id) AS doc_id FROM canon GROUP BY ck),
        survivors AS (SELECT c.* FROM canon c JOIN keep k ON c.doc_id = k.doc_id)
        SELECT lang, COUNT(*) AS n_docs,
-              ROUND(AVG(quality), 3) AS avg_quality,
+              CAST(SUM(CAST(quality AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_quality,
               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
        FROM survivors GROUP BY lang ORDER BY lang""",
     "end-to-end curation pipeline: score -> quality filter -> exact dedup "
@@ -1773,7 +1773,8 @@ def q70_fuzzy_match(spark, sf_dir):
          SELECT YEAR(o_orderdate) AS yr,
                 CAST(COUNT(*) AS DOUBLE) AS n_orders,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
-                ROUND(AVG(o_totalprice), 4) AS avg_price
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                    / COUNT(*) AS avg_price
          FROM orders GROUP BY YEAR(o_orderdate))
        SELECT yr, measure, val FROM (
          SELECT yr, 'n_orders' AS measure, n_orders AS val FROM wide
@@ -1790,7 +1791,9 @@ def q71_unpivot(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).cast("double").alias("n_orders"),
             dec_sum_d("o_totalprice", "total_price"),
-            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            (F.sum(dec4("o_totalprice")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_price"
+            ),
         )
     )
     return (
