@@ -90,6 +90,18 @@ def test_no_accidental_nested_loop_joins(spark, sf_dir):
     assert not offenders, f"unexpected nested-loop joins in: {offenders}"
 
 
+def test_q34_jaccard_is_bucketed_not_cartesian(spark, sf_dir):
+    """q34's Jaccard verification must run over prefix-filter candidates
+    (hash join on the exploded shingle prefix), never the all-pairs
+    id_a < id_b cross join — a CartesianProduct here is the O(n²)
+    scale-killer the prefix filter exists to prevent."""
+    plan = plans.explain_str(
+        REGISTRY["q34_unigram_jaccard"].spark_fn(spark, sf_dir), "simple"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_q85_disjunctive_join_is_hash_join(spark, sf_dir):
     """Catalyst must extract the common l_partkey = p_partkey equi-key from
     the OR-of-conjuncts predicate and plan a broadcast hash join with the
