@@ -376,6 +376,59 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_near_dup_pairs(
+    fp_df: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """EXACT SimHash near-dup pairs (``hamming <= max_hamming``) via
+    pigeonhole banding (Manku et al., WWW'07): split the 64-bit fingerprint
+    into ``max_hamming + 1`` contiguous bands — two fingerprints differing
+    in at most ``max_hamming`` bits must agree on at least one whole band,
+    so a band-bucket equi-join is a GUARANTEED candidate superset and the
+    hamming verify makes the result identical to the all-pairs computation.
+
+    Scale shape: each doc explodes to k band rows (k = max_hamming+1, band
+    value = 8-byte key), shuffle on (band index, band value), candidates
+    deduped, then one bit_count(xor) per candidate. Random band agreement
+    is ~2^-width per band, so the candidate set shrinks toward true
+    near-dups as width = 64/k grows — pick the smallest ``max_hamming``
+    the application tolerates.
+
+    Output: ``id_a, id_b, hamming`` with ``id_a < id_b``.
+    """
+    k = max_hamming + 1
+    if k > 64:
+        raise ValueError("max_hamming must be < 64")
+    widths = [64 // k + (1 if i < 64 % k else 0) for i in range(k)]
+    offsets = [sum(widths[:i]) for i in range(k)]
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("b"),
+                F.shiftrightunsigned(F.col(fp_col), offsets[i])
+                .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                .alias("v"),
+            )
+            for i in range(k)
+        ]
+    )
+    e = fp_df.select(F.col(id_col).alias("__id"), F.col(fp_col).alias("__fp"), F.explode(bands).alias("__band"))
+    a = e.select(F.col("__id").alias("id_a"), F.col("__fp").alias("__fpa"), "__band")
+    b = e.select(F.col("__id").alias("id_b"), F.col("__fp").alias("__fpb"), "__band")
+    cand = (
+        a.join(b, "__band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__fpa", "__fpb")
+        .distinct()
+    )
+    return (
+        cand.select("id_a", "id_b", hamming64(F.col("__fpa"), F.col("__fpb")).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str,

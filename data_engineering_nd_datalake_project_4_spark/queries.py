@@ -854,19 +854,16 @@ def q35_minhash_lsh(spark, sf_dir):
 @q(
     "q36_simhash",
     None,
-    "SimHash near-dup pairs at hamming ≤ 8 among doc_id<300 (xxhash64-based "
-    "fingerprint — not expressible in the oracle; property-tested)",
+    "SimHash near-dup pairs at hamming ≤ 8 among doc_id<300, paired via "
+    "pigeonhole banding (9 bands: any pair within 8 bits shares a band — "
+    "an exact candidate superset, so the result is identical to all-pairs; "
+    "property-tested). xxhash64-based fingerprint — not oracle-expressible",
 )
 def q36_simhash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     fp = dedup.simhash_fingerprints(d, "text", "doc_id", shingle_n=1)
-    a = fp.select(F.col("doc_id").alias("id_a"), F.col("fp").alias("fp_a"))
-    b = fp.select(F.col("doc_id").alias("id_b"), F.col("fp").alias("fp_b"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", dedup.hamming64(F.col("fp_a"), F.col("fp_b")).alias("hamming"))
-        .filter(F.col("hamming") <= 8)
-        .orderBy("id_a", "id_b")
+    return dedup.simhash_near_dup_pairs(fp, "doc_id", "fp", max_hamming=8).orderBy(
+        "id_a", "id_b"
     )
 
 

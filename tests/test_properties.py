@@ -97,6 +97,29 @@ def test_prefix_filter_candidates_are_exact_superset(spark, sf_dir):
     assert got == truth
 
 
+def test_simhash_banding_equals_all_pairs(spark, sf_dir):
+    """Pigeonhole banding (k = max_hamming+1 bands) must reproduce the
+    all-pairs hamming<=d result EXACTLY — a pair within d bit flips cannot
+    differ in every one of d+1 bands. This is what lets q36 use the
+    bucketed join without changing its declared semantics."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    fp = dedup.simhash_fingerprints(d, "text", "doc_id", shingle_n=1)
+    a = fp.select(F.col("doc_id").alias("id_a"), F.col("fp").alias("fa"))
+    b = fp.select(F.col("doc_id").alias("id_b"), F.col("fp").alias("fb"))
+    truth = {
+        (r["id_a"], r["id_b"], r["h"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dedup.hamming64(F.col("fa"), F.col("fb")).alias("h"))
+        .filter(F.col("h") <= 8)
+        .collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_near_dup_pairs(fp, "doc_id", "fp", max_hamming=8).collect()
+    }
+    assert banded == truth
+
+
 def test_simhash_zero_distance_on_identical_token_sets(spark, sf_dir, planted_dup_pairs):
     d = load_table(spark, sf_dir, "documents")
     fp = d.select("doc_id", simhash64(F.col("text"), shingle_n=1).alias("fp"))
