@@ -168,3 +168,22 @@ def test_declared_float_schema_variant(spark, tmp_path_factory, built):
     # float32 of 1.54e12 loses the low-order digits; double keeps them
     assert reg_default == 1.54e12
     assert reg_declared != reg_default
+
+
+def test_cli_main_runs_pipeline(spark, tmp_path):
+    """python -m data_engineering_nd_datalake_project_4_spark (the reference's `python etl.py` twin) runs
+    the full pipeline from argv and writes all five tables. Called in-process
+    (main(argv)) so it reuses the test session instead of forking a JVM."""
+    from data_engineering_nd_datalake_project_4_spark.__main__ import main
+
+    cfg = _write_fixture(str(tmp_path))
+    rc = main(
+        [
+            "--log-data", cfg.log_data_path,
+            "--song-data", cfg.song_data_path,
+            "--output", cfg.output_root,
+        ]
+    )
+    assert rc == 0
+    for table in ("songs", "artists", "users", "songplays", "time"):
+        assert os.path.exists(os.path.join(cfg.output_root, table)), table
