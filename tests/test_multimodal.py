@@ -57,3 +57,66 @@ def test_media_stats_jvm_only(media):
     stats = {r["kind"]: r for r in multimodal.media_stats(media).collect()}
     assert stats["image"]["n"] == 3
     assert stats["video"]["total_bytes"] == len(b"\x00\x00ftyp fake mp4")
+
+
+def _make_ppm(w: int, h: int) -> bytes:
+    """P6 RGB gradient image: pixel (y,x) = (y%256, x%256, (x+y)%256)."""
+    import numpy as np
+
+    y, x = np.mgrid[0:h, 0:w]
+    arr = np.stack([y % 256, x % 256, (x + y) % 256], axis=2).astype("uint8")
+    return multimodal.encode_netpbm(arr)
+
+
+def test_netpbm_decode_roundtrip():
+    import numpy as np
+
+    raw = _make_ppm(12, 8)
+    arr = multimodal.decode_netpbm(raw)
+    assert arr.shape == (8, 12, 3)
+    assert arr[3, 5, 0] == 3 and arr[3, 5, 1] == 5 and arr[3, 5, 2] == 8
+    assert multimodal.decode_netpbm(multimodal.encode_netpbm(arr)) is not None
+    # comments + P5 grayscale
+    gray = b"P5\n# a comment\n2 2\n255\n" + bytes([0, 64, 128, 255])
+    g = multimodal.decode_netpbm(gray)
+    assert g.shape == (2, 2, 1) and g[1, 1, 0] == 255
+    # non-netpbm and truncated payloads return None, never raise
+    assert multimodal.decode_netpbm(b"\x89PNG...") is None
+    assert multimodal.decode_netpbm(b"P6\n4 4\n255\n\x00\x00") is None
+
+
+def test_netpbm_real_features_strict(spark):
+    """netpbm payloads decode FOR REAL: strict=True must succeed and the
+    features must equal the numpy-computed luminance grid."""
+    import numpy as np
+
+    raw = _make_ppm(16, 16)
+    df = spark.createDataFrame(
+        [(10, "image", raw, "image/x-portable-pixmap", 16, 16, None)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    feats = multimodal.image_features(df, dim=64, strict=True).collect()
+    assert len(feats) == 1 and len(feats[0]["features"]) == 64
+    arr = multimodal.decode_netpbm(raw).astype("float64").mean(axis=2)
+    # 8x8 grid over a 16x16 image = 2x2 block means
+    expect00 = arr[0:2, 0:2].mean() / 255.0
+    assert abs(feats[0]["features"][0] - expect00) < 1e-6
+
+
+def test_resize_images_nearest_neighbor(spark):
+    import numpy as np
+
+    raw = _make_ppm(8, 4)
+    df = spark.createDataFrame(
+        [(11, "image", raw, "image/x-portable-pixmap", 8, 4, None),
+         (12, "image", b"\x89PNG fake", "image/png", 5, 5, None)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    out = {r["media_id"]: r for r in multimodal.resize_images(df, 4, 2).collect()}
+    resized = multimodal.decode_netpbm(bytes(out[11]["content"]))
+    assert resized.shape == (2, 4, 3)
+    src = multimodal.decode_netpbm(raw)
+    # nearest-neighbor: out[y,x] = src[y*4//2? -> (y*src_h)//dst_h, (x*src_w)//dst_w]
+    assert (resized[1, 3] == src[(1 * 4) // 2, (3 * 8) // 4]).all()
+    # non-netpbm passes through unchanged in non-strict mode
+    assert bytes(out[12]["content"]) == b"\x89PNG fake"
