@@ -187,6 +187,99 @@ def image_features(df: DataFrame, dim: int = 64, strict: bool = False) -> DataFr
     return df.mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
 
 
+def decode_wav(content: bytes):
+    """REAL decoder for RIFF/WAVE PCM audio (8/16-bit integer PCM).
+    Returns ``(samples, sample_rate)`` — samples as float64 in [-1, 1],
+    shape (n_frames, n_channels) — or None if not parseable PCM WAV.
+    Pure numpy: RIFF is a chunked header + raw interleaved samples."""
+    import numpy as np
+
+    if len(content) < 44 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        size = int.from_bytes(content[pos + 4 : pos + 8], "little")
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or n_channels < 1 or bits not in (8, 16):
+        return None  # only uncompressed integer PCM
+    if bits == 16:
+        raw = np.frombuffer(data[: len(data) - len(data) % (2 * n_channels)], dtype="<i2")
+        samples = raw.astype("float64") / 32768.0
+    else:
+        raw = np.frombuffer(data[: len(data) - len(data) % n_channels], dtype="u1")
+        samples = (raw.astype("float64") - 128.0) / 128.0
+    return samples.reshape(-1, n_channels), sample_rate
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), False),
+        StructField("n_frames", LongType(), False),
+        StructField("rms", FloatType(), False),
+        StructField("zero_crossing_rate", FloatType(), False),
+        StructField("features", ArrayType(FloatType()), False),
+    ]
+)
+
+
+def audio_features(df: DataFrame, dim: int = 16, strict: bool = False) -> DataFrame:
+    """Decode + feature-extract audio blobs (Arrow-batched, narrow).
+
+    WAV/PCM decodes FOR REAL (numpy): RMS, zero-crossing rate, and a
+    ``dim``-segment RMS envelope. Compressed audio (mp3/ogg/flac) raises in
+    strict mode or falls back to the deterministic fake."""
+    import numpy as np
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = pdf[pdf["kind"] == "audio"]
+            out = {k: [] for k in ("media_id", "sample_rate", "n_frames", "rms", "zero_crossing_rate", "features")}
+            for _, r in rows.iterrows():
+                content = bytes(r["content"]) if r["content"] is not None else b""
+                decoded = decode_wav(content)
+                if decoded is None:
+                    if strict:
+                        raise NotImplementedError(
+                            "only RIFF/WAVE integer PCM decodes natively; compressed "
+                            "audio needs a codec library not in this container"
+                        )
+                    out["media_id"].append(r["media_id"]); out["sample_rate"].append(0)
+                    out["n_frames"].append(0); out["rms"].append(0.0)
+                    out["zero_crossing_rate"].append(0.0)
+                    out["features"].append(_fake_decode_bytes(content, dim))
+                    continue
+                samples, rate = decoded
+                mono = samples.mean(axis=1)
+                n = len(mono)
+                rms = float(np.sqrt((mono**2).mean())) if n else 0.0
+                zcr = float((np.signbit(mono[1:]) != np.signbit(mono[:-1])).mean()) if n > 1 else 0.0
+                bounds = np.linspace(0, n, dim + 1).astype(int)
+                env = [
+                    float(np.sqrt((mono[bounds[i] : max(bounds[i + 1], bounds[i] + 1)] ** 2).mean())) if n else 0.0
+                    for i in range(dim)
+                ]
+                out["media_id"].append(r["media_id"]); out["sample_rate"].append(rate)
+                out["n_frames"].append(n); out["rms"].append(rms)
+                out["zero_crossing_rate"].append(zcr); out["features"].append(env)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
+
+
 RESIZED_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),

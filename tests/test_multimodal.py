@@ -120,3 +120,48 @@ def test_resize_images_nearest_neighbor(spark):
     assert (resized[1, 3] == src[(1 * 4) // 2, (3 * 8) // 4]).all()
     # non-netpbm passes through unchanged in non-strict mode
     assert bytes(out[12]["content"]) == b"\x89PNG fake"
+
+
+def _make_wav(rate: int = 8000, hz: float = 440.0, secs: float = 0.25) -> bytes:
+    """16-bit mono PCM sine wave, hand-assembled RIFF."""
+    import numpy as np
+
+    t = np.arange(int(rate * secs)) / rate
+    samples = (np.sin(2 * np.pi * hz * t) * 32767 * 0.5).astype("<i2")
+    data = samples.tobytes()
+    fmt = (
+        (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + rate.to_bytes(4, "little") + (rate * 2).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    body = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_wav_real_audio_features_strict(spark):
+    """PCM WAV decodes FOR REAL: strict=True succeeds; RMS of a half-scale
+    sine is ~0.5/sqrt(2); ZCR is ~2*f/rate."""
+    raw = _make_wav(rate=8000, hz=440.0)
+    df = spark.createDataFrame(
+        [(20, "audio", raw, "audio/wav", None, None, 250)], multimodal.MEDIA_SCHEMA
+    )
+    r = multimodal.audio_features(df, dim=16, strict=True).collect()[0]
+    assert r["sample_rate"] == 8000 and r["n_frames"] == 2000
+    assert abs(r["rms"] - 0.5 / 2**0.5) < 0.01
+    assert abs(r["zero_crossing_rate"] - 2 * 440.0 / 8000) < 0.01
+    assert len(r["features"]) == 16 and all(abs(v - r["rms"]) < 0.05 for v in r["features"])
+
+
+def test_wav_decode_rejects_non_pcm(spark):
+    assert multimodal.decode_wav(b"RIFF    WAVEjunk") is None
+    assert multimodal.decode_wav(b"ID3\x03mp3-ish") is None
+    # compressed audio raises in strict mode, falls back to fake otherwise
+    df = spark.createDataFrame(
+        [(21, "audio", b"ID3\x03mp3-ish", "audio/mpeg", None, None, 100)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="NotImplementedError|RIFF/WAVE"):
+        multimodal.audio_features(df, strict=True).collect()
+    fallback = multimodal.audio_features(df).collect()[0]
+    assert fallback["sample_rate"] == 0 and len(fallback["features"]) == 16
