@@ -442,3 +442,27 @@ def test_hll_sketch_estimates_close_to_exact(spark, sf_dir):
     for k, e in est.items():
         # default lgConfigK=12 → rsd ~1.6%; allow 5%
         assert abs(e - exact[k]) <= max(2, 0.05 * exact[k]), (k, e, exact[k])
+
+
+def test_cms_sketch_persists_and_merges_across_batches(spark, sf_dir, tmp_path):
+    """The production incremental pattern: per-batch sketches land in a
+    parquet state table, later batches merge cell-wise — estimates from
+    (persisted batch-1 sketch ⊕ batch-2 sketch) must EQUAL the single-scan
+    sketch (same hash seeds → identical grids, merge = exact addition)."""
+    from data_engineering_nd_datalake_project_4_spark.operators import sketches
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    b1 = li.filter(F.col("l_partkey") % 2 == 0)
+    b2 = li.filter(F.col("l_partkey") % 2 == 1)
+
+    state = str(tmp_path / "cms_state")
+    sketches.build_cms(b1, "l_partkey").write.mode("overwrite").parquet(state)
+    merged = sketches.merge_cms(
+        spark.read.parquet(state), sketches.build_cms(b2, "l_partkey")
+    )
+    single = sketches.build_cms(li, "l_partkey")
+
+    probe = li.distinct().limit(50)
+    est_m = {r["item"]: r["est"] for r in sketches.cms_estimate(merged, probe, "l_partkey").collect()}
+    est_s = {r["item"]: r["est"] for r in sketches.cms_estimate(single, probe, "l_partkey").collect()}
+    assert est_m == est_s
