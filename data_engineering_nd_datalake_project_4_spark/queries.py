@@ -1854,8 +1854,8 @@ def q73_list_agg(spark, sf_dir):
     """SELECT doc_id,
               len(list_filter(list_distinct(string_split(text, ' ')),
                               t -> length(t) > 5)) AS n_long,
-              list_sum(list_transform(string_split(text, ' '),
-                                      t -> length(t))) AS total_chars,
+              CAST(list_sum(list_transform(string_split(text, ' '),
+                                      t -> length(t))) AS BIGINT) AS total_chars,
               len(list_filter(string_split(text, ' '),
                               t -> regexp_matches(t, '[0-9]'))) > 0 AS has_digit
        FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
