@@ -1,0 +1,87 @@
+"""Time-series operators beyond windows: SCD Type 2 interval building and
+step-function (LOCF) time-weighted aggregation — the hypertable-adjacent
+surface (continuous aggregates live in queries.q64/streaming).
+
+Both are single-window-shuffle compositions: partition by the entity key,
+order by event time — one exchange, then pure codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_engineering_nd_datalake_project_4_spark.functions import dec
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    attr_col: str,
+    tie_break: str | None = None,
+) -> DataFrame:
+    """Collapse an event stream into SCD Type 2 validity intervals: one row
+    per (key, run of equal ``attr_col``) with ``valid_from`` / ``valid_to``
+    (NULL = current). Consecutive duplicates merge; a change opens a new
+    interval at its event time.
+
+    Ordering must be total — pass ``tie_break`` (a unique column) when
+    event times can collide, or runs are nondeterministic.
+    """
+    order = [F.asc(ts_col)] + ([F.asc(tie_break)] if tie_break else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    # null-safe change detection: the partition's first row (lag = NULL)
+    # opens an interval; a NULL attr following a NULL attr does not.
+    changed = ~F.lag(attr_col).over(w).eqNullSafe(F.col(attr_col))
+    change_points = df.select(
+        key, ts_col, attr_col, changed.alias("__chg")
+    ).filter("__chg")
+    w2 = Window.partitionBy(key).orderBy(F.asc(ts_col))
+    return change_points.select(
+        key,
+        F.col(attr_col).alias("attr"),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    tie_break: str | None = None,
+) -> DataFrame:
+    """Step-function (LOCF) time-weighted average per key: each value holds
+    until the next observation; TWA = Σ valueᵢ·(tᵢ₊₁−tᵢ) / (t_last−t_first).
+    Keys with a single observation (zero total duration) are dropped.
+
+    Cross-engine exactness: value → exact cents (DECIMAL(18,2)·100 →
+    BIGINT), duration → µs BIGINT, per-interval product fits 63 bits, and
+    the sum accumulates in DECIMAL(38,0) (exact, order-independent, no
+    ANSI overflow) — the final division is one deterministic double op, so
+    Spark and an oracle engine agree bit-for-bit.
+    """
+    order = [F.asc(ts_col)] + ([F.asc(tie_break)] if tie_break else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    us = F.unix_micros(F.col(ts_col))
+    stepped = df.select(
+        key,
+        (dec(value_col) * 100).cast("bigint").alias("__cents"),
+        us.alias("__t"),
+        (F.lead(us).over(w) - us).alias("__dur"),
+    ).filter(F.col("__dur").isNotNull())
+    return (
+        stepped.groupBy(key)
+        .agg(
+            F.sum((F.col("__cents") * F.col("__dur")).cast("decimal(38,0)")).alias("__wsum"),
+            F.sum("__dur").alias("__tot"),
+        )
+        .filter(F.col("__tot") > 0)
+        .select(
+            key,
+            (F.col("__wsum").cast("double") / (F.col("__tot") * F.lit(100.0))).alias("twa"),
+            F.col("__tot").alias("total_duration_us"),
+        )
+    )

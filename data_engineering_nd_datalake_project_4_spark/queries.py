@@ -3312,3 +3312,116 @@ def q115_hll_sketch(spark, sf_dir):
         "c_mktsegment", F.hll_sketch_estimate("sk").alias("est")
     )
     return per_seg_est.unionByName(union_est).orderBy("c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# q116-q118: warehouse merge + time-series intervals (operators.merge /
+# operators.timeseries)
+# ---------------------------------------------------------------------------
+
+@q(
+    "q116_merge_into",
+    """WITH tgt AS (SELECT c_custkey, c_mktsegment, c_acctbal
+                    FROM customer WHERE c_custkey > 100),
+            srcq AS (SELECT o_custkey AS k, COUNT(*) AS n_orders,
+                            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+                     FROM orders GROUP BY o_custkey)
+       SELECT COALESCE(tgt.c_custkey, srcq.k) AS c_custkey,
+              CASE WHEN tgt.c_custkey IS NULL THEN 'NEW'
+                   ELSE tgt.c_mktsegment END AS c_mktsegment,
+              CASE WHEN tgt.c_custkey IS NULL THEN 0.0
+                   WHEN srcq.k IS NULL THEN tgt.c_acctbal
+                   ELSE srcq.spend END AS c_acctbal
+       FROM tgt FULL OUTER JOIN srcq ON tgt.c_custkey = srcq.k
+       WHERE NOT (tgt.c_custkey IS NOT NULL AND srcq.k IS NOT NULL
+                  AND srcq.n_orders < 2)
+       ORDER BY c_custkey""",
+    "MERGE INTO as one full-outer join + per-branch projection (the shape "
+    "Delta/Iceberg compile MERGE to): matched -> update acctbal to spend, "
+    "matched with n_orders<2 -> DELETE, source-only -> INSERT ('NEW', 0.0), "
+    "target-only -> unchanged; oracle spells the same semantics in SQL",
+)
+def q116_merge_into(spark, sf_dir):
+    from data_engineering_nd_datalake_project_4_spark.operators.merge import merge_into, src
+
+    tgt = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") > 100)
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+    )
+    srcdf = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice")).cast("double").alias("spend"),
+        )
+    )
+    merged = merge_into(
+        tgt,
+        srcdf,
+        "c_custkey",
+        update_set={"c_acctbal": src("spend")},
+        insert_values={"c_mktsegment": F.lit("NEW"), "c_acctbal": F.lit(0.0)},
+        delete_condition=src("n_orders") < 2,
+    )
+    return merged.orderBy("c_custkey")
+
+
+@q(
+    "q117_scd2_intervals",
+    """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+                  FROM events WHERE user_id < 40),
+            m AS (SELECT user_id, ts, event_type,
+                         lag(event_type) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id) AS prev
+                  FROM e),
+            cp AS (SELECT user_id, ts, event_type FROM m
+                   WHERE prev IS NULL OR prev <> event_type)
+       SELECT user_id, event_type AS attr, ts AS valid_from,
+              lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+       FROM cp ORDER BY user_id, valid_from""",
+    "SCD Type 2 interval build: collapse an event stream into validity "
+    "ranges (valid_from/valid_to, NULL = current) — one window shuffle, "
+    "consecutive duplicates merged, change points open new intervals",
+)
+def q117_scd2_intervals(spark, sf_dir):
+    from data_engineering_nd_datalake_project_4_spark.operators.timeseries import scd2_intervals
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    return scd2_intervals(e, "user_id", "ts", "event_type", tie_break="event_id").orderBy(
+        "user_id", "valid_from"
+    )
+
+
+@q(
+    "q118_time_weighted_avg",
+    """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+                  FROM events WHERE user_id < 60),
+            s AS (SELECT user_id,
+                         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+                         epoch_us(ts) AS t,
+                         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id)
+                             - epoch_us(ts) AS dur
+                  FROM e),
+            g AS (SELECT user_id,
+                         SUM(CAST(cents * dur AS DECIMAL(38,0))) AS wsum,
+                         SUM(dur) AS tot
+                  FROM s WHERE dur IS NOT NULL GROUP BY user_id)
+       SELECT user_id,
+              CAST(wsum AS DOUBLE) / (tot * 100.0) AS twa,
+              tot AS total_duration_us
+       FROM g WHERE tot > 0 ORDER BY user_id""",
+    "step-function (LOCF) time-weighted average per user over irregular "
+    "event times (the hypertable time_weight pattern): exact integer "
+    "cents x microsecond durations summed in DECIMAL(38,0) - one "
+    "deterministic double division at the end, bit-identical cross-engine",
+)
+def q118_time_weighted_avg(spark, sf_dir):
+    from data_engineering_nd_datalake_project_4_spark.operators.timeseries import time_weighted_avg
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 60)
+    return time_weighted_avg(e, "user_id", "ts", "value", tie_break="event_id").orderBy(
+        "user_id"
+    )
