@@ -3425,3 +3425,88 @@ def q118_time_weighted_avg(spark, sf_dir):
     return time_weighted_avg(e, "user_id", "ts", "value", tie_break="event_id").orderBy(
         "user_id"
     )
+
+
+@q(
+    "q119_custdist",
+    """WITH co AS (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+                   FROM customer LEFT JOIN orders
+                     ON c_custkey = o_custkey
+                    AND o_orderpriority <> '1-URGENT'
+                   GROUP BY c_custkey)
+       SELECT c_count, COUNT(*) AS custdist
+       FROM co GROUP BY c_count
+       ORDER BY custdist DESC, c_count DESC""",
+    "TPC-H Q13 shape: distribution of distributions — left join preserving "
+    "order-less customers (c_count=0 bucket), then a second aggregation "
+    "over the first's results; two shuffles by construction, both keyed",
+)
+def q119_custdist(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    co = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        co.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@q(
+    "q120_market_share",
+    """WITH rev AS (
+         SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                n_name,
+                CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS volume
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey)
+       SELECT o_year,
+              CAST(SUM(CASE WHEN n_name = 'NATION_7' THEN volume
+                            ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+              / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+              CAST(SUM(volume) AS DOUBLE) AS total_volume
+       FROM rev GROUP BY o_year ORDER BY o_year""",
+    "TPC-H Q8 shape: one nation's revenue share per year — conditional "
+    "decimal sum over total decimal sum; the ratio divides two exact "
+    "(order-independent) sums, so the double is bit-identical cross-engine",
+)
+def q120_market_share(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    vol = dec4(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    rev = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            "n_name",
+            vol.alias("volume"),
+        )
+    )
+    target = F.sum(
+        F.when(F.col("n_name") == "NATION_7", F.col("volume")).otherwise(
+            F.lit(0).cast(DEC18_4)
+        )
+    )
+    total = F.sum("volume")
+    return (
+        rev.groupBy("o_year")
+        .agg(
+            (target.cast("double") / total.cast("double")).alias("mkt_share"),
+            total.cast("double").alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
