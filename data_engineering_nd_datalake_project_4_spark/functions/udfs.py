@@ -53,3 +53,35 @@ class ChunkTokensUDTF:
         for start in range(0, max(len(toks) - 1, 0) + 1, stride):
             yield idx, start, " ".join(toks[start : start + size])
             idx += 1
+
+
+def grouped_running_cents(df, key: str, ts_col: str, id_col: str, value_col: str):
+    """Grouped applyInPandas running total in EXACT integer cents.
+
+    The one grouped-UDF shape that can sit behind an exact-hash oracle:
+    value → DECIMAL(18,2)·100 → int64 cents happens in Catalyst (both
+    engines agree on the cast), the pandas side only sorts and cumsums
+    int64 — exact, no float anywhere. Oracle twin: SUM(cents) OVER
+    (PARTITION BY key ORDER BY ts, id).
+
+    Each group is one Arrow batch; state never crosses groups, so the
+    shuffle is the same single exchange a window aggregate needs.
+    """
+    from pyspark.sql import functions as F
+
+    from data_engineering_nd_datalake_project_4_spark.functions import dec
+
+    prepared = df.select(
+        F.col(key),
+        F.col(ts_col).alias("__ts"),
+        F.col(id_col),
+        (dec(value_col) * 100).cast("long").alias("__cents"),
+    )
+
+    def cumsum(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__ts", id_col])
+        pdf["running_cents"] = pdf["__cents"].cumsum()
+        return pdf[[key, id_col, "running_cents"]]
+
+    out_schema = f"{key} int, {id_col} int, running_cents long"
+    return prepared.groupBy(key).applyInPandas(cumsum, out_schema)

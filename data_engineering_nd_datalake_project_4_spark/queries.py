@@ -3510,3 +3510,26 @@ def q120_market_share(spark, sf_dir):
         )
         .orderBy("o_year")
     )
+
+
+@q(
+    "q121_grouped_pandas_running",
+    """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                  FROM events WHERE user_id < 50)
+       SELECT user_id, event_id,
+              SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS running_cents
+       FROM e ORDER BY user_id, event_id""",
+    "grouped applyInPandas running total (q44's scalar twin for the GROUPED "
+    "UDF surface) behind an exact-hash oracle: the decimal->cents cast is "
+    "Catalyst-side, pandas only sorts + cumsums int64 — no float anywhere",
+)
+def q121_grouped_pandas_running(spark, sf_dir):
+    from data_engineering_nd_datalake_project_4_spark.functions.udfs import grouped_running_cents
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    return grouped_running_cents(e, "user_id", "ts", "event_id", "value").orderBy(
+        "user_id", "event_id"
+    )
