@@ -3533,3 +3533,34 @@ def q121_grouped_pandas_running(spark, sf_dir):
     return grouped_running_cents(e, "user_id", "ts", "event_id", "value").orderBy(
         "user_id", "event_id"
     )
+
+
+@q(
+    "q122_udtf_chunking",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents WHERE doc_id >= 30 AND doc_id < 60),
+            e AS (SELECT doc_id, toks, unnest(range(0, len(toks), 12)) AS start
+                  FROM d)
+       SELECT doc_id,
+              CAST(start / 12 AS INT) AS chunk_idx,
+              CAST(start AS INT) AS start,
+              array_to_string(toks[start + 1 : start + 16], ' ') AS chunk
+       FROM e ORDER BY doc_id, chunk_idx""",
+    "Python UDTF (table function) in the contract: LATERAL "
+    "chunk_tokens_udtf fans each doc into overlapping windows — the "
+    "UDF-surface twin of q97's pure-Catalyst chunker, same oracle shape "
+    "(string in/out, no float)",
+)
+def q122_udtf_chunking(spark, sf_dir):
+    from data_engineering_nd_datalake_project_4_spark.functions.udfs import ChunkTokensUDTF
+
+    spark.udtf.register("chunk_tokens_udtf", ChunkTokensUDTF)
+    d = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") >= 30) & (F.col("doc_id") < 60)
+    )
+    d.createOrReplaceTempView("__docs_udtf")
+    return spark.sql(
+        """SELECT d.doc_id, c.chunk_idx, c.start, c.chunk
+           FROM __docs_udtf d, LATERAL chunk_tokens_udtf(d.text, 16, 12) c
+           ORDER BY d.doc_id, c.chunk_idx"""
+    )
