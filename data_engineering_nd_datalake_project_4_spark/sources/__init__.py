@@ -41,10 +41,21 @@ def read_csv(
     )
 
 
-def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+def read_parquet(
+    spark: SparkSession, path: str, merge_schema: bool = False
+) -> DataFrame:
     """Parquet scan (local or object storage via s3a://). Predicate pushdown,
-    column pruning and partition pruning all apply — keep plans declarative."""
-    return spark.read.parquet(path)
+    column pruning and partition pruning all apply — keep plans declarative.
+
+    ``merge_schema=True`` unions the schemas of all footers (schema
+    evolution: batches written with added columns read back as one table,
+    missing columns NULL-filled). Off by default — merging reads every
+    footer up front, which matters at 100k-file scale; evolved tables
+    should flip it on explicitly or maintain a metastore schema."""
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(path)
 
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:

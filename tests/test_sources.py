@@ -127,3 +127,22 @@ def test_rate_stream_micro_batch_deterministic(spark, tmp_path):
     )
     q.awaitTermination()
     assert spark.table("rate_smoke").count() == 7
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution: a later batch adds a column; merge_schema=True
+    reads both batches as one table with NULL backfill for old rows."""
+    from data_engineering_nd_datalake_project_4_spark.sources import read_parquet
+
+    root = str(tmp_path / "evolving")
+    spark.range(3).selectExpr("id", "id * 2 AS a").write.parquet(root)
+    spark.range(3, 6).selectExpr(
+        "id", "id * 2 AS a", "CAST(id AS STRING) AS b"
+    ).write.mode("append").parquet(root)
+
+    merged = read_parquet(spark, root, merge_schema=True)
+    assert set(merged.columns) == {"id", "a", "b"}
+    rows = {r["id"]: (r["a"], r["b"]) for r in merged.collect()}
+    assert rows[1] == (2, None)       # old batch: evolved column NULL-filled
+    assert rows[4] == (8, "4")        # new batch: value present
+    assert len(rows) == 6
