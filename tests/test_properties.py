@@ -466,3 +466,79 @@ def test_cms_sketch_persists_and_merges_across_batches(spark, sf_dir, tmp_path):
     est_m = {r["item"]: r["est"] for r in sketches.cms_estimate(merged, probe, "l_partkey").collect()}
     est_s = {r["item"]: r["est"] for r in sketches.cms_estimate(single, probe, "l_partkey").collect()}
     assert est_m == est_s
+
+
+def test_merge_into_idempotent_and_branches(spark):
+    """MERGE semantics edge cases: applying the same merge twice is a no-op
+    (update to the same values), inserts land once, deletes remove."""
+    from data_engineering_nd_datalake_project_4_spark.operators.merge import merge_into, src
+
+    tgt = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k int, tag string, v double"
+    )
+    s = spark.createDataFrame(
+        [(2, 99.0, False), (3, 0.0, True), (4, 44.0, False)],
+        "k int, nv double, kill boolean",
+    )
+    once = merge_into(
+        tgt, s, "k",
+        update_set={"v": src("nv")},
+        insert_values={"tag": F.lit("new"), "v": src("nv")},
+        delete_condition=src("kill"),
+    )
+    rows = {r["k"]: (r["tag"], r["v"]) for r in once.collect()}
+    assert rows == {1: ("a", 10.0), 2: ("b", 99.0), 4: ("new", 44.0)}  # 3 deleted
+
+    # Re-applying the same merge: keys 1/2/4 are stable (update to same
+    # values), but the deleted key 3 is now NOT MATCHED, so the insert
+    # branch re-creates it — faithful SQL MERGE semantics (the delete
+    # condition guards only the MATCHED branch), NOT idempotent by design.
+    twice = merge_into(
+        once, s, "k",
+        update_set={"v": src("nv")},
+        insert_values={"tag": F.lit("new"), "v": src("nv")},
+        delete_condition=src("kill"),
+    )
+    rows2 = {r["k"]: (r["tag"], r["v"]) for r in twice.collect()}
+    assert rows2 == {1: ("a", 10.0), 2: ("b", 99.0), 3: ("new", 0.0), 4: ("new", 44.0)}
+
+
+def test_scd2_single_event_and_constant_runs(spark):
+    """SCD2 edges: one event -> one open interval (valid_to NULL); a
+    constant attribute stream collapses to a single interval."""
+    from data_engineering_nd_datalake_project_4_spark.operators.timeseries import scd2_intervals
+
+    df = spark.createDataFrame(
+        [
+            (1, "2020-01-01 00:00:00", "x", 1),
+            (2, "2020-01-01 00:00:00", "y", 1),
+            (2, "2020-01-01 01:00:00", "y", 2),
+            (2, "2020-01-01 02:00:00", "y", 3),
+        ],
+        "uid int, ts string, attr string, eid int",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = scd2_intervals(df, "uid", "ts", "attr", tie_break="eid").collect()
+    by_uid = {}
+    for r in out:
+        by_uid.setdefault(r["uid"], []).append(r)
+    assert len(by_uid[1]) == 1 and by_uid[1][0]["valid_to"] is None
+    assert len(by_uid[2]) == 1  # constant attr: one interval despite 3 events
+    assert by_uid[2][0]["valid_to"] is None
+
+
+def test_time_weighted_avg_step_function(spark):
+    """LOCF TWA hand check: value 1.00 for 10s then 3.00 for 30s ->
+    (1*10 + 3*30)/40 = 2.5; the trailing observation carries no weight."""
+    from data_engineering_nd_datalake_project_4_spark.operators.timeseries import time_weighted_avg
+
+    df = spark.createDataFrame(
+        [
+            (7, "2020-01-01 00:00:00", 1.00, 1),
+            (7, "2020-01-01 00:00:10", 3.00, 2),
+            (7, "2020-01-01 00:00:40", 9.99, 3),  # last value never weighted
+        ],
+        "uid int, ts string, value double, eid int",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = time_weighted_avg(df, "uid", "ts", "value", tie_break="eid").collect()[0]
+    assert r["twa"] == 2.5
+    assert r["total_duration_us"] == 40_000_000
