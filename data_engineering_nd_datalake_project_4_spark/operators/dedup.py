@@ -401,6 +401,17 @@ def simhash_near_dup_pairs(
     k = max_hamming + 1
     if k > 64:
         raise ValueError("max_hamming must be < 64")
+    if max_hamming == 0:
+        # single band of width 64: the band mask (1 << 64) - 1 overflows
+        # LongType — but hamming = 0 is just fingerprint equality, so a
+        # direct self-equi-join on fp is the exact (and cheaper) plan.
+        a = fp_df.select(F.col(id_col).alias("id_a"), F.col(fp_col).alias("__fp"))
+        b = fp_df.select(F.col(id_col).alias("id_b"), F.col(fp_col).alias("__fp"))
+        return (
+            a.join(b, "__fp")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", F.lit(0).alias("hamming"))
+        )
     widths = [64 // k + (1 if i < 64 % k else 0) for i in range(k)]
     offsets = [sum(widths[:i]) for i in range(k)]
     bands = F.array(

@@ -30,6 +30,12 @@ def merge_into(
     - not matched by target (source only): ``insert_values`` builds the new
       row (required if inserts are possible; unlisted columns are NULL).
 
+    ``source`` must be unique on ``key`` (SQL MERGE raises on multiple
+    matches; this compilation would instead fan matched target rows out) —
+    pre-aggregate or dropDuplicates the source side if it is not. A NULL
+    ``delete_condition`` keeps the row (SQL WHEN-clause semantics: only a
+    TRUE condition deletes).
+
     ``update_set`` / ``insert_values`` expressions may reference source
     columns (prefixed ``__src_``) and target columns by their own names —
     use :func:`src` to reference the source side.
@@ -43,7 +49,9 @@ def merge_into(
     src_only = F.col(key).isNull() & F.col("__src_key").isNotNull()
 
     if delete_condition is not None:
-        j = j.filter(~(matched & delete_condition))
+        # coalesce: a NULL condition must KEEP the row (~(matched & NULL)
+        # is NULL, which filter would drop — SQL only deletes on TRUE).
+        j = j.filter(~(matched & F.coalesce(delete_condition, F.lit(False))))
 
     out_cols = []
     for c in target.columns:

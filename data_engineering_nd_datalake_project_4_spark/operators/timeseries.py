@@ -31,13 +31,20 @@ def scd2_intervals(
     """
     order = [F.asc(ts_col)] + ([F.asc(tie_break)] if tie_break else [])
     w = Window.partitionBy(key).orderBy(*order)
-    # null-safe change detection: the partition's first row (lag = NULL)
-    # opens an interval; a NULL attr following a NULL attr does not.
-    changed = ~F.lag(attr_col).over(w).eqNullSafe(F.col(attr_col))
+    # the partition's first row ALWAYS opens an interval (detected by
+    # row_number, not lag-is-NULL — a leading NULL attr would otherwise
+    # eqNullSafe-match the NULL lag and open nothing); later rows open one
+    # iff the attr is null-safely distinct from its predecessor.
+    changed = (F.row_number().over(w) == 1) | ~F.lag(attr_col).over(w).eqNullSafe(
+        F.col(attr_col)
+    )
+    carry = [tie_break] if tie_break and tie_break not in (key, ts_col, attr_col) else []
     change_points = df.select(
-        key, ts_col, attr_col, changed.alias("__chg")
+        key, ts_col, attr_col, *carry, changed.alias("__chg")
     ).filter("__chg")
-    w2 = Window.partitionBy(key).orderBy(F.asc(ts_col))
+    # valid_to ordering must match the change-detection ordering — two
+    # change points sharing (key, ts) otherwise get nondeterministic ends.
+    w2 = Window.partitionBy(key).orderBy(*order)
     return change_points.select(
         key,
         F.col(attr_col).alias("attr"),
@@ -58,10 +65,13 @@ def time_weighted_avg(
     Keys with a single observation (zero total duration) are dropped.
 
     Cross-engine exactness: value → exact cents (DECIMAL(18,2)·100 →
-    BIGINT), duration → µs BIGINT, per-interval product fits 63 bits, and
-    the sum accumulates in DECIMAL(38,0) (exact, order-independent, no
-    ANSI overflow) — the final division is one deterministic double op, so
-    Spark and an oracle engine agree bit-for-bit.
+    BIGINT), duration → µs BIGINT, and the per-interval product is taken in
+    DECIMAL(38,0) — one operand is cast to decimal BEFORE the multiply, so
+    a pathological cents×duration that would exceed 63 bits errors loudly
+    instead of wrapping (the oracle's HUGEINT multiply is likewise exact).
+    The sum accumulates in DECIMAL(38,0) (exact, order-independent); the
+    final division is one deterministic double op, so Spark and an oracle
+    engine agree bit-for-bit.
     """
     order = [F.asc(ts_col)] + ([F.asc(tie_break)] if tie_break else [])
     w = Window.partitionBy(key).orderBy(*order)
@@ -75,7 +85,7 @@ def time_weighted_avg(
     return (
         stepped.groupBy(key)
         .agg(
-            F.sum((F.col("__cents") * F.col("__dur")).cast("decimal(38,0)")).alias("__wsum"),
+            F.sum(F.col("__cents").cast("decimal(19,0)") * F.col("__dur")).alias("__wsum"),
             F.sum("__dur").alias("__tot"),
         )
         .filter(F.col("__tot") > 0)

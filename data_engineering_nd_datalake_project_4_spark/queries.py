@@ -3372,14 +3372,17 @@ def q116_merge_into(spark, sf_dir):
     "q117_scd2_intervals",
     """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
                   FROM events WHERE user_id < 40),
-            m AS (SELECT user_id, ts, event_type,
+            m AS (SELECT user_id, event_id, ts, event_type,
                          lag(event_type) OVER (PARTITION BY user_id
-                                               ORDER BY ts, event_id) AS prev
+                                               ORDER BY ts, event_id) AS prev,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS rn
                   FROM e),
-            cp AS (SELECT user_id, ts, event_type FROM m
-                   WHERE prev IS NULL OR prev <> event_type)
+            cp AS (SELECT user_id, event_id, ts, event_type FROM m
+                   WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
        SELECT user_id, event_type AS attr, ts AS valid_from,
-              lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+              lead(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS valid_to
        FROM cp ORDER BY user_id, valid_from""",
     "SCD Type 2 interval build: collapse an event stream into validity "
     "ranges (valid_from/valid_to, NULL = current) — one window shuffle, "
@@ -3406,7 +3409,7 @@ def q117_scd2_intervals(spark, sf_dir):
                              - epoch_us(ts) AS dur
                   FROM e),
             g AS (SELECT user_id,
-                         SUM(CAST(cents * dur AS DECIMAL(38,0))) AS wsum,
+                         SUM(CAST(cents AS HUGEINT) * dur) AS wsum,
                          SUM(dur) AS tot
                   FROM s WHERE dur IS NOT NULL GROUP BY user_id)
        SELECT user_id,

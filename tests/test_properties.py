@@ -542,3 +542,81 @@ def test_time_weighted_avg_step_function(spark):
     r = time_weighted_avg(df, "uid", "ts", "value", tie_break="eid").collect()[0]
     assert r["twa"] == 2.5
     assert r["total_duration_us"] == 40_000_000
+
+
+def test_scd2_leading_null_attr_opens_interval(spark):
+    """A partition whose FIRST attr is NULL must still open an interval
+    (row-number first-row detection, not lag-is-NULL — a leading NULL attr
+    eqNullSafe-matches the NULL lag and would otherwise vanish)."""
+    from data_engineering_nd_datalake_project_4_spark.operators.timeseries import scd2_intervals
+
+    df = spark.createDataFrame(
+        [
+            (1, "2020-01-01 00:00:00", None, 1),
+            (1, "2020-01-01 01:00:00", None, 2),  # merges into the NULL run
+            (1, "2020-01-01 02:00:00", "x", 3),
+        ],
+        "uid int, ts string, attr string, eid int",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = sorted(
+        scd2_intervals(df, "uid", "ts", "attr", tie_break="eid").collect(),
+        key=lambda r: r["valid_from"],
+    )
+    assert len(out) == 2
+    assert out[0]["attr"] is None and out[0]["valid_to"] == out[1]["valid_from"]
+    assert out[1]["attr"] == "x" and out[1]["valid_to"] is None
+
+
+def test_scd2_tied_timestamps_deterministic_valid_to(spark):
+    """Two change points sharing (key, ts) must chain valid_to by the
+    tie-break order — the lead window orders by (ts, tie_break), not ts
+    alone, so the assignment is total and deterministic."""
+    from data_engineering_nd_datalake_project_4_spark.operators.timeseries import scd2_intervals
+
+    df = spark.createDataFrame(
+        [
+            (1, "2020-01-01 00:00:00", "a", 2),
+            (1, "2020-01-01 00:00:00", "b", 1),  # same ts; eid orders b first
+            (1, "2020-01-01 01:00:00", "c", 3),
+        ],
+        "uid int, ts string, attr string, eid int",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = {
+        r["attr"]: r
+        for r in scd2_intervals(df, "uid", "ts", "attr", tie_break="eid").collect()
+    }
+    # order is b (eid=1), a (eid=2), c (eid=3): b closes at the tied ts,
+    # a closes at 01:00, c stays open
+    assert rows["b"]["valid_to"] == rows["a"]["valid_from"]
+    assert rows["a"]["valid_to"] == rows["c"]["valid_from"]
+    assert rows["c"]["valid_to"] is None
+
+
+def test_merge_into_null_delete_condition_keeps_row(spark):
+    """SQL MERGE deletes only when the WHEN clause is TRUE — a NULL
+    delete_condition must keep the matched row (regression: ~(m & NULL) is
+    NULL, which filter() silently dropped)."""
+    from data_engineering_nd_datalake_project_4_spark.operators.merge import merge_into, src
+
+    tgt = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, v double")
+    s = spark.createDataFrame(
+        [(1, 11.0, None), (2, 22.0, True)], "k int, nv double, kill boolean"
+    )
+    out = merge_into(
+        tgt, s, "k", update_set={"v": src("nv")}, delete_condition=src("kill")
+    )
+    rows = {r["k"]: r["v"] for r in out.collect()}
+    assert rows == {1: 11.0}  # k=1 kept+updated (NULL kill), k=2 deleted
+
+
+def test_simhash_pairs_max_hamming_zero_is_fp_equality(spark):
+    """max_hamming=0 (single 64-bit band) must not overflow the LongType
+    band mask — it compiles to a direct fingerprint equi-join."""
+    fp = spark.createDataFrame(
+        [(1, 5), (2, 5), (3, 5), (4, 7), (5, -12)], "doc_id int, fp long"
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_near_dup_pairs(fp, "doc_id", "fp", max_hamming=0).collect()
+    }
+    assert got == {(1, 2, 0), (1, 3, 0), (2, 3, 0)}
