@@ -3567,3 +3567,225 @@ def q122_udtf_chunking(spark, sf_dir):
            FROM __docs_udtf d, LATERAL chunk_tokens_udtf(d.text, 16, 12) c
            ORDER BY d.doc_id, c.chunk_idx"""
     )
+
+
+# ---------------------------------------------------------------------------
+# q123-q127: remaining TPC-H plan shapes (Q4, Q6, Q9, Q15, Q20), adapted to
+# the synthetic star schema (no partsupp / l_commitdate — the cost side of
+# Q9 uses part.p_retailprice, Q4's lateness EXISTS uses shipdate vs
+# orderdate, Q20's supplier-part link is lineitem itself).
+# ---------------------------------------------------------------------------
+
+@q(
+    "q123_priority_exists",
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+       FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate < TIMESTAMP '1996-07-01'
+         AND EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey
+                       AND l_shipdate > o_orderdate + INTERVAL 45 DAY)
+       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "TPC-H Q4 shape: per-priority count of orders with a correlated EXISTS "
+    "(at least one line item shipped >45 days after the order date) — "
+    "compiles to a LEFT SEMI join with a mixed equi + non-equi predicate, "
+    "so only the equi key shuffles and the date predicate evaluates "
+    "post-match; no decorrelation needed",
+)
+def q123_priority_exists(spark, sf_dir):
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    exists = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS")),
+        "left_semi",
+    )
+    return (
+        exists.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@q(
+    "q124_forecast_revenue",
+    """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+                   AS DOUBLE) AS revenue
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         AND l_shipdate < TIMESTAMP '1998-01-01'
+         AND l_discount >= 0.05 AND l_discount <= 0.07
+         AND l_quantity < 24""",
+    "TPC-H Q6 shape: single filter-aggregate revenue forecast — every "
+    "predicate pushes into the parquet scan (shipdate/discount/quantity "
+    "are all plain column comparisons), one partial+final agg, no join, "
+    "no shuffle beyond the 1-row final combine; exact DECIMAL(18,4) sum "
+    "cast to double once",
+)
+def q124_forecast_revenue(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec4(F.col("l_extendedprice") * F.col("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@q(
+    "q125_nation_profit",
+    """WITH profit AS (
+         SELECT n_name AS nation,
+                CAST(year(o_orderdate) AS INT) AS o_year,
+                CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                  - CAST(p_retailprice * l_quantity * 0.1 AS DECIMAL(18,4))
+                  AS amount
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE p_name LIKE '%widget%')
+       SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+       FROM profit GROUP BY nation, o_year
+       ORDER BY nation, o_year DESC""",
+    "TPC-H Q9 shape: product-line profit per supplier nation per year — "
+    "LIKE filter on part, 5-way snowflake (3 broadcast dims + one "
+    "fact-fact shuffle on l_orderkey), exact decimal revenue-minus-cost "
+    "(cost proxied as 10% of retail price x quantity; no partsupp table), "
+    "grouped on (nation, year)",
+)
+def q125_nation_profit(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    amount = dec4(F.col("l_extendedprice") * (1 - F.col("l_discount"))) - dec4(
+        F.col("p_retailprice") * F.col("l_quantity") * 0.1
+    )
+    profit = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            amount.alias("amount"),
+        )
+    )
+    return (
+        profit.groupBy("nation", "o_year")
+        .agg(F.sum("amount").cast("double").alias("sum_profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+@q(
+    "q126_top_supplier",
+    """WITH revenue AS (
+         SELECT l_suppkey AS supplier_no,
+                SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                    AS total_rev
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1996-04-01'
+         GROUP BY l_suppkey)
+       SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+       FROM supplier JOIN revenue ON s_suppkey = supplier_no
+       WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+       ORDER BY s_suppkey""",
+    "TPC-H Q15 shape: top supplier by quarterly revenue — the revenue CTE "
+    "aggregates once, its scalar MAX is broadcast back as a 1-row join "
+    "(no second scan, no unpartitioned window), and the equality is on "
+    "EXACT decimals so ties are cross-engine-deterministic; double cast "
+    "only in the final projection",
+)
+def q126_top_supplier(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(dec4(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "total_rev"
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("__mx"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_rev") == F.col("__mx"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+@q(
+    "q127_nested_in",
+    """SELECT s_suppkey, s_name
+       FROM supplier
+       WHERE s_suppkey IN (
+         SELECT l_suppkey FROM lineitem
+         WHERE l_partkey IN (SELECT p_partkey FROM part
+                             WHERE p_name LIKE 'large%')
+           AND l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+         GROUP BY l_suppkey, l_partkey
+         HAVING SUM(l_quantity) > 50)
+       ORDER BY s_suppkey""",
+    "TPC-H Q20 shape: nested IN subqueries — inner IN (parts named "
+    "large*) compiles to a broadcast LEFT SEMI into the fact scan, the "
+    "grouped HAVING threshold runs on (suppkey, partkey), and the outer "
+    "IN is a second LEFT SEMI into supplier; quantity sums are "
+    "integer-valued doubles (exact, order-independent)",
+)
+def q127_nested_in(spark, sf_dir):
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("large%"))
+        .select("p_partkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+    )
+    qualified = (
+        li.groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 50)
+        .select("l_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        s.join(qualified, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .orderBy("s_suppkey")
+    )
