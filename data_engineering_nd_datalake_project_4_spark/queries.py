@@ -796,13 +796,16 @@ def q32(spark, sf_dir):
     """SELECT COUNT(*) AS n_rows, COUNT(DISTINCT text) AS n_unique_texts,
               COUNT(DISTINCT (lang, source)) AS n_lang_source
        FROM documents""",
-    "exact dedup cardinalities; engine path is dropDuplicates/xxhash64-dedup",
+    "exact dedup cardinalities; n_unique_texts counts DISTINCT xxhash64(text) "
+    "so the distinct-aggregate shuffle key is 8 bytes, never the document "
+    "(equal to distinct texts absent a ~2^-64 collision; the oracle counts "
+    "texts directly) — plan-guarded by test_plans.test_dedup_no_fulltext_shuffle",
 )
 def q33_exact_dedup(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.countDistinct("text").alias("n_unique_texts"),
+        F.countDistinct(F.xxhash64("text")).alias("n_unique_texts"),
         F.countDistinct("lang", "source").alias("n_lang_source"),
     )
 

@@ -178,3 +178,36 @@ def test_dynamic_partition_pruning_on_dim_join(spark, sf_dir, tmp_path):
     j = fact.join(dim.filter(F.col("tag") == "keep"), "yr").select("o_orderkey")
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:1500]
+
+
+def _exchange_key_lines(plan: str) -> list[str]:
+    return [
+        line.strip()
+        for line in plan.split("\n")
+        if "Exchange hashpartitioning" in line or "Exchange rangepartitioning" in line
+    ]
+
+
+def test_dedup_no_fulltext_shuffle(spark, sf_dir):
+    """The dedup/text hot paths must never shuffle on the document text:
+    at 100 TB a `hashpartitioning(text, ...)` exchange moves the corpus as
+    the shuffle KEY. q28 keys on xxhash64(canonical), q33 counts distinct
+    xxhash64(text), q40 stages token hashes — every exchange key must be
+    text-free."""
+    for name in ("q28", "q33_exact_dedup", "q40_fingerprints"):
+        plan = plans.explain_str(REGISTRY[name].spark_fn(spark, sf_dir), "simple")
+        offenders = [l for l in _exchange_key_lines(plan) if "text#" in l]
+        assert not offenders, f"{name} shuffles document text: {offenders}"
+
+
+def test_q36_simhash_stays_banded(spark, sf_dir):
+    """q36's pair generation must remain the pigeonhole band equi-join
+    (hash join on __band with the id/hamming predicates as residual) —
+    never an all-pairs cartesian, and never a text-keyed exchange."""
+    plan = plans.explain_str(REGISTRY["q36_simhash"].spark_fn(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan
+    joined_on_band = any(
+        ("Join" in line and "__band" in line) for line in plan.split("\n")
+    )
+    assert joined_on_band, plan[:2000]
+    assert not [l for l in _exchange_key_lines(plan) if "text#" in l]
