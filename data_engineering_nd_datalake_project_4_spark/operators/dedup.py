@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_engineering_nd_datalake_project_4_spark.functions import cosine_similarity, tokens
+from data_engineering_nd_datalake_project_4_spark.operators import ensure_map_parallelism
 
 
 def latest_per_key(
@@ -138,6 +139,9 @@ def minhash_lsh_candidate_pairs(
             "trailing signature rows"
         )
     rows_per_band = num_hashes // bands
+    # the signature build is the cost center — make sure it doesn't run on
+    # a single unsplittable input partition (no-op at scale)
+    df = ensure_map_parallelism(df)
 
     # Staged projections: shingles → shingle hashes → signature → bands.
     # Each stage's output is referenced MANY times by the next (num_hashes
@@ -255,6 +259,7 @@ def prefix_filter_candidate_pairs(
     Output: distinct ``(id_a, id_b)`` with ``id_a < id_b`` — feed to
     :func:`ngram_jaccard_pairs` as ``candidates`` for exact verification.
     """
+    df = ensure_map_parallelism(df)
     sh = df.select(
         F.col(id_col).alias("__id"),
         _shingles(F.col(text_col), n).alias("__sh"),
@@ -306,6 +311,7 @@ def ngram_jaccard_pairs(
     the O(n²) comparison; without it this cross-joins — correctness/oracle
     scale only. Output: ``id_a, id_b, jaccard`` (double).
     """
+    df = ensure_map_parallelism(df)
     sh = df.select(
         F.col(id_col).alias("__id"),
         _shingles(F.col(text_col), n).alias("__sh"),
@@ -334,6 +340,7 @@ def simhash_fingerprints(
     the raw :func:`simhash64` expression on hot paths — the expression form
     re-derives the shingle hashes for every one of the 64 bit sums.
     Output: ``(id_col, fp)``."""
+    df = ensure_map_parallelism(df)
     hashed = df.select(
         F.col(id_col),
         F.transform(_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)).alias("__h"),

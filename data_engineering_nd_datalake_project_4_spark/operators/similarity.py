@@ -51,6 +51,10 @@ def brute_force_topk(
 
     Output: ``query_id, neighbor_id, sim`` (double, unrounded).
     """
+    from data_engineering_nd_datalake_project_4_spark.operators import ensure_map_parallelism
+
+    # the O(N·Q) scoring kernel must not run on one unsplittable partition
+    vectors = ensure_map_parallelism(vectors)
     # Pre-normalize each side ONCE (O(N) + O(Q) array passes) so the O(N·Q)
     # pairwise kernel is a single dot product instead of dot + two norms.
     q = F.broadcast(
@@ -89,6 +93,9 @@ def assign_ivf_buckets(
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (max cosine). One broadcast
     join + window; adds a ``bucket`` column."""
+    from data_engineering_nd_datalake_project_4_spark.operators import ensure_map_parallelism
+
+    vectors = ensure_map_parallelism(vectors)
     c = F.broadcast(
         centroids.select(
             F.col(centroid_id).alias("__cid"), F.col(centroid_vec).alias("__cv")
