@@ -236,3 +236,55 @@ def test_q90_sliding_stream_batch_equivalence(spark, sf_dir, events_stream_dir):
     stream = read_file_stream(spark, events_stream_dir, schema, "parquet")
     streamed = run_available_now(_slide(stream), "q90_stream")
     assert {tuple(r) for r in batch.collect()} == {tuple(r) for r in streamed.collect()}
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path_factory):
+    """Kill/restart durability: a foreachBatch query restarted over the SAME
+    checkpoint dir must resume batch ids where it stopped and deliver every
+    input file exactly once — the checkpoint (offset log + commit log) is
+    the exactly-once contract a production restart relies on."""
+    base = tmp_path_factory.mktemp("ckpt_recovery")
+    src, ckpt = str(base / "src"), str(base / "ckpt")
+    os.makedirs(src)
+
+    def write_file(tag, vals):
+        spark.createDataFrame([(tag, v) for v in vals], "tag string, v int").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    write_file("a", [1, 2])
+    write_file("b", [3, 4])
+
+    seen: list[tuple[int, list[tuple[str, int]]]] = []
+
+    def sink(batch_df, batch_id):
+        seen.append((batch_id, [(r["tag"], r["v"]) for r in batch_df.collect()]))
+
+    schema = "tag string, v int"
+    from data_engineering_nd_datalake_project_4_spark.streaming import run_foreach_batch
+
+    # run 1: drain both files (1 file per micro-batch), then the query stops
+    # (availableNow) — simulating a shutdown after commit
+    s1 = read_file_stream(spark, src, schema, "parquet", max_files_per_trigger=1)
+    run_foreach_batch(s1, sink, ckpt, query_name="ckpt_run1")
+    run1_ids = [bid for bid, _ in seen]
+    run1_rows = sorted(r for _, rows in seen for r in rows)
+    assert run1_rows == [("a", 1), ("a", 2), ("b", 3), ("b", 4)]
+    assert run1_ids == sorted(run1_ids)
+
+    # new data lands while the query is down
+    write_file("c", [5])
+    write_file("d", [6])
+
+    # run 2: SAME checkpoint — must process ONLY the new files, with batch
+    # ids strictly continuing after run 1's last committed id
+    s2 = read_file_stream(spark, src, schema, "parquet", max_files_per_trigger=1)
+    run_foreach_batch(s2, sink, ckpt, query_name="ckpt_run2")
+    run2 = seen[len(run1_ids):]
+    run2_rows = sorted(r for _, rows in run2 for r in rows)
+    assert run2_rows == [("c", 5), ("d", 6)], f"run2 reprocessed old data: {run2}"
+    assert all(bid > max(run1_ids) for bid, _ in run2), (run1_ids, run2)
+
+    # whole history: every row delivered exactly once across the restart
+    all_rows = sorted(r for _, rows in seen for r in rows)
+    assert all_rows == [("a", 1), ("a", 2), ("b", 3), ("b", 4), ("c", 5), ("d", 6)]
