@@ -73,6 +73,7 @@ def upsert_partitioned(
     keys: Sequence[str],
     order_col: str,
     partition_by: Sequence[str],
+    max_touched_partitions: int = 1000,
 ) -> None:
     """Upsert (merge) into a partitioned parquet table without a table
     format: union the existing rows of the TOUCHED partitions with the
@@ -88,21 +89,42 @@ def upsert_partitioned(
     Assumes partition-stable keys: an update that moves a key to a new
     partition value leaves the stale row in its old (untouched) partition —
     the same contract as Hive-style INSERT OVERWRITE upserts.
+
+    The touched-partition list is collected to the driver ONLY while it has
+    at most ``max_touched_partitions`` entries (static pruning literals —
+    planner-time directory skip, zero runtime cost). Past the cap the list
+    is never materialized: the existing table is LEFT SEMI joined to the
+    distinct partition tuples of ``updates``, and dynamic partition pruning
+    does the directory skip at runtime — bounded driver memory at any
+    partition cardinality.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     prev_overwrite_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    touched = [tuple(r) for r in updates.select(*partition_by).distinct().collect()]
+    # limit(cap+1): detect overflow without an unbounded collect
+    touched = [
+        tuple(r)
+        for r in updates.select(*partition_by)
+        .distinct()
+        .limit(max_touched_partitions + 1)
+        .collect()
+    ]
     try:
         existing = spark.read.parquet(path)
-        pred = F.lit(False)
-        for combo in touched:
-            clause = F.lit(True)
-            for col, val in zip(partition_by, combo):
-                clause = clause & (F.col(col) == F.lit(val))
-            pred = pred | clause
-        existing = existing.filter(pred).select(*updates.columns)
+        if len(touched) <= max_touched_partitions:
+            pred = F.lit(False)
+            for combo in touched:
+                clause = F.lit(True)
+                for col, val in zip(partition_by, combo):
+                    clause = clause & (F.col(col) == F.lit(val))
+                pred = pred | clause
+            existing = existing.filter(pred)
+        else:
+            existing = existing.join(
+                updates.select(*partition_by).distinct(), list(partition_by), "left_semi"
+            )
+        existing = existing.select(*updates.columns)
         merged = existing.unionByName(updates)
     except Exception:  # first write: nothing to merge
         merged = updates

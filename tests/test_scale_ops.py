@@ -127,3 +127,34 @@ def test_compact_parquet_dir(spark, tmp_path):
     after = sum(1 for _, _, fs in os.walk(path) for f in fs if f.endswith(".parquet"))
     assert after < before
     assert spark.read.parquet(path).count() == 10000
+
+
+def test_upsert_many_partitions_semi_join_fallback(spark, tmp_path):
+    """Above max_touched_partitions the touched-partition list must never
+    be collected: the existing table is pruned by a LEFT SEMI join on the
+    partition tuples (runtime DPP) instead of driver-side literals — and
+    the merge result is identical to the literal path."""
+    from data_engineering_nd_datalake_project_4_spark.sources.sinks import upsert_partitioned
+
+    path = str(tmp_path / "manyparts")
+    base = spark.createDataFrame(
+        [(i, f"v{i}", i % 40, 10) for i in range(200)],
+        "id INT, v STRING, part INT, ver INT",
+    )
+    upsert_partitioned(spark, base, path, ["id"], "ver", ["part"])
+
+    # updates touch 30 of 40 partitions; cap=10 forces the semi-join path
+    upd = spark.createDataFrame(
+        [(i, f"new{i}", i % 40, 20) for i in range(0, 120, 4)],
+        "id INT, v STRING, part INT, ver INT",
+    )
+    upsert_partitioned(
+        spark, upd, path, ["id"], "ver", ["part"], max_touched_partitions=10
+    )
+    got = {r["id"]: (r["v"], r["ver"]) for r in spark.read.parquet(path).collect()}
+    assert len(got) == 200
+    for i in range(200):
+        if i < 120 and i % 4 == 0:
+            assert got[i] == (f"new{i}", 20), i
+        else:
+            assert got[i] == (f"v{i}", 10), i
