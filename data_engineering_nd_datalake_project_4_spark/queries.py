@@ -457,24 +457,37 @@ def q17(spark, sf_dir):
 
 @q(
     "q18",
-    """SELECT user_id, event_id,
-              ROUND(AVG(value) OVER (PARTITION BY user_id
-                                     ORDER BY CAST(ts AS TIMESTAMP), event_id
-                                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS sliding_avg
-       FROM events ORDER BY user_id, event_id""",
-    "sliding frame",
+    """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                  FROM events)
+       SELECT user_id, event_id,
+              CAST(SUM(cents) OVER w AS DOUBLE)
+                / (COUNT(*) OVER w * 100.0) AS sliding_avg
+       FROM e
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+       ORDER BY user_id, event_id""",
+    "sliding frame; the 3-row average is exact integer-cents sum / count — "
+    "one double division, bit-identical cross-engine (ROUND(AVG(..),k) is "
+    "not: window-accumulator order differs between engines and any money "
+    "grid the regen emits can park the true average on a half-boundary)",
 )
 def q18(spark, sf_dir):
-    e = _t(spark, sf_dir, "events")
-    out = windows.sliding(
-        e, F.avg("value"), ["user_id"], [F.asc("ts"), F.asc("event_id")], 2, "sliding_avg"
+    e = _t(spark, sf_dir, "events").withColumn(
+        "__cents", (dec("value") * 100).cast("bigint")
     )
-    # ROUND at 4 digits, not 2: window sums of 2-decimal values land exactly
-    # on half-cent boundaries at scale 2, where Spark (HALF_UP) and DuckDB
-    # (binary-double) rounding disagree; at scale 4 the true value has ≤4
-    # fractional digits or a non-boundary expansion, so both engines agree.
-    return out.select(
-        "user_id", "event_id", F.round("sliding_avg", 4).alias("sliding_avg")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-2, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        (
+            F.sum("__cents").over(w).cast("double")
+            / (F.count(F.lit(1)).over(w) * F.lit(100.0))
+        ).alias("sliding_avg"),
     ).orderBy("user_id", "event_id")
 
 
@@ -1053,8 +1066,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: query.spark_fn for name, query in REGISTRY.items()}
 
 
+def _align_decimal_casts(sql: str) -> str:
+    """Route every ``CAST(expr AS DECIMAL(p,s))`` in an oracle through
+    VARCHAR: ``CAST(CAST(expr AS VARCHAR) AS DECIMAL(p,s))``.
+
+    Spark casts double→decimal by rounding the value's SHORTEST DECIMAL
+    REPRESENTATION half-up (``BigDecimal.valueOf``); DuckDB rounds the raw
+    binary double — on a x.xx5 half-boundary (binary repr typically just
+    below) the engines disagree by one ulp at the target scale. DuckDB's
+    double→VARCHAR emits the same shortest repr Spark rounds, and its
+    VARCHAR→DECIMAL cast is half-up — so the detour reproduces Spark's
+    semantics exactly (regen-soak ``tools/soak_regen.py`` is the proof:
+    money columns forced onto x.xx5/x.xxxx5 grids stay green). Lossless
+    for non-double operands (int/decimal/NULL stringify exactly).
+    """
+    out: list[str] = []
+    i = 0
+    while True:
+        j = sql.find("CAST(", i)
+        if j < 0:
+            out.append(sql[i:])
+            return "".join(out)
+        # find the matching close paren of this CAST
+        depth, k = 0, j + 4
+        while k < len(sql):
+            if sql[k] == "(":
+                depth += 1
+            elif sql[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        inner = sql[j + 5 : k]  # expr AS TYPE
+        # the type keyword is after the LAST top-level " AS "
+        depth, split = 0, -1
+        for p in range(len(inner) - 3):
+            c = inner[p]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif depth == 0 and inner[p : p + 4] == " AS ":
+                split = p
+        if split >= 0:
+            expr, ttype = inner[:split], inner[split + 4 :]
+            expr = _align_decimal_casts(expr)  # nested CASTs inside expr
+            if ttype.upper().startswith("DECIMAL("):
+                out.append(sql[i:j])
+                out.append(f"CAST(CAST({expr} AS VARCHAR) AS {ttype})")
+                i = k + 1
+                continue
+            out.append(sql[i:j])
+            out.append(f"CAST({expr} AS {ttype})")
+            i = k + 1
+            continue
+        out.append(sql[i : k + 1])
+        i = k + 1
+
+
 def oracle_sql() -> dict[str, str]:
-    return {name: query.oracle for name, query in REGISTRY.items() if query.oracle}
+    return {
+        name: _align_decimal_casts(query.oracle)
+        for name, query in REGISTRY.items()
+        if query.oracle
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -2855,31 +2930,32 @@ def q100_explode_outer(spark, sf_dir):
 
 @q(
     "q101_small_quantity_parts",
-    """WITH a AS (SELECT l_partkey, ROUND(0.5 * AVG(l_quantity), 4) AS half_avg
+    """WITH a AS (SELECT l_partkey,
+                         CAST(SUM(l_quantity) AS DOUBLE) / (2 * COUNT(*)) AS half_avg
                   FROM lineitem GROUP BY l_partkey)
        SELECT COUNT(*) AS cnt,
-              ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 4) AS avg_yearly
+              CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
        FROM lineitem l JOIN a ON l.l_partkey = a.l_partkey
        WHERE l.l_quantity < a.half_avg""",
     "TPC-H Q17 shape: correlated per-group average rewritten as aggregate "
-    "+ join-back; the threshold is rounded at scale 4 BEFORE comparing so "
-    "both engines filter on the identical value",
+    "+ join-back; the 0.5*AVG threshold is EXACT integer-sum / (2*count) — "
+    "one double division both engines compute bit-identically (a rounded "
+    "average can land on a half-boundary for quantities the regen is free "
+    "to emit, flipping filter membership between engines)",
 )
 def q101_small_quantity_parts(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
     a = li.groupBy("l_partkey").agg(
-        F.round(0.5 * F.avg("l_quantity"), 4).alias("half_avg")
+        (F.sum("l_quantity").cast("double") / (2 * F.count(F.lit(1)))).alias("half_avg")
     ).withColumnRenamed("l_partkey", "a_partkey")
     return (
         li.join(F.broadcast(a), F.col("l_partkey") == F.col("a_partkey"))
         .filter(F.col("l_quantity") < F.col("half_avg"))
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.round(
-                F.sum(dec("l_extendedprice")).cast("double") / 7.0, 4
-            ).alias("avg_yearly"),
+            (F.sum(dec("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly"),
         )
     )
 

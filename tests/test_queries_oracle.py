@@ -22,8 +22,12 @@ def con(sf_dir):
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_oracle_match(spark, sf_dir, con, name):
+    # oracle_sql() (not the raw .oracle) — the driver gets the
+    # decimal-cast-aligned SQL, so the test must exercise the same string
+    from data_engineering_nd_datalake_project_4_spark.queries import oracle_sql
+
     q = REGISTRY[name]
-    compare(q.spark_fn(spark, sf_dir), con, q.oracle)
+    compare(q.spark_fn(spark, sf_dir), con, oracle_sql()[name])
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
