@@ -120,15 +120,17 @@ def main() -> None:
     except ValueError:
         reps = 1
     timings: dict[str, float] = {}
+    all_samples: dict[str, list[float]] = {}
     for name in sorted(REGISTRY):
         samples = []
         for _ in range(reps):
             df = REGISTRY[name].spark_fn(spark, sf_dir)
             t0 = time.perf_counter()
             _run_plan(df)
-            samples.append(time.perf_counter() - t0)
+            samples.append(round(time.perf_counter() - t0, 3))
+        all_samples[name] = list(samples)
         samples.sort()
-        timings[name] = round(samples[len(samples) // 2], 3)  # median
+        timings[name] = samples[len(samples) // 2]  # median
         print(f"{name:28s} {timings[name]:7.3f}s", file=sys.stderr)
 
     pipeline = _bench_sparkify_pipeline(spark)
@@ -144,12 +146,18 @@ def main() -> None:
         "queries": short,
         "sf": sf,
         "n_queries": len(timings),
+        "reps": reps,
         "sparkify_pipeline_sec": pipeline["seconds"],
     }
     os.makedirs("bench", exist_ok=True)
     with open("bench/results.json", "w") as f:
         json.dump(
-            {"headline": headline, "queries_full": timings, "sparkify_pipeline": pipeline},
+            {
+                "headline": headline,
+                "queries_full": timings,
+                "samples": all_samples,
+                "sparkify_pipeline": pipeline,
+            },
             f,
             indent=1,
         )

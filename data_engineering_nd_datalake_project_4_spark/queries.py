@@ -3043,7 +3043,11 @@ def q103_null_safe_join(spark, sf_dir):
     "anywhere — SURVEY.md §1.2 — so this is pure north-star surface)",
 )
 def q104_map_functions(spark, sf_dir):
-    e = _t(spark, sf_dir, "events").filter(
+    from data_engineering_nd_datalake_project_4_spark.operators import ensure_map_parallelism
+
+    # the whole query is pre-shuffle JSON parsing (from_json × 3 over every
+    # row) — spread an under-split scan like the other map-heavy pipelines
+    e = ensure_map_parallelism(_t(spark, sf_dir, "events")).filter(
         F.map_contains_key(F.from_json("props", "map<string,int>"), "k")
     )
     # map length keyed off the ORIGINAL props string (to_json does not
