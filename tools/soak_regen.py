@@ -17,6 +17,10 @@ to stay green on each:
   (HALF_UP), DuckDB rounds the binary double, and x.xx5 is where they can
   disagree.
 - ``half4`` : the same at x.xxxx5 for the DECIMAL(18,4)/scale-4 class.
+- ``rowshuffle`` : every table's rows deterministically permuted — a regen
+  is free to emit any physical row order, so a query whose ORDER BY lacks
+  a total tie-break (or whose window frames depend on input order) would
+  hash-differently between regens; this variant catches it now.
 
 Usage: ``python tools/soak_regen.py [variant ...]`` (default: all).
 Exit code = number of failing (variant, query) pairs.
@@ -71,6 +75,15 @@ def build_variant(name: str, out_dir: Path) -> None:
             tbl = tbl.set_column(i, "ts", tbl.column("ts").cast(pa.timestamp(unit)))
             # version 2.6 writes TIMESTAMP(NANOS) natively for ns columns
             pq.write_table(tbl, dst, version="2.6")
+        elif name == "rowshuffle":
+            tbl = pq.read_table(src)
+            n = tbl.num_rows
+            # deterministic permutation: sort by xxhash-free stand-in
+            # (i*2654435761 mod 2^32, a Knuth multiplicative shuffle)
+            idx = pa.array(
+                sorted(range(n), key=lambda i: (i * 2654435761) & 0xFFFFFFFF)
+            )
+            pq.write_table(tbl.take(idx), dst)
         elif name in ("half2", "half4") and t in MONEY_COLS:
             scale = 2 if name == "half2" else 4
             tbl = pq.read_table(src)
@@ -110,7 +123,7 @@ def main(argv: list[str]) -> int:
     from data_engineering_nd_datalake_project_4_spark.session import get_spark
     from tests.oracle_util import compare, duck_con
 
-    variants = argv or ["ts_micros", "ts_nanos", "half2", "half4"]
+    variants = argv or ["ts_micros", "ts_nanos", "half2", "half4", "rowshuffle"]
     spark = get_spark(app_name="soak-regen", shuffle_partitions=16)
     total_fail = 0
     with tempfile.TemporaryDirectory(prefix="soak_regen_") as tmp:
