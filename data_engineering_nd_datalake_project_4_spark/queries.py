@@ -3872,3 +3872,111 @@ def q127_nested_in(spark, sf_dir):
         s.join(qualified, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .orderBy("s_suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# q128-q129: corpus-curation additions (Gopher-style repetition filter,
+# benchmark-contamination check) — the quality-gate ops a training-data
+# pipeline runs corpus-wide.
+# ---------------------------------------------------------------------------
+
+@q(
+    "q128_repetition_filter",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            b AS (SELECT doc_id,
+                         unnest(list_transform(range(1, len(toks)),
+                                               i -> toks[i] || ' ' || toks[i+1])) AS bg
+                  FROM t WHERE len(toks) >= 2),
+            c AS (SELECT doc_id, bg, COUNT(*) AS n FROM b GROUP BY doc_id, bg),
+            m AS (SELECT doc_id, MAX(n) AS max_n, SUM(n) AS tot
+                  FROM c GROUP BY doc_id)
+       SELECT doc_id, max_n, tot,
+              CAST(max_n AS DOUBLE) / tot AS rep_ratio
+       FROM m WHERE max_n * 10 >= tot * 2
+       ORDER BY doc_id""",
+    "Gopher-style repetition quality gate: docs whose single most-frequent "
+    "bigram covers >= 20% of all bigram positions. Engine side groups on "
+    "(doc_id, xxhash64(bigram)) so the shuffle key is 8 bytes + id, never "
+    "bigram text (the q28/q33 hash-key policy; collision odds ~n^2/2^64); "
+    "the threshold compares integers (max*10 >= tot*2) and the ratio is "
+    "one exact int/int double division — no rounding anywhere",
+)
+def q128_repetition_filter(spark, sf_dir):
+    from data_engineering_nd_datalake_project_4_spark.operators import ensure_map_parallelism
+
+    d = ensure_map_parallelism(_t(spark, sf_dir, "documents"))
+    t = d.select("doc_id", tokens("text").alias("t")).filter(F.size("t") >= 2)
+    # non-distinct bigram POSITIONS (counting occurrences, unlike the
+    # dedup shingles which are set-valued) — hashed before the shuffle
+    bg = t.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 2),
+                lambda i: F.xxhash64(
+                    F.concat_ws(" ", F.get(F.col("t"), i), F.get(F.col("t"), i + 1))
+                ),
+            )
+        ).alias("__bgh"),
+    )
+    per_bigram = bg.groupBy("doc_id", "__bgh").agg(F.count(F.lit(1)).alias("n"))
+    per_doc = per_bigram.groupBy("doc_id").agg(
+        F.max("n").alias("max_n"), F.sum("n").alias("tot")
+    )
+    return (
+        per_doc.filter(F.col("max_n") * 10 >= F.col("tot") * 2)
+        .select(
+            "doc_id",
+            "max_n",
+            "tot",
+            (F.col("max_n").cast("double") / F.col("tot")).alias("rep_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "q129_contamination",
+    """WITH g AS (SELECT doc_id,
+                         unnest(list_distinct(list_transform(
+                             range(1, len(string_split(text, ' ')) - 3),
+                             i -> array_to_string((string_split(text, ' '))[i:i+4], ' ')
+                         ))) AS gram
+                  FROM documents
+                  WHERE len(string_split(text, ' ')) >= 5),
+            bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 50),
+            cand AS (SELECT doc_id, gram FROM g WHERE doc_id >= 50)
+       SELECT cand.doc_id, COUNT(DISTINCT cand.gram) AS n_shared
+       FROM cand JOIN bench ON cand.gram = bench.gram
+       GROUP BY cand.doc_id
+       ORDER BY doc_id""",
+    "benchmark-contamination check (test-set decontamination): candidate "
+    "docs sharing any 5-gram with the benchmark slice (doc_id < 50), with "
+    "the count of distinct shared 5-grams. Engine joins on xxhash64(gram) "
+    "with the benchmark gram set BROADCAST (it is the small, fixed side at "
+    "any corpus scale); the oracle joins on the gram strings — equal "
+    "absent a ~2^-64 collision",
+)
+def q129_contamination(spark, sf_dir):
+    from data_engineering_nd_datalake_project_4_spark.operators import ensure_map_parallelism
+    from data_engineering_nd_datalake_project_4_spark.operators.dedup import _shingles
+
+    d = ensure_map_parallelism(_t(spark, sf_dir, "documents")).filter(
+        F.size(tokens("text")) >= 5
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(_shingles(F.col("text"), 5), lambda s: F.xxhash64(s))
+        ).alias("__gh"),
+    )
+    bench = (
+        grams.filter(F.col("doc_id") < 50).select("__gh").distinct()
+    )
+    cand = grams.filter(F.col("doc_id") >= 50)
+    return (
+        cand.join(F.broadcast(bench), "__gh")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("__gh").alias("n_shared"))
+        .orderBy("doc_id")
+    )
