@@ -57,8 +57,9 @@ MONEY_COLS = {
 
 def _force_half_boundary(col: pa.ChunkedArray, scale: int) -> pa.ChunkedArray:
     """floor to ``scale`` decimals, then add half an ulp at that scale:
-    x -> floor(x·10^s)/10^s + 0.5/10^s (sign-preserving via trunc on the
-    magnitude grid — inputs here are non-negative money values)."""
+    x -> floor(x·10^s)/10^s + 0.5/10^s. floor (not trunc) keeps negative
+    balances (c_acctbal/s_acctbal) on the same .5-offset grid — every
+    output sits on a half-boundary regardless of sign."""
     mul = 10.0**scale
     return pc.add(pc.divide(pc.floor(pc.multiply(col, mul)), mul), 0.5 / mul)
 
