@@ -620,3 +620,41 @@ def test_simhash_pairs_max_hamming_zero_is_fp_equality(spark):
         for r in dedup.simhash_near_dup_pairs(fp, "doc_id", "fp", max_hamming=0).collect()
     }
     assert got == {(1, 2, 0), (1, 3, 0), (2, 3, 0)}
+
+
+def test_align_decimal_casts_rewriter():
+    """The oracle rewriter must wrap exactly the DECIMAL casts (balanced
+    parens, nested expressions, CASE branches) and leave every other CAST
+    untouched."""
+    from data_engineering_nd_datalake_project_4_spark.queries import _align_decimal_casts as a
+
+    assert a("CAST(x AS DECIMAL(18,2))") == "CAST(CAST(x AS VARCHAR) AS DECIMAL(18,2))"
+    assert a("SUM(CAST(p * (1 - d) AS DECIMAL(18,4)))") == (
+        "SUM(CAST(CAST(p * (1 - d) AS VARCHAR) AS DECIMAL(18,4)))"
+    )
+    # nested: inner decimal cast wrapped, outer BIGINT cast untouched
+    assert a("CAST(CAST(v AS DECIMAL(18,2)) * 100 AS BIGINT)") == (
+        "CAST(CAST(CAST(v AS VARCHAR) AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    )
+    assert a("CAST(ts AS TIMESTAMP)") == "CAST(ts AS TIMESTAMP)"
+    assert a("CAST(cents AS HUGEINT) * dur") == "CAST(cents AS HUGEINT) * dur"
+    assert a("no casts here") == "no casts here"
+
+
+def test_decimal_cast_cross_engine_alignment(spark):
+    """The property the rewriter exists for: on half-boundary doubles,
+    Spark's double->DECIMAL cast equals DuckDB's VARCHAR-routed cast (and
+    NOT DuckDB's direct binary cast, which disagrees on ~half of them)."""
+    import duckdb
+
+    vals = [2.345, 2.335, 0.125, 0.135, -7.005, 99.995, 1234.565, 0.005]
+    sdf = spark.createDataFrame([(v,) for v in vals], "x double").select(
+        F.col("x"), F.col("x").cast("decimal(18,2)").cast("string").alias("s")
+    )
+    spark_render = {r["x"]: r["s"] for r in sdf.collect()}
+    con = duckdb.connect()
+    for v in vals:
+        duck = con.execute(
+            f"SELECT CAST(CAST(CAST({v!r} AS DOUBLE) AS VARCHAR) AS DECIMAL(18,2))"
+        ).fetchone()[0]
+        assert str(duck) == spark_render[v], (v, str(duck), spark_render[v])
