@@ -2211,7 +2211,11 @@ def q80_histogram_bitwise(spark, sf_dir):
               len(list_intersect(a.toks, b.toks)) AS n_common,
               len(list_distinct(a.toks || b.toks)) AS n_union,
               len(list_filter(a.toks, x -> NOT list_contains(b.toks, x))) AS n_only_a,
-              array_to_string(list_sort(list_intersect(a.toks, b.toks)), ' ') AS common_str
+              -- DuckDB array_to_string is string_agg underneath: an EMPTY
+              -- intersect yields NULL, where Spark array_join yields ''.
+              -- COALESCE to the Spark semantics (advtext soak: empty docs).
+              COALESCE(array_to_string(list_sort(list_intersect(a.toks, b.toks)), ' '),
+                       '') AS common_str
        FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
        WHERE a.doc_id % 100 = 0
        ORDER BY doc_id""",

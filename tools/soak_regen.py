@@ -21,6 +21,15 @@ to stay green on each:
   is free to emit any physical row order, so a query whose ORDER BY lacks
   a total tie-break (or whose window frames depend on input order) would
   hash-differently between regens; this variant catches it now.
+- ``advtext`` : documents.text re-materialized adversarially — empty
+  strings, single-token docs, multi-space runs with leading/trailing
+  blanks, tab/newline whitespace inside tokens, and non-ASCII UTF-8
+  multibyte (accented Latin, CJK, an astral-plane emoji). Every text-derived
+  query (tokenize, quality, shingles, minhash/simhash, fingerprints,
+  contamination) and its DuckDB oracle must agree on the degenerate and
+  multibyte cases, not just the generator's space-separated ASCII.
+  ``n_chars`` is recomputed as the codepoint length so the metadata stays
+  generator-faithful.
 
 Usage: ``python tools/soak_regen.py [variant ...]`` (default: all).
 Exit code = number of failing (variant, query) pairs.
@@ -64,6 +73,31 @@ def _force_half_boundary(col: pa.ChunkedArray, scale: int) -> pa.ChunkedArray:
     return pc.add(pc.divide(pc.floor(pc.multiply(col, mul)), mul), 0.5 / mul)
 
 
+#: deterministic adversarial rewrites for documents.text, keyed by
+#: doc_id % 11 (classes 6..10 keep the original text so the bulk of the
+#: corpus — and every dedup/jaccard candidate pair — still exists).
+def _advtext_rewrite(doc_id: int, text: str) -> str:
+    cls = doc_id % 11
+    if cls == 0:
+        return ""  # empty document
+    if cls == 1:
+        return "solo"  # single token, no whitespace at all
+    if cls == 2:
+        # multi-space runs + leading/trailing blanks: split-on-' ' yields
+        # empty tokens on both engines; counts must still agree
+        return "  " + text.replace(" ", "   ", 5) + " "
+    if cls == 3:
+        # non-ASCII multibyte: accented Latin + CJK + astral-plane emoji
+        return "héllo wörld 東京 データ naïve café résumé ありがとう 🙂"
+    if cls == 4:
+        # mixed: original corpus text with multibyte tokens appended
+        return text + " émigré Übung señor"
+    if cls == 5:
+        # tab/newline whitespace inside "tokens" (split is on ' ' only)
+        return "tab\tseparated new\nline " + text
+    return text
+
+
 def build_variant(name: str, out_dir: Path) -> None:
     out_dir.mkdir(parents=True, exist_ok=True)
     for t in TABLES:
@@ -85,6 +119,20 @@ def build_variant(name: str, out_dir: Path) -> None:
                 sorted(range(n), key=lambda i: (i * 2654435761) & 0xFFFFFFFF)
             )
             pq.write_table(tbl.take(idx), dst)
+        elif name == "advtext" and t == "documents":
+            tbl = pq.read_table(src)
+            ids = tbl.column("doc_id").to_pylist()
+            texts = tbl.column("text").to_pylist()
+            new_texts = [_advtext_rewrite(i, s) for i, s in zip(ids, texts)]
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index("text"), "text",
+                pa.array(new_texts, pa.string()),
+            )
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index("n_chars"), "n_chars",
+                pa.array([len(s) for s in new_texts], pa.int64()),
+            )
+            pq.write_table(tbl, dst)
         elif name in ("half2", "half4") and t in MONEY_COLS:
             scale = 2 if name == "half2" else 4
             tbl = pq.read_table(src)
@@ -124,7 +172,9 @@ def main(argv: list[str]) -> int:
     from data_engineering_nd_datalake_project_4_spark.session import get_spark
     from tests.oracle_util import compare, duck_con
 
-    variants = argv or ["ts_micros", "ts_nanos", "half2", "half4", "rowshuffle"]
+    variants = argv or [
+        "ts_micros", "ts_nanos", "half2", "half4", "rowshuffle", "advtext",
+    ]
     spark = get_spark(app_name="soak-regen", shuffle_partitions=16)
     total_fail = 0
     with tempfile.TemporaryDirectory(prefix="soak_regen_") as tmp:
