@@ -1,0 +1,149 @@
+"""Incremental deduplication against a persisted fingerprint store.
+
+The reference's only "incremental" idiom is overwrite-everything
+(/root/reference/etl.py:225-237: each run rewrites the full output table).
+At 100 TB that is the one thing you cannot do: deduping a NEW batch of
+documents must not rescan — let alone rewrite — the existing corpus. This
+module persists only the corpus *fingerprints* (8-byte ``xxhash64``
+content hashes, ~16 bytes/doc on disk), hash-partitioned so each new batch
+reads just the store partitions its own fingerprints could live in.
+
+Data motion per batch at any corpus scale:
+- the batch shuffles once on its 8-byte fingerprint (in-batch first-wins);
+- the store scan is pruned to the batch's touched ``fp_bucket`` partitions
+  (static IN-literal pruning — the bucket list is at most ``num_buckets``
+  driver-side integers, never data);
+- the anti-join shuffles 8-byte keys only — document text never moves;
+- the store append writes only the survivors' fingerprints, into the same
+  bucket layout, so the NEXT batch prunes just as well. Periodic
+  :func:`..sources.sinks.compact_parquet_dir` keeps file counts bounded.
+
+Fingerprint modes:
+- ``exact``: ``xxhash64(text)`` — byte-identical duplicates.
+- ``canonical``: ``xxhash64(canonical_text_key(text))`` — token-set
+  duplicates (permutations/repetitions collide), same store machinery.
+
+Equality of hashes stands in for equality of texts: a false-duplicate
+requires a 64-bit collision (~n²/2⁶⁵ for n docs); the q130 oracle joins on
+the raw text and the driver gate would surface any collision as a mismatch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_nd_datalake_project_4_spark.operators.dedup import canonical_text_key, latest_per_key
+
+#: store schema: fp (long), first_id (long), fp_bucket (int, partition col)
+_STORE_COLS = ("fp", "first_id", "fp_bucket")
+
+
+def _fingerprint(text_col: str, mode: str) -> Column:
+    if mode == "exact":
+        return F.xxhash64(F.col(text_col))
+    if mode == "canonical":
+        return F.xxhash64(canonical_text_key(text_col))
+    raise ValueError(f"unknown fingerprint mode: {mode!r}")
+
+
+def _bucket(fp: Column, num_buckets: int) -> Column:
+    # pmod keeps negative xxhash64 values in [0, num_buckets)
+    return F.pmod(fp, F.lit(num_buckets)).cast("int")
+
+
+def fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    mode: str = "exact",
+    num_buckets: int = 64,
+) -> DataFrame:
+    """One ``(fp, first_id, fp_bucket)`` row per distinct fingerprint —
+    ``first_id`` is the minimum ``id_col`` carrying it. Single groupBy
+    shuffle on the 8-byte hash (partial+final HashAggregate)."""
+    fp = _fingerprint(text_col, mode)
+    return (
+        df.select(fp.alias("fp"), F.col(id_col).alias("__id"))
+        .groupBy("fp")
+        .agg(F.min("__id").alias("first_id"))
+        .withColumn("fp_bucket", _bucket(F.col("fp"), num_buckets))
+    )
+
+
+def build_fingerprint_store(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    store_path: str,
+    mode: str = "exact",
+    num_buckets: int = 64,
+) -> None:
+    """Materialize the corpus fingerprint store, hash-partitioned by
+    ``fp_bucket``. One-time full scan of the corpus; every later batch
+    touches only its own buckets."""
+    (
+        fingerprints(df, text_col, id_col, mode, num_buckets)
+        .repartition("fp_bucket")
+        .write.mode("overwrite")
+        .partitionBy("fp_bucket")
+        .parquet(store_path)
+    )
+
+
+def incremental_dedup(
+    spark: SparkSession,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    store_path: str,
+    mode: str = "exact",
+    num_buckets: int = 64,
+    update_store: bool = False,
+) -> DataFrame:
+    """Rows of ``batch`` that are new to the corpus: not fingerprinted in
+    the store, and the first (minimum-``id_col``) occurrence within the
+    batch itself.
+
+    With ``update_store=True`` the survivors' fingerprints are appended to
+    the store first (same bucket layout), making the operation idempotent:
+    replaying the identical batch then yields zero survivors. The append is
+    an eager action; the returned survivor plan recomputes the pruned
+    anti-join against the PRE-append store snapshot (parquet file listing
+    is pinned per read), so the result is unaffected by its own append.
+    """
+    fp = _fingerprint(text_col, mode)
+    keyed = batch.withColumn("__fp", fp)
+    # first-wins within the batch: one window shuffle on the 8-byte hash
+    firsts = latest_per_key(keyed, ["__fp"], [F.col(id_col)])
+
+    # prune the store scan to the buckets this batch can touch: at most
+    # num_buckets driver-side ints → static partition pruning literals
+    touched = [
+        r[0]
+        for r in keyed.select(_bucket(F.col("__fp"), num_buckets).alias("b"))
+        .distinct()
+        .collect()
+    ]
+    try:
+        store = spark.read.parquet(store_path)
+        seen = store.filter(F.col("fp_bucket").isin(touched)).select("fp")
+        survivors = firsts.join(
+            seen, firsts["__fp"] == seen["fp"], "left_anti"
+        )
+    except Exception:  # no store yet: everything survives in-batch dedup
+        survivors = firsts
+
+    if update_store:
+        (
+            survivors.select(
+                F.col("__fp").alias("fp"),
+                F.col(id_col).cast("long").alias("first_id"),
+                _bucket(F.col("__fp"), num_buckets).alias("fp_bucket"),
+            )
+            .repartition("fp_bucket")
+            .write.mode("append")
+            .partitionBy("fp_bucket")
+            .parquet(store_path)
+        )
+    return survivors.drop("__fp")

@@ -3984,3 +3984,52 @@ def q129_contamination(spark, sf_dir):
         .agg(F.countDistinct("__gh").alias("n_shared"))
         .orderBy("doc_id")
     )
+
+
+@q(
+    "q130_incremental_dedup",
+    """WITH k AS (SELECT doc_id, source, n_chars,
+                         array_to_string(list_sort(list_distinct(
+                             string_split(text, ' '))), ' ') AS ck
+                  FROM documents),
+            corpus AS (SELECT ck FROM k WHERE doc_id < 250),
+            batch AS (SELECT doc_id, source, n_chars, ck
+                      FROM k WHERE doc_id >= 250),
+            firsts AS (SELECT MIN(doc_id) AS doc_id FROM batch GROUP BY ck)
+       SELECT b.doc_id, b.source, b.n_chars
+       FROM batch b JOIN firsts f ON f.doc_id = b.doc_id
+       WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.ck = b.ck)
+       ORDER BY b.doc_id""",
+    "incremental dedup against a persisted fingerprint store: docs < 250 "
+    "are the existing corpus (only their canonical-token xxhash64 "
+    "fingerprints persist, hash-partitioned by fp_bucket); the new batch "
+    "(>= 250) is deduped in-batch (first doc_id wins) then anti-joined "
+    "against the bucket-pruned store — 8-byte keys on every shuffle, "
+    "corpus text never rescanned. Replaces the reference's "
+    "overwrite-everything upsert (/root/reference/etl.py:225-237) at "
+    "scale. Oracle is the anti-join twin on the canonical key string "
+    "(equal absent a ~2^-64 hash collision)",
+)
+def q130_incremental_dedup(spark, sf_dir):
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    from data_engineering_nd_datalake_project_4_spark.operators import incremental
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") < 250)
+    batch = d.filter(F.col("doc_id") >= 250).select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    # deterministic per-dataset store location; rebuilt (overwritten) each
+    # call so the query stays a pure function of sf_dir
+    tag = hashlib.sha256(str(sf_dir).encode()).hexdigest()[:12]
+    store = str(Path(tempfile.gettempdir()) / f"spark_graft_q130_store_{tag}")
+    incremental.build_fingerprint_store(
+        corpus, "text", "doc_id", store, mode="canonical", num_buckets=16
+    )
+    survivors = incremental.incremental_dedup(
+        spark, batch, "text", "doc_id", store, mode="canonical", num_buckets=16
+    )
+    return survivors.select("doc_id", "source", "n_chars").orderBy("doc_id")

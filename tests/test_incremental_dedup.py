@@ -1,0 +1,139 @@
+"""Incremental dedup vs a persisted fingerprint store: equivalence to
+full-corpus dedup, idempotence of store updates, bucket-partitioned layout
+and scan pruning, canonical-mode permutation capture."""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_nd_datalake_project_4_spark import plans
+from data_engineering_nd_datalake_project_4_spark.operators import incremental
+from data_engineering_nd_datalake_project_4_spark.operators.dedup import exact_dedup_by_hash
+
+
+@pytest.fixture()
+def corpus_and_batch(spark):
+    """Corpus ids 0..9; batch ids 100..109. Planted duplicates:
+    batch 100/101 duplicate corpus texts, 104+105 duplicate each other,
+    106 is a token-permutation of corpus doc 2."""
+    corpus_rows = [(i, f"alpha beta gamma doc{i}") for i in range(10)]
+    batch_rows = [
+        (100, "alpha beta gamma doc0"),       # exact dup of corpus 0
+        (101, "alpha beta gamma doc3"),       # exact dup of corpus 3
+        (102, "fresh text one"),
+        (103, "fresh text two"),
+        (104, "same in batch twice"),
+        (105, "same in batch twice"),         # in-batch dup of 104
+        (106, "doc2 gamma beta alpha"),       # permutation of corpus 2
+        (107, "fresh text three"),
+        (108, ""),                            # degenerate empty doc
+        (109, "fresh text four"),
+    ]
+    schema = "doc_id LONG, text STRING"
+    return (
+        spark.createDataFrame(corpus_rows, schema),
+        spark.createDataFrame(batch_rows, schema),
+    )
+
+
+def _ids(df):
+    return sorted(r["doc_id"] for r in df.select("doc_id").collect())
+
+
+def test_equivalent_to_full_dedup(spark, corpus_and_batch, tmp_path):
+    """corpus ∪ incremental-survivors must equal a from-scratch exact dedup
+    of corpus ∪ batch (first doc_id wins) — the defining contract."""
+    corpus, batch = corpus_and_batch
+    store = str(tmp_path / "store")
+    incremental.build_fingerprint_store(corpus, "text", "doc_id", store)
+    survivors = incremental.incremental_dedup(
+        spark, batch, "text", "doc_id", store
+    )
+    full = exact_dedup_by_hash(
+        corpus.unionByName(batch), "text", keep_order_cols=[F.col("doc_id")]
+    )
+    assert sorted(_ids(corpus) + _ids(survivors)) == _ids(full)
+    # exact mode: 100/101 (corpus dups) and 105 (in-batch dup) dropped;
+    # the permutation 106 and empty 108 survive
+    assert _ids(survivors) == [102, 103, 104, 106, 107, 108, 109]
+
+
+def test_update_store_is_idempotent(spark, corpus_and_batch, tmp_path):
+    corpus, batch = corpus_and_batch
+    store = str(tmp_path / "store")
+    incremental.build_fingerprint_store(corpus, "text", "doc_id", store)
+    first = incremental.incremental_dedup(
+        spark, batch, "text", "doc_id", store, update_store=True
+    )
+    # the survivor plan anti-joins the PRE-append store snapshot (pinned
+    # file listing): collecting after the append must NOT return empty
+    assert _ids(first) == [102, 103, 104, 106, 107, 108, 109]
+    replay = incremental.incremental_dedup(
+        spark, batch, "text", "doc_id", store
+    )
+    assert _ids(replay) == []
+    # a later batch still dedups against both corpus and first-batch docs
+    batch2 = spark.createDataFrame(
+        [(200, "fresh text one"), (201, "genuinely new")],
+        "doc_id LONG, text STRING",
+    )
+    assert _ids(
+        incremental.incremental_dedup(spark, batch2, "text", "doc_id", store)
+    ) == [201]
+
+
+def test_store_layout_and_pruned_scan(spark, corpus_and_batch, tmp_path):
+    """The store is hash-partitioned by fp_bucket and a batch's store scan
+    is pruned to its touched buckets (static IN literals → fewer files)."""
+    corpus, _ = corpus_and_batch
+    store = str(tmp_path / "store")
+    incremental.build_fingerprint_store(
+        corpus, "text", "doc_id", store, num_buckets=8
+    )
+    buckets = sorted(
+        p.name for p in Path(store).iterdir() if p.name.startswith("fp_bucket=")
+    )
+    assert len(buckets) >= 2  # 10 docs over 8 buckets: layout is partitioned
+    one_bucket = int(buckets[0].split("=")[1])
+    pruned = spark.read.parquet(store).filter(
+        F.col("fp_bucket").isin([one_bucket])
+    )
+    # the bucket predicate must land as a PartitionFilter on the scan
+    # (directory-level skip), not a post-scan Filter
+    plan = plans.explain_str(pruned)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "fp_bucket" in m.group(1), plan
+
+
+def test_canonical_mode_catches_permutations(spark, corpus_and_batch, tmp_path):
+    corpus, batch = corpus_and_batch
+    store = str(tmp_path / "store")
+    incremental.build_fingerprint_store(
+        corpus, "text", "doc_id", store, mode="canonical"
+    )
+    survivors = incremental.incremental_dedup(
+        spark, batch, "text", "doc_id", store, mode="canonical"
+    )
+    # 106 (permutation of corpus 2) is now also dropped
+    assert _ids(survivors) == [102, 103, 104, 107, 108, 109]
+
+
+def test_first_batch_without_store(spark, corpus_and_batch, tmp_path):
+    """No store yet: in-batch first-wins dedup only, nothing errors."""
+    _, batch = corpus_and_batch
+    survivors = incremental.incremental_dedup(
+        spark, batch, "text", "doc_id", str(tmp_path / "absent")
+    )
+    assert _ids(survivors) == [100, 101, 102, 103, 104, 106, 107, 108, 109]
+
+
+def test_unknown_mode_raises(spark, corpus_and_batch, tmp_path):
+    corpus, _ = corpus_and_batch
+    with pytest.raises(ValueError, match="unknown fingerprint mode"):
+        incremental.build_fingerprint_store(
+            corpus, "text", "doc_id", str(tmp_path / "s"), mode="fuzzy"
+        )
