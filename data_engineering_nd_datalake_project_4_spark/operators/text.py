@@ -181,6 +181,99 @@ def normalize_text(text_col: Column | str) -> Column:
     return F.trim(collapsed)
 
 
+#: PII scrub patterns, applied IN THIS ORDER (URL first so emails inside
+#: URLs are already gone; SSN before phone so the 3-2-4 digit shape is not
+#: half-eaten by the 3-3-4 phone pattern). Java-regex (Spark) and
+#: RE2-compatible (DuckDB oracle) — no backrefs, no lookaround.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"(?:\+\d{1,2}[ -])?\b\d{3}[ -]\d{3}[ -]\d{4}\b", "<PHONE>"),
+    ("ip", r"\b\d{1,3}(?:\.\d{1,3}){3}\b", "<IP>"),
+)
+
+
+def pii_scrub(text_col: Column | str) -> Column:
+    """Redact PII spans (URL/email/SSN/phone/IPv4) with typed placeholder
+    tokens — the standard pre-training scrub stage. Pure chained
+    ``regexp_replace``: map-side, zero shuffle, whole-stage codegen."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    for _, pat, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, token)
+    return c
+
+
+def pii_scrub_with_counts(
+    df: DataFrame, text_col: str, out_col: str = "scrubbed"
+) -> DataFrame:
+    """``df`` + one ``n_<kind>`` redaction-count column per PII kind and
+    the fully scrubbed text as ``out_col``.
+
+    Counts are taken on the text state *just before* that kind's replace
+    (so an email already swallowed by its URL is counted once, as a URL —
+    counts sum to total redactions). Each intermediate state is staged in
+    its own projection and referenced twice (count + next replace), which
+    keeps CollapseProject from re-inlining the regex chain into every
+    consumer."""
+    out = df.withColumn(out_col, F.col(text_col))
+    for kind, pat, token in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{kind}", F.size(F.regexp_extract_all(out_col, F.lit(pat), 0))
+        ).withColumn(out_col, F.regexp_replace(out_col, pat, token))
+    return out
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_docs: int = 3,
+    sep: str = "\n",
+) -> DataFrame:
+    """Remove repeated-line boilerplate: any line (split on ``sep``) that
+    appears in at least ``min_docs`` DISTINCT documents is dropped from
+    every document. Returns ``(id_col, kept_text, n_kept, n_dropped)``.
+
+    Scale shape: the line-frequency pass shuffles ``xxhash64(line)`` (8
+    bytes, never the line text) with map-side partial distinct; the
+    qualifying boilerplate *lines* — a set bounded by total_lines/min_docs
+    and in practice tiny — are collected into one array and broadcast, so
+    the strip itself is a map-side ``F.filter`` with no second shuffle and
+    line order is preserved for free. For a pathological corpus where the
+    boilerplate set itself is huge, compose the anti-join variant instead:
+    explode → anti-join on line hash → re-assemble with
+    ``array_sort(collect_list(struct(pos, line)))``.
+    """
+    lines = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), sep)).alias("__line")
+    )
+    boiler = (
+        lines.groupBy(F.xxhash64("__line").alias("__lh"))
+        .agg(
+            F.countDistinct(id_col).alias("__nd"),
+            F.first("__line").alias("__line"),
+        )
+        .filter(F.col("__nd") >= min_docs)
+        .agg(F.array_sort(F.collect_list("__line")).alias("__boiler"))
+    )
+    split_docs = df.select(
+        F.col(id_col), F.split(F.col(text_col), sep).alias("__ls")
+    )
+    kept = F.filter(
+        F.col("__ls"), lambda x: ~F.array_contains(F.col("__boiler"), x)
+    )
+    return (
+        split_docs.crossJoin(F.broadcast(boiler))
+        .select(
+            F.col(id_col),
+            F.array_join(kept, sep).alias("kept_text"),
+            F.size(kept).alias("n_kept"),
+            (F.size("__ls") - F.size(kept)).alias("n_dropped"),
+        )
+    )
+
+
 def chunk_tokens(
     df: DataFrame,
     text_col: str = "text",

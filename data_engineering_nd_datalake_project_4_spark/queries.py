@@ -4033,3 +4033,139 @@ def q130_incremental_dedup(spark, sf_dir):
         spark, batch, "text", "doc_id", store, mode="canonical", num_buckets=16
     )
     return survivors.select("doc_id", "source", "n_chars").orderBy("doc_id")
+
+
+@q(
+    "q131_pii_scrub",
+    """WITH aug AS (SELECT doc_id,
+                           CASE doc_id % 5
+                             WHEN 0 THEN text || ' reach me at user' || CAST(doc_id AS VARCHAR)
+                                         || '@example.com or +1 555-867-5309'
+                             WHEN 1 THEN 'see https://example.com/page?id='
+                                         || CAST(doc_id AS VARCHAR) || ' ' || text
+                             WHEN 2 THEN text || ' ssn 123-45-6789 ip 192.168.1.'
+                                         || CAST(doc_id % 256 AS VARCHAR)
+                             ELSE text END AS s0
+                    FROM documents),
+            t1 AS (SELECT doc_id, s0,
+                          len(regexp_extract_all(s0, 'https?://[^\\s]+')) AS n_url,
+                          regexp_replace(s0, 'https?://[^\\s]+', '<URL>', 'g') AS s1
+                   FROM aug),
+            t2 AS (SELECT *,
+                          len(regexp_extract_all(s1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+                          regexp_replace(s1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS s2
+                   FROM t1),
+            t3 AS (SELECT *,
+                          len(regexp_extract_all(s2, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS n_ssn,
+                          regexp_replace(s2, '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g') AS s3
+                   FROM t2),
+            t4 AS (SELECT *,
+                          len(regexp_extract_all(s3, '(?:\\+\\d{1,2}[ -])?\\b\\d{3}[ -]\\d{3}[ -]\\d{4}\\b')) AS n_phone,
+                          regexp_replace(s3, '(?:\\+\\d{1,2}[ -])?\\b\\d{3}[ -]\\d{3}[ -]\\d{4}\\b', '<PHONE>', 'g') AS s4
+                   FROM t3),
+            t5 AS (SELECT *,
+                          len(regexp_extract_all(s4, '\\b\\d{1,3}(?:\\.\\d{1,3}){3}\\b')) AS n_ip,
+                          regexp_replace(s4, '\\b\\d{1,3}(?:\\.\\d{1,3}){3}\\b', '<IP>', 'g') AS s5
+                   FROM t4)
+       SELECT doc_id, n_url, n_email, n_ssn, n_phone, n_ip,
+              s5 AS scrubbed, length(s5) AS scrub_len
+       FROM t5 ORDER BY doc_id""",
+    "PII scrub (pre-training redaction): URLs, emails, SSNs, phones, IPv4s "
+    "replaced with typed placeholders + per-kind redaction counts. PII is "
+    "planted deterministically by doc_id class so the scrub provably fires. "
+    "Pure chained regexp_replace — map-side, zero shuffle, codegen; "
+    "patterns are Java-regex AND RE2 compatible so the oracle agrees",
+)
+def q131_pii_scrub(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    ds = F.col("doc_id").cast("string")
+    aug = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"), F.lit(" reach me at user"), ds,
+                F.lit("@example.com or +1 555-867-5309"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(
+                F.lit("see https://example.com/page?id="), ds, F.lit(" "),
+                F.col("text"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(
+                F.col("text"), F.lit(" ssn 123-45-6789 ip 192.168.1."),
+                (F.col("doc_id") % 256).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("s0"),
+    )
+    scrubbed = text.pii_scrub_with_counts(aug, "s0", out_col="scrubbed")
+    return scrubbed.select(
+        "doc_id", "n_url", "n_email", "n_ssn", "n_phone", "n_ip",
+        "scrubbed", F.length("scrubbed").alias("scrub_len"),
+    ).orderBy("doc_id")
+
+
+@q(
+    "q132_boilerplate_strip",
+    """WITH aug AS (SELECT doc_id,
+                           CASE doc_id % 4
+                             WHEN 0 THEN 'SUBSCRIBE TO OUR NEWSLETTER' || chr(10)
+                                         || text || chr(10) || 'All rights reserved.'
+                             WHEN 1 THEN text || chr(10) || 'All rights reserved.'
+                             WHEN 2 THEN 'Cookie policy: we use cookies' || chr(10) || text
+                             ELSE text END AS t2
+                    FROM documents),
+            la AS (SELECT doc_id, string_split(t2, chr(10)) AS ls FROM aug),
+            lines AS (SELECT doc_id, unnest(ls) AS line FROM la),
+            boiler AS (SELECT line FROM lines
+                       GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 3),
+            bl AS (SELECT COALESCE(list(line ORDER BY line),
+                                   CAST([] AS VARCHAR[])) AS bset FROM boiler)
+       SELECT doc_id,
+              COALESCE(array_to_string(
+                  list_filter(ls, x -> NOT list_contains(bset, x)), chr(10)), '')
+                  AS kept_text,
+              len(list_filter(ls, x -> NOT list_contains(bset, x))) AS n_kept,
+              len(ls) - len(list_filter(ls, x -> NOT list_contains(bset, x)))
+                  AS n_dropped
+       FROM la CROSS JOIN bl ORDER BY doc_id""",
+    "repeated-line boilerplate removal: lines present in >= 3 distinct docs "
+    "(planted newsletter/copyright/cookie banners) are dropped from every "
+    "doc, preserving remaining line order. Line-frequency pass shuffles "
+    "xxhash64(line) (8-byte keys); the qualifying line set — bounded by "
+    "total_lines/min_docs — is broadcast, so the strip itself is a "
+    "map-side array filter with no second shuffle",
+)
+def q132_boilerplate_strip(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    nl = F.lit("\n")
+    aug = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("SUBSCRIBE TO OUR NEWSLETTER"), nl, F.col("text"), nl,
+                F.lit("All rights reserved."),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.col("text"), nl, F.lit("All rights reserved.")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("Cookie policy: we use cookies"), nl, F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("t2"),
+    )
+    return text.strip_boilerplate(
+        aug, "t2", "doc_id", min_docs=3, sep="\n"
+    ).orderBy("doc_id")

@@ -1,0 +1,90 @@
+"""PII scrub + repeated-line boilerplate strip: planted-case semantics,
+count attribution order, order preservation, degenerate corpora."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_nd_datalake_project_4_spark.operators import text as T
+
+
+def _scrub_one(spark, s: str) -> dict:
+    df = spark.createDataFrame([(1, s)], "id LONG, t STRING")
+    return T.pii_scrub_with_counts(df, "t", out_col="out").collect()[0].asDict()
+
+
+def test_pii_scrub_each_kind(spark):
+    r = _scrub_one(
+        spark,
+        "mail a@b.io or see https://x.io/p?q=1 call +1 555-867-5309 "
+        "ssn 123-45-6789 host 10.0.0.1",
+    )
+    assert r["out"] == (
+        "mail <EMAIL> or see <URL> call <PHONE> ssn <SSN> host <IP>"
+    )
+    assert (r["n_email"], r["n_url"], r["n_phone"], r["n_ssn"], r["n_ip"]) == (
+        1, 1, 1, 1, 1,
+    )
+
+
+def test_pii_email_inside_url_counts_once_as_url(spark):
+    r = _scrub_one(spark, "https://x.io/unsubscribe?email=a@b.io done")
+    assert r["out"] == "<URL> done"
+    assert r["n_url"] == 1 and r["n_email"] == 0
+
+
+def test_pii_ssn_not_eaten_by_phone(spark):
+    r = _scrub_one(spark, "123-45-6789 and 555-867-5309")
+    assert r["out"] == "<SSN> and <PHONE>"
+
+
+def test_pii_passthrough_and_unicode(spark):
+    r = _scrub_one(spark, "héllo wörld 東京 no pii here 🙂")
+    assert r["out"] == "héllo wörld 東京 no pii here 🙂"
+    assert sum(r[f"n_{k}"] for k, _, _ in T.PII_PATTERNS) == 0
+
+
+@pytest.fixture()
+def boiler_corpus(spark):
+    rows = [
+        (1, "AD BANNER\nreal content one\nfooter"),
+        (2, "AD BANNER\nreal content two\nfooter"),
+        (3, "AD BANNER\nunique middle\nfooter"),
+        (4, "only original text"),
+        (5, "AD BANNER"),  # doc that is entirely boilerplate
+    ]
+    return spark.createDataFrame(rows, "doc_id LONG, t STRING")
+
+
+def test_boilerplate_strip_planted(spark, boiler_corpus):
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in T.strip_boilerplate(boiler_corpus, "t", "doc_id", min_docs=3).collect()
+    }
+    # 'AD BANNER' (4 docs) and 'footer' (3 docs) are boilerplate
+    assert out[1]["kept_text"] == "real content one"
+    assert out[3]["kept_text"] == "unique middle"
+    assert out[4] == {
+        "doc_id": 4, "kept_text": "only original text", "n_kept": 1, "n_dropped": 0,
+    }
+    assert out[5] == {"doc_id": 5, "kept_text": "", "n_kept": 0, "n_dropped": 1}
+
+
+def test_boilerplate_preserves_line_order(spark):
+    rows = [(i, f"SPAM\nline-a-{i}\nline-b-{i}\nSPAM") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id LONG, t STRING")
+    out = T.strip_boilerplate(df, "t", "doc_id", min_docs=3).collect()
+    for r in out:
+        i = r["doc_id"]
+        assert r["kept_text"] == f"line-a-{i}\nline-b-{i}"
+        assert r["n_dropped"] == 2
+
+
+def test_boilerplate_none_qualifies(spark):
+    df = spark.createDataFrame(
+        [(1, "a\nb"), (2, "c\nd")], "doc_id LONG, t STRING"
+    )
+    out = {r["doc_id"]: r["kept_text"] for r in
+           T.strip_boilerplate(df, "t", "doc_id", min_docs=3).collect()}
+    assert out == {1: "a\nb", 2: "c\nd"}
