@@ -70,3 +70,34 @@ def sliding(
     """ROWS <preceding> PRECEDING .. CURRENT ROW sliding aggregate."""
     w = spec(partition_by, order_by).rowsBetween(-preceding, Window.currentRow)
     return df.withColumn(alias, expr.over(w))
+
+
+def groups_between(
+    df: DataFrame,
+    aggs: dict[str, Column],
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    preceding: int,
+    following: int = 0,
+) -> DataFrame:
+    """SQL:2011 ``GROUPS BETWEEN p PRECEDING AND f FOLLOWING`` frames —
+    the one standard frame type Spark's parser lacks (ROWS/RANGE only,
+    tested against Spark 4.1). The exact rewrite: peer rows (ties under
+    ``order_by``) share a ``dense_rank`` index, and a RANGE frame over
+    that integer index counts whole peer groups, which is precisely the
+    GROUPS frame semantics (frames always include entire peer groups).
+
+    ``aggs`` maps output alias → aggregate expression. Physical: one
+    shuffle on ``partition_by``; both window passes order by the same key
+    sequence so the second sort is over already-sorted runs.
+    """
+    w_rank = spec(partition_by, order_by)
+    out = df.withColumn("__grp_idx", F.dense_rank().over(w_rank))
+    w_frame = (
+        Window.partitionBy(*partition_by)
+        .orderBy("__grp_idx")
+        .rangeBetween(-preceding, following)
+    )
+    for alias, expr in aggs.items():
+        out = out.withColumn(alias, expr.over(w_frame))
+    return out.drop("__grp_idx")

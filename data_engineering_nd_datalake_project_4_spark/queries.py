@@ -4169,3 +4169,69 @@ def q132_boilerplate_strip(spark, sf_dir):
     return text.strip_boilerplate(
         aug, "t2", "doc_id", min_docs=3, sep="\n"
     ).orderBy("doc_id")
+
+
+@q(
+    "q133_groups_frame",
+    """WITH g AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+                         SUM(CAST(l_quantity AS BIGINT)) AS s, COUNT(*) AS n
+                  FROM lineitem GROUP BY 1, 2),
+            w AS (SELECT l_returnflag, qty,
+                         s + COALESCE(LAG(s) OVER (PARTITION BY l_returnflag
+                                                   ORDER BY qty), 0) AS frame_qty,
+                         n + COALESCE(LAG(n) OVER (PARTITION BY l_returnflag
+                                                   ORDER BY qty), 0) AS frame_n
+                  FROM g)
+       SELECT l_returnflag, qty, frame_qty, frame_n
+       FROM w ORDER BY l_returnflag, qty""",
+    "SQL:2011 GROUPS BETWEEN frame (1 PRECEDING..CURRENT ROW over tied "
+    "quantities). Neither Spark's parser nor this DuckDB build implements "
+    "GROUPS mode — windows.groups_between rewrites it exactly: dense_rank "
+    "peer-group index + RANGE frame over that index (frames always cover "
+    "whole peer groups, so every peer row gets the identical frame value; "
+    "the DISTINCT output makes that property hash-checkable). The oracle "
+    "is an INDEPENDENT formulation — per-(flag,qty) aggregates + LAG — "
+    "so agreement checks the semantics, not the rewrite",
+)
+def q133_groups_frame(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("bigint").alias("qty")
+    )
+    framed = windows.groups_between(
+        li,
+        {"frame_qty": F.sum("qty"), "frame_n": F.count(F.lit(1))},
+        ["l_returnflag"],
+        [F.col("qty")],
+        preceding=1,
+    )
+    return (
+        framed.select("l_returnflag", "qty", "frame_qty", "frame_n")
+        .distinct()
+        .orderBy("l_returnflag", "qty")
+    )
+
+
+@q(
+    "q134_percentile_within_group",
+    """SELECT l_returnflag,
+              CAST(percentile_cont(0.25) WITHIN GROUP (ORDER BY CAST(l_quantity AS BIGINT)) AS DOUBLE) AS p25,
+              CAST(percentile_cont(0.5)  WITHIN GROUP (ORDER BY CAST(l_quantity AS BIGINT)) AS DOUBLE) AS p50,
+              CAST(percentile_cont(0.75) WITHIN GROUP (ORDER BY CAST(l_quantity AS BIGINT)) AS DOUBLE) AS p75,
+              CAST(percentile_disc(0.5)  WITHIN GROUP (ORDER BY CAST(l_quantity AS BIGINT)) AS DOUBLE) AS median_disc
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "percentile_cont / percentile_disc WITHIN GROUP (ordered-set "
+    "aggregates, SQL:2003) per return flag. Integer-valued quantities "
+    "keep the 0.25/0.5/0.75 interpolation exact in binary, so both "
+    "engines agree bit-for-bit. Runs through the SQL entry path "
+    "(spark.sql over a temp view) — Spark 4 parses WITHIN GROUP natively",
+)
+def q134_percentile_within_group(spark, sf_dir):
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("q134_lineitem")
+    return spark.sql(
+        """SELECT l_returnflag,
+                  CAST(percentile_cont(0.25) WITHIN GROUP (ORDER BY CAST(l_quantity AS BIGINT)) AS DOUBLE) AS p25,
+                  CAST(percentile_cont(0.5)  WITHIN GROUP (ORDER BY CAST(l_quantity AS BIGINT)) AS DOUBLE) AS p50,
+                  CAST(percentile_cont(0.75) WITHIN GROUP (ORDER BY CAST(l_quantity AS BIGINT)) AS DOUBLE) AS p75,
+                  CAST(percentile_disc(0.5)  WITHIN GROUP (ORDER BY CAST(l_quantity AS BIGINT)) AS DOUBLE) AS median_disc
+           FROM q134_lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+    )
