@@ -7,7 +7,65 @@ AQE and the shuffle machinery (SURVEY.md §2.2 design rule).
 
 from __future__ import annotations
 
+import math
+import os
+from urllib.parse import unquote, urlparse
+
 from pyspark.sql import DataFrame
+
+_SIZE_SUFFIX = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+
+
+def _parse_byte_conf(value: str, default: int = 128 << 20) -> int:
+    """Parse a Spark byte-size conf string ('134217728b', '128m', '1g')."""
+    v = value.strip().lower()
+    mult = 1
+    while v and v[-1] in _SIZE_SUFFIX:
+        mult = _SIZE_SUFFIX[v[-1]]
+        v = v[:-1]
+        if mult != 1:
+            break
+    try:
+        return int(v) * mult
+    except ValueError:
+        return default
+
+
+def _estimated_scan_splits(df: DataFrame, target: int) -> int | None:
+    """Planner-cost-free estimate of the scan's split count from the file
+    listing alone (``inputFiles`` touches only the already-built file
+    index — no plan→RDD conversion, no job). Returns None when the plan is
+    not a local file scan (then the caller pays the accurate RDD probe).
+
+    ≥ ``target`` files → at least one split each, certainly enough. Fewer
+    files → a big file still splits every ``maxPartitionBytes``, so sum
+    per-file split counts from the on-disk sizes. Small-file coalescing
+    can make the true partition count lower than the file count, but a
+    corpus of tiny files is also not a compute-dense workload — the
+    conservative answer is the cheap one.
+    """
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    if len(files) >= target:
+        return len(files)
+    max_bytes = _parse_byte_conf(
+        df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    )
+    splits = 0
+    for f in files:
+        parsed = urlparse(f)
+        if parsed.scheme not in ("", "file"):
+            return None  # remote store: can't stat cheaply, use RDD probe
+        try:
+            size = os.path.getsize(unquote(parsed.path))
+        except OSError:
+            return None
+        splits += max(1, math.ceil(size / max_bytes))
+    return splits
 
 
 def ensure_map_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -22,9 +80,20 @@ def ensure_map_parallelism(df: DataFrame, min_partitions: int | None = None) -> 
     (id + text/vector) and unlocks full map parallelism. Compute-dense
     operators call this on their input — a shuffle whose payload is tiny
     relative to the map work it distributes.
+
+    The no-op decision itself must be free at scale: the probe reads the
+    scan's file listing (count + local sizes vs ``maxPartitionBytes``)
+    instead of materializing the plan's RDD — ``df.rdd`` forces full
+    physical planning per call and reports the pre-AQE static number
+    anyway. Only non-file-scan inputs (in-memory, post-shuffle) fall back
+    to the RDD probe, and those are exactly the plans that were already
+    materialized once.
     """
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    est = _estimated_scan_splits(df, target)
+    if est is None:
+        est = df.rdd.getNumPartitions()
+    if est < target:
         return df.repartition(target)
     return df

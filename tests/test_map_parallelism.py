@@ -1,0 +1,64 @@
+"""ensure_map_parallelism cheap probe: file-listing estimate instead of
+plan→RDD materialization; repartition only when the scan is genuinely
+under-parallel."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import DataFrame
+
+from data_engineering_nd_datalake_project_4_spark.operators import (
+    _parse_byte_conf,
+    ensure_map_parallelism,
+)
+
+
+def test_parse_byte_conf():
+    assert _parse_byte_conf("134217728b") == 134217728
+    assert _parse_byte_conf("128m") == 128 << 20
+    assert _parse_byte_conf("128MB") == 128 << 20
+    assert _parse_byte_conf("1g") == 1 << 30
+    assert _parse_byte_conf("4096") == 4096
+    assert _parse_byte_conf("garbage", default=7) == 7
+
+
+def test_single_file_scan_is_spread(spark, tmp_path):
+    p = str(tmp_path / "one")
+    spark.range(1000).coalesce(1).write.parquet(p)
+    out = ensure_map_parallelism(spark.read.parquet(p), min_partitions=8)
+    assert out is not spark  # sanity
+    assert out.rdd.getNumPartitions() == 8
+
+
+def test_many_file_scan_is_noop_without_rdd_probe(spark, tmp_path, monkeypatch):
+    p = str(tmp_path / "many")
+    spark.range(1000).repartition(8).write.parquet(p)
+    df = spark.read.parquet(p)
+
+    def boom(self):  # the probe must never materialize the RDD here
+        raise AssertionError("df.rdd touched on the file-scan fast path")
+
+    monkeypatch.setattr(DataFrame, "rdd", property(boom))
+    out = ensure_map_parallelism(df, min_partitions=4)
+    assert out is df  # ≥ target files → identical plan, no repartition
+
+
+def test_few_large_files_counted_by_size(spark, tmp_path):
+    """One multi-MB file with a tiny maxPartitionBytes must count as many
+    splits → no repartition even though there is a single file."""
+    p = str(tmp_path / "big")
+    spark.range(300_000).coalesce(1).write.parquet(p)
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "65536b")
+        df = spark.read.parquet(p)
+        out = ensure_map_parallelism(df, min_partitions=4)
+        assert out is df
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+
+
+def test_in_memory_input_falls_back_to_rdd_probe(spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], "x LONG")
+    out = ensure_map_parallelism(df, min_partitions=4)
+    assert out.rdd.getNumPartitions() >= 4 or out is df
