@@ -66,12 +66,17 @@ def time_weighted_avg(
 
     Cross-engine exactness: value → exact cents (DECIMAL(18,2)·100 →
     BIGINT), duration → µs BIGINT, and the per-interval product is taken in
-    DECIMAL(38,0) — one operand is cast to decimal BEFORE the multiply, so
-    a pathological cents×duration that would exceed 63 bits errors loudly
-    instead of wrapping (the oracle's HUGEINT multiply is likewise exact).
-    The sum accumulates in DECIMAL(38,0) (exact, order-independent); the
-    final division is one deterministic double op, so Spark and an oracle
-    engine agree bit-for-bit.
+    DECIMAL(38,0) — one operand is cast to decimal BEFORE the multiply.
+    The product itself CANNOT overflow (|bigint|² < 8.5e37 < 1e38), but the
+    DECIMAL(38,0) SUM accumulator can in principle, and with ANSI off Spark
+    yields NULL on decimal-sum overflow — which ``F.sum`` would otherwise
+    pass through as a silently-NULL ``twa`` while the oracle's HUGEINT stays
+    exact. The guard below turns that case into a loud error: if any group
+    has non-NULL products but a NULL sum, the job fails with an explicit
+    message (unreachable at realistic magnitudes — ~1e31 for a year of
+    max-money cents — but silent-wrong is not an acceptable failure mode).
+    The final division is one deterministic double op, so Spark and an
+    oracle engine agree bit-for-bit.
     """
     order = [F.asc(ts_col)] + ([F.asc(tie_break)] if tie_break else [])
     w = Window.partitionBy(key).orderBy(*order)
@@ -82,16 +87,28 @@ def time_weighted_avg(
         us.alias("__t"),
         (F.lead(us).over(w) - us).alias("__dur"),
     ).filter(F.col("__dur").isNotNull())
+    prod = F.col("__cents").cast("decimal(19,0)") * F.col("__dur")
+    no_overflow = F.assert_true(
+        (F.col("__n_prod") == 0) | F.col("__wsum").isNotNull(),
+        F.lit("time_weighted_avg: DECIMAL(38,0) cents-microseconds sum overflowed"),
+    )
     return (
         stepped.groupBy(key)
         .agg(
-            F.sum(F.col("__cents").cast("decimal(19,0)") * F.col("__dur")).alias("__wsum"),
+            F.sum(prod).alias("__wsum"),
             F.sum("__dur").alias("__tot"),
+            F.count(prod).alias("__n_prod"),
         )
         .filter(F.col("__tot") > 0)
         .select(
             key,
-            (F.col("__wsum").cast("double") / (F.col("__tot") * F.lit(100.0))).alias("twa"),
+            # assert_true is NULL when it passes; adding its coalesced 0.0
+            # keeps the guard alive in the plan (a dropped column would be
+            # pruned) without perturbing the double result
+            (
+                F.col("__wsum").cast("double") / (F.col("__tot") * F.lit(100.0))
+                + F.coalesce(no_overflow.cast("double"), F.lit(0.0))
+            ).alias("twa"),
             F.col("__tot").alias("total_duration_us"),
         )
     )

@@ -1080,38 +1080,53 @@ def _align_decimal_casts(sql: str) -> str:
     money columns forced onto x.xx5/x.xxxx5 grids stay green). Lossless
     for non-double operands (int/decimal/NULL stringify exactly).
     """
+    up = sql.upper()
+    quoted = _quote_mask(sql)
     out: list[str] = []
     i = 0
     while True:
-        j = sql.find("CAST(", i)
+        # next CAST( that is (a) outside string literals and (b) a whole
+        # word — `TRY_CAST(`'s suffix has a preceding [A-Z0-9_] char and is
+        # left alone (its NULL-on-error semantics must not be narrowed to
+        # the inner cast only)
+        j = up.find("CAST(", i)
+        while j >= 0 and (
+            quoted[j] or (j > 0 and (sql[j - 1].isalnum() or sql[j - 1] == "_"))
+        ):
+            j = up.find("CAST(", j + 1)
         if j < 0:
             out.append(sql[i:])
             return "".join(out)
-        # find the matching close paren of this CAST
+        # find the matching close paren of this CAST (quoted spans skipped)
         depth, k = 0, j + 4
         while k < len(sql):
-            if sql[k] == "(":
-                depth += 1
-            elif sql[k] == ")":
-                depth -= 1
-                if depth == 0:
-                    break
+            if not quoted[k]:
+                if sql[k] == "(":
+                    depth += 1
+                elif sql[k] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
             k += 1
         inner = sql[j + 5 : k]  # expr AS TYPE
-        # the type keyword is after the LAST top-level " AS "
+        inner_up = up[j + 5 : k]
+        inner_quoted = quoted[j + 5 : k]
+        # the type keyword is after the LAST top-level, unquoted " AS "
         depth, split = 0, -1
         for p in range(len(inner) - 3):
+            if inner_quoted[p]:
+                continue
             c = inner[p]
             if c == "(":
                 depth += 1
             elif c == ")":
                 depth -= 1
-            elif depth == 0 and inner[p : p + 4] == " AS ":
+            elif depth == 0 and inner_up[p : p + 4] == " AS ":
                 split = p
         if split >= 0:
             expr, ttype = inner[:split], inner[split + 4 :]
             expr = _align_decimal_casts(expr)  # nested CASTs inside expr
-            if ttype.upper().startswith("DECIMAL("):
+            if ttype.upper().lstrip().startswith("DECIMAL("):
                 out.append(sql[i:j])
                 out.append(f"CAST(CAST({expr} AS VARCHAR) AS {ttype})")
                 i = k + 1
@@ -1122,6 +1137,29 @@ def _align_decimal_casts(sql: str) -> str:
             continue
         out.append(sql[i : k + 1])
         i = k + 1
+
+
+def _quote_mask(sql: str) -> list[bool]:
+    """True at every position inside a single-quoted SQL string literal
+    (including the quotes; ``''`` escapes handled). The cast rewriter uses
+    it so literal text containing ``CAST(``, ``  AS `` or parens can never
+    derail the scan."""
+    mask = [False] * len(sql)
+    i, inq = 0, False
+    while i < len(sql):
+        if inq:
+            mask[i] = True
+            if sql[i] == "'":
+                if i + 1 < len(sql) and sql[i + 1] == "'":
+                    mask[i + 1] = True
+                    i += 1
+                else:
+                    inq = False
+        elif sql[i] == "'":
+            mask[i] = True
+            inq = True
+        i += 1
+    return mask
 
 
 def oracle_sql() -> dict[str, str]:

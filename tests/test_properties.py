@@ -544,6 +544,24 @@ def test_time_weighted_avg_step_function(spark):
     assert r["total_duration_us"] == 40_000_000
 
 
+def test_time_weighted_avg_all_null_values_pass_guard(spark):
+    """The decimal-sum overflow guard (assert_true) must NOT fire for a
+    group whose values are all NULL — a NULL __wsum with zero non-NULL
+    products is legitimate data, not overflow; twa comes back NULL."""
+    from data_engineering_nd_datalake_project_4_spark.operators.timeseries import time_weighted_avg
+
+    df = spark.createDataFrame(
+        [
+            (7, "2020-01-01 00:00:00", None, 1),
+            (7, "2020-01-01 00:00:10", None, 2),
+        ],
+        "uid int, ts string, value double, eid int",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = time_weighted_avg(df, "uid", "ts", "value", tie_break="eid").collect()[0]
+    assert r["twa"] is None
+    assert r["total_duration_us"] == 10_000_000
+
+
 def test_scd2_leading_null_attr_opens_interval(spark):
     """A partition whose FIRST attr is NULL must still open an interval
     (row-number first-row detection, not lag-is-NULL — a leading NULL attr
@@ -639,6 +657,27 @@ def test_align_decimal_casts_rewriter():
     assert a("CAST(ts AS TIMESTAMP)") == "CAST(ts AS TIMESTAMP)"
     assert a("CAST(cents AS HUGEINT) * dur") == "CAST(cents AS HUGEINT) * dur"
     assert a("no casts here") == "no casts here"
+    # case-insensitive keyword matching
+    assert a("cast(x as decimal(18,2))") == "CAST(CAST(x AS VARCHAR) AS decimal(18,2))"
+    # TRY_CAST is a different function (NULL-on-error): its CAST( suffix
+    # must not be claimed, or the rewrite would narrow the TRY scope
+    assert a("TRY_CAST(x AS DECIMAL(18,2))") == "TRY_CAST(x AS DECIMAL(18,2))"
+    assert a("try_cast(x AS DECIMAL(18,2))") == "try_cast(x AS DECIMAL(18,2))"
+    # string literals cannot derail the scan: unbalanced parens, fake
+    # ' AS ' and even 'CAST(' inside quotes are inert
+    assert a("SELECT 'CAST(' || CAST(x AS DECIMAL(9,2))") == (
+        "SELECT 'CAST(' || CAST(CAST(x AS VARCHAR) AS DECIMAL(9,2))"
+    )
+    assert a("CAST(coalesce(s, ') AS DECIMAL(') AS VARCHAR)") == (
+        "CAST(coalesce(s, ') AS DECIMAL(') AS VARCHAR)"
+    )
+    assert a("CAST('it''s ( AS ' AS VARCHAR)") == "CAST('it''s ( AS ' AS VARCHAR)"
+    # every shipped oracle must still round-trip through the rewriter with
+    # balanced parens and no stray unrouted decimal casts
+    from data_engineering_nd_datalake_project_4_spark.queries import oracle_sql
+
+    for name, sql in oracle_sql().items():
+        assert sql.count("(") == sql.count(")"), name
 
 
 def test_decimal_cast_cross_engine_alignment(spark):
