@@ -697,3 +697,33 @@ def test_decimal_cast_cross_engine_alignment(spark):
             f"SELECT CAST(CAST(CAST({v!r} AS DOUBLE) AS VARCHAR) AS DECIMAL(18,2))"
         ).fetchone()[0]
         assert str(duck) == spark_render[v], (v, str(duck), spark_render[v])
+
+
+def test_q129_contamination_hash_boundary(spark, tmp_path):
+    """Plant the exact boundary cases around the 5-gram window: a candidate
+    sharing EXACTLY ONE 5-gram with the benchmark slice, a near-miss whose
+    overlap is only 4 tokens long (must not appear at all), a 2-gram-sharing
+    exact copy, a <5-token doc (filtered), and a gram present in TWO bench
+    docs (countDistinct must still count it once)."""
+    from data_engineering_nd_datalake_project_4_spark.queries import REGISTRY
+
+    rows = [
+        # benchmark slice (doc_id < 50)
+        (10, "a b c d e f"),        # grams: "a b c d e", "b c d e f"
+        (40, "z z a b c d e"),      # repeats gram "a b c d e" in a 2nd doc
+        # candidates (doc_id >= 50)
+        (60, "x y z w v a b c d e"),  # shares exactly "a b c d e" -> 1
+        (61, "q r b c d e"),          # 4-token overlap only -> no row
+        (62, "a b c d e f"),          # shares both bench grams -> 2
+        (63, "a b c d"),              # < 5 tokens: filtered out entirely
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in rows],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: r["n_shared"]
+        for r in REGISTRY["q129_contamination"].spark_fn(spark, str(tmp_path)).collect()
+    }
+    assert out == {60: 1, 62: 2}

@@ -288,3 +288,86 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path_factory):
     # whole history: every row delivered exactly once across the restart
     all_rows = sorted(r for _, rows in seen for r in rows)
     assert all_rows == [("a", 1), ("a", 2), ("b", 3), ("b", 4), ("c", 5), ("d", 6)]
+
+
+def test_session_spans_microbatch_boundary_with_watermark(spark, tmp_path_factory):
+    """A session whose events arrive in DIFFERENT micro-batches (and across
+    an availableNow restart) must merge into ONE session row once the
+    watermark evicts it — the stateful session store has to carry the open
+    session across the batch boundary, not emit two fragments. The emitted
+    row must equal the batch session_agg over the full input."""
+    base = tmp_path_factory.mktemp("session_boundary")
+    src, sink, chk = str(base / "src"), str(base / "sink"), str(base / "chk")
+    os.makedirs(src)
+    schema = "user_id INT, ts TIMESTAMP"
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, "user_id INT, ts STRING").select(
+            "user_id", F.to_timestamp("ts").alias("ts")
+        ).coalesce(1).write.parquet(os.path.join(src, name))
+
+    def run_once(qname):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/*")
+        )
+        agg = session_agg(
+            stream, "ts", "30 minutes", ["user_id"],
+            [F.count(F.lit(1)).alias("n")], watermark="1 hour",
+        ).select(
+            "user_id",
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "n",
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .queryName(qname)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: the session opens (no output yet — watermark at epoch)
+    write_file("b1", [(1, "2024-01-01 00:00:00")])
+    run_once("sess_b1")
+    # batch 2: the SAME session continues (10 min < 30 min gap) and a
+    # far-future event pushes the watermark past the session's end
+    write_file("b2", [(1, "2024-01-01 00:10:00"), (99, "2024-01-05 00:00:00")])
+    run_once("sess_b2")
+    # batch 3: one more watermark advance so any finalize-on-next-batch
+    # emission semantics have a batch to emit in
+    write_file("b3", [(99, "2024-02-01 00:00:00")])
+    run_once("sess_b3")
+
+    rows = [
+        r.asDict()
+        for r in spark.read.parquet(sink).filter(F.col("user_id") == 1).collect()
+    ]
+    # exactly ONE merged session — a [00:00] fragment and a [00:10] fragment
+    # would mean the boundary (or the restart) split the state
+    assert len(rows) == 1, rows
+    got = rows[0]
+    expected = (
+        session_agg(
+            spark.createDataFrame(
+                [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:10:00")],
+                "user_id INT, ts STRING",
+            ).select("user_id", F.to_timestamp("ts").alias("ts")),
+            "ts", "30 minutes", ["user_id"], [F.count(F.lit(1)).alias("n")],
+        )
+        .select(
+            "user_id",
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "n",
+        )
+        .collect()[0]
+        .asDict()
+    )
+    assert got == expected, (got, expected)
+    assert got["n"] == 2
