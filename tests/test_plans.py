@@ -75,6 +75,8 @@ NON_EQUI_BY_DESIGN = {
     # scalar-subquery pattern: crossJoin of a broadcast 1-row aggregate
     # (threshold / corpus size) — O(N·1), not a pair-generation blowup
     "q86_rich_inactive", "q88_tfidf", "q96_global_threshold",
+    # broadcast 1-row boilerplate-line-set array: O(N·1) map-side strip
+    "q132_boilerplate_strip",
 }
 
 
