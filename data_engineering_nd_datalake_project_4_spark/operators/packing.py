@@ -1,0 +1,114 @@
+"""Sequence packing: assemble documents into fixed-token-budget training
+sequences — the step between a curated corpus and a training shard. The
+reference has no analogue (its pipeline stops at analytical tables); this
+is part of the LLM-training-data surface SURVEY.md §2 extends.
+
+Packing is inherently sequential WITHIN a pack, so the scale design makes
+the sequential unit the SHARD, not the corpus: documents are spread over
+``n_shards`` deterministic shards (training shards are independent by
+construction — they are consumed by different data-loader workers), and
+all packing state lives within one shard. One exchange on the shard key,
+then either a per-shard window cumsum (pure Catalyst) or a per-shard
+Arrow-batched pass (exact capacity) — no global sequential bottleneck, and
+1000 shards at 100 TB parallelize exactly like 8 shards at test scale.
+
+Two packers, one trade each way:
+
+- :func:`pack_greedy_contiguous` — pure Catalyst (window cumsum). A doc
+  that straddles a ``target_tokens`` boundary belongs to the pack it
+  STARTS in, so packs can overflow by up to one doc — the standard
+  "document packing, split on read" layout. Exactly SQL-expressible
+  (oracle-checkable).
+- :func:`pack_first_fit` — exact capacity: a doc that would overflow the
+  open pack closes it and opens the next, so no pack ever exceeds
+  ``target_tokens`` unless a single doc alone does. The open-pack state is
+  a prefix-dependent recursion no window frame expresses, so it runs as a
+  per-shard ``applyInPandas`` (one Arrow batch per shard, sequential only
+  within the shard) — property-tested rather than oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_engineering_nd_datalake_project_4_spark.operators.text import token_count
+
+
+def _sharded_counts(
+    df: DataFrame, text_col: str, id_col: str, n_shards: int
+) -> DataFrame:
+    """(id, n_tok, shard_id): narrow projection — the shuffle that follows
+    moves three numeric columns, never the document text."""
+    return df.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tok"),
+        F.pmod(F.col(id_col), F.lit(n_shards)).cast("int").alias("shard_id"),
+    )
+
+
+def pack_greedy_contiguous(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target_tokens: int = 2048,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Greedy contiguous packing: within each shard (docs in ``id_col``
+    order) a doc joins the pack its cumulative-token START position falls
+    in. Returns ``(id, shard_id, pack_id, n_tok, start_tok)``.
+
+    One shuffle (shard key), one window pass. Deterministic: the shard
+    function is ``id % n_shards`` so an oracle can replicate it; a
+    production corpus with arbitrary ids would use ``pmod(xxhash64(id))``
+    — same plan shape.
+    """
+    if target_tokens <= 0:
+        raise ValueError(f"target_tokens must be positive, got {target_tokens}")
+    w = Window.partitionBy("shard_id").orderBy(id_col)
+    cum = F.sum("n_tok").over(w)
+    start = (cum - F.col("n_tok")).alias("start_tok")
+    return _sharded_counts(df, text_col, id_col, n_shards).select(
+        F.col(id_col),
+        "shard_id",
+        F.floor((cum - F.col("n_tok")) / target_tokens).cast("int").alias("pack_id"),
+        "n_tok",
+        start,
+    )
+
+
+def pack_first_fit(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target_tokens: int = 2048,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Exact-capacity packing: docs close the open pack rather than
+    straddle it. Per-shard sequential state via ``applyInPandas`` (Arrow
+    batch per shard; the narrow (id, n_tok) projection is what shuffles).
+    Returns ``(id, shard_id, pack_id, n_tok)``.
+    """
+    if target_tokens <= 0:
+        raise ValueError(f"target_tokens must be positive, got {target_tokens}")
+    counts = _sharded_counts(df, text_col, id_col, n_shards)
+    id_name = id_col  # plain string: the closure must not capture DataFrames
+
+    def pack(pdf):
+        pdf = pdf.sort_values(id_name).reset_index(drop=True)
+        pack_ids, pid, filled = [], 0, 0
+        for n in pdf["n_tok"]:
+            if filled > 0 and filled + n > target_tokens:
+                pid += 1
+                filled = 0
+            pack_ids.append(pid)
+            filled += n
+        pdf["pack_id"] = pack_ids
+        return pdf
+
+    out_schema = f"{id_name} long, n_tok int, shard_id int, pack_id int"
+    return (
+        counts.groupBy("shard_id")
+        .applyInPandas(pack, out_schema)
+        .select(id_name, "shard_id", "pack_id", "n_tok")
+    )

@@ -4273,3 +4273,46 @@ def q134_percentile_within_group(spark, sf_dir):
                   CAST(percentile_disc(0.5)  WITHIN GROUP (ORDER BY CAST(l_quantity AS BIGINT)) AS DOUBLE) AS median_disc
            FROM q134_lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
     )
+
+
+@q(
+    "q135_sequence_packing",
+    """WITH t AS (SELECT doc_id,
+                         len(string_split(text, ' ')) AS n_tok,
+                         CAST(doc_id % 8 AS INT) AS shard_id
+                  FROM documents),
+            c AS (SELECT doc_id, shard_id, n_tok,
+                         SUM(n_tok) OVER (PARTITION BY shard_id ORDER BY doc_id
+                                          ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM t)
+       SELECT shard_id,
+              CAST(FLOOR((cum - n_tok) / 256) AS INT) AS pack_id,
+              COUNT(*) AS n_docs,
+              SUM(n_tok) AS pack_tokens,
+              MIN(doc_id) AS first_doc
+       FROM c GROUP BY shard_id, pack_id
+       ORDER BY shard_id, pack_id""",
+    "sequence packing (training-shard assembly): docs spread over 8 "
+    "deterministic shards, greedy contiguous packing into 256-token "
+    "sequences within each shard (a doc belongs to the pack its cumulative "
+    "start falls in — the document-packing/split-on-read layout). One "
+    "shuffle on the shard key + one window pass; the sequential unit is "
+    "the shard, so 1000 shards at 100 TB parallelize like 8 at test "
+    "scale. Power-of-two target keeps the FLOOR division exact in binary",
+)
+def q135_sequence_packing(spark, sf_dir):
+    from data_engineering_nd_datalake_project_4_spark.operators import packing
+
+    d = _t(spark, sf_dir, "documents")
+    packed = packing.pack_greedy_contiguous(
+        d, "text", "doc_id", target_tokens=256, n_shards=8
+    )
+    return (
+        packed.groupBy("shard_id", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("shard_id", "pack_id")
+    )
