@@ -181,6 +181,51 @@ def normalize_text(text_col: Column | str) -> Column:
     return F.trim(collapsed)
 
 
+def unigram_lm_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style unigram language-model quality score: train a unigram
+    LM on the corpus itself (token frequency / corpus size), then score
+    each document by its average per-token log-probability. Low scores =
+    rare-token-heavy documents (boilerplate codes, mangled encodings,
+    gibberish) — the standard perplexity-bucket curation signal.
+
+    Returns ``(id_col, n_tok, avg_logprob)``.
+
+    Determinism: a float SUM over shuffled rows is order-dependent, so
+    per-token log-probs are quantized to DECIMAL(18,6) first — the
+    decimal SUM is exact and order-independent, and the only float ops
+    left (one division building p, one ln, one final divide) are
+    single-expression deterministic. An oracle reproduces the quantize
+    via the VARCHAR-routed decimal cast.
+
+    Scale shape: the LM is one token-frequency aggregate (8-byte hashed
+    key would apply at scale; kept as the string here because the oracle
+    joins on it). The scoring join token→logp is a plain equi-join: AQE
+    broadcasts it while the vocab is small; a web-scale vocab shuffles on
+    the token — Zipf skew is AQE-skew-join territory, with the classic
+    refinement (broadcast the hot head, shuffle the tail) left to the
+    caller.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__token"))
+    lm = tok.groupBy("__token").agg(F.count(F.lit(1)).alias("__cnt"))
+    n = lm.agg(F.sum("__cnt").alias("__n"))
+    lp = lm.crossJoin(F.broadcast(n)).select(
+        "__token",
+        F.log(F.col("__cnt") / F.col("__n")).cast("decimal(18,6)").alias("__logp"),
+    )
+    return (
+        tok.join(lp, "__token")
+        .groupBy(id_col)
+        .agg(F.sum("__logp").alias("__slp"), F.count(F.lit(1)).alias("n_tok"))
+        .select(
+            F.col(id_col),
+            "n_tok",
+            (F.col("__slp").cast("double") / F.col("n_tok")).alias("avg_logprob"),
+        )
+    )
+
+
 #: PII scrub patterns, applied IN THIS ORDER (URL first so emails inside
 #: URLs are already gone; SSN before phone so the 3-2-4 digit shape is not
 #: half-eaten by the 3-3-4 phone pattern). Java-regex (Spark) and

@@ -4316,3 +4316,30 @@ def q135_sequence_packing(spark, sf_dir):
         )
         .orderBy("shard_id", "pack_id")
     )
+
+
+@q(
+    "q136_unigram_lm_quality",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                    FROM documents),
+            lm AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+            n AS (SELECT SUM(cnt) AS n FROM lm),
+            lp AS (SELECT token, CAST(ln(cnt / n.n) AS DECIMAL(18,6)) AS logp
+                   FROM lm CROSS JOIN n),
+            s AS (SELECT t.doc_id, SUM(lp.logp) AS slp, COUNT(*) AS n_tok
+                  FROM tok t JOIN lp ON t.token = lp.token
+                  GROUP BY t.doc_id)
+       SELECT doc_id, n_tok, CAST(slp AS DOUBLE) / n_tok AS avg_logprob
+       FROM s ORDER BY doc_id""",
+    "unigram-LM quality score (CCNet-style perplexity bucketing): train "
+    "token frequencies on the corpus, score each doc by average per-token "
+    "log-probability. Per-token log-probs quantize to DECIMAL(18,6) so "
+    "the per-doc sum is EXACT and order-independent (a float sum over "
+    "shuffled rows would hash-differ between engines and runs); the "
+    "quantize itself cross-engine-aligns via the VARCHAR-routed decimal "
+    "cast. Scoring join broadcast by AQE at this vocab; web-scale vocab "
+    "shuffles on the token with skew handled by AQE",
+)
+def q136_unigram_lm_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text.unigram_lm_scores(d, "text", "doc_id").orderBy("doc_id")

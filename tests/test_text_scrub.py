@@ -88,3 +88,17 @@ def test_boilerplate_none_qualifies(spark):
     out = {r["doc_id"]: r["kept_text"] for r in
            T.strip_boilerplate(df, "t", "doc_id", min_docs=3).collect()}
     assert out == {1: "a\nb", 2: "c\nd"}
+
+
+def test_unigram_lm_scores_rank_rare_docs_lower(spark):
+    """A doc of corpus-common tokens must outscore a doc of one-off rare
+    tokens; all scores are <= 0 (log of probabilities); token counts are
+    preserved."""
+    rows = [(i, "common words appear in every single document here") for i in range(8)]
+    rows += [(100, "common words appear in every single document here"),
+             (101, "zq xv jk wq pf bn lm qq")]  # 8 singleton tokens
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r for r in T.unigram_lm_scores(df, "text", "doc_id").collect()}
+    assert all(r["avg_logprob"] <= 0 for r in out.values())
+    assert all(r["n_tok"] == 8 for r in out.values())
+    assert out[101]["avg_logprob"] < out[100]["avg_logprob"]
