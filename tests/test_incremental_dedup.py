@@ -137,3 +137,51 @@ def test_unknown_mode_raises(spark, corpus_and_batch, tmp_path):
         incremental.build_fingerprint_store(
             corpus, "text", "doc_id", str(tmp_path / "s"), mode="fuzzy"
         )
+
+
+def test_streaming_ingest_with_incremental_dedup(spark, tmp_path):
+    """The production composition: a file stream ingested via foreachBatch,
+    each micro-batch incrementally deduped against the fingerprint store
+    (update_store=True) and survivors appended to the corpus. Across three
+    micro-batches with intra- and inter-batch duplicates, the corpus must
+    equal a from-scratch batch dedup of all input."""
+    import os
+
+    from data_engineering_nd_datalake_project_4_spark.streaming import (
+        read_file_stream,
+        run_foreach_batch,
+    )
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    corpus = str(tmp_path / "corpus")
+    chk = str(tmp_path / "chk")
+    os.makedirs(src)
+
+    files = [
+        [(1, "alpha"), (2, "beta"), (3, "alpha")],      # intra-batch dup
+        [(4, "beta"), (5, "gamma")],                     # inter-batch dup
+        [(6, "gamma"), (7, "delta"), (8, "alpha")],      # both
+    ]
+    for i, rows in enumerate(files):
+        spark.createDataFrame(rows, "doc_id LONG, text STRING").coalesce(
+            1
+        ).write.parquet(os.path.join(src, f"b{i}"))
+
+    def ingest(batch_df, batch_id):
+        survivors = incremental.incremental_dedup(
+            spark, batch_df, "text", "doc_id", store, update_store=True
+        )
+        survivors.write.mode("append").parquet(corpus)
+
+    stream = read_file_stream(
+        spark, src + "/*", "doc_id LONG, text STRING", "parquet",
+        max_files_per_trigger=1,
+    )
+    run_foreach_batch(stream, ingest, chk, query_name="inc_dedup_ingest")
+
+    got = {
+        (r["doc_id"], r["text"]) for r in spark.read.parquet(corpus).collect()
+    }
+    # first-occurrence doc per distinct text, in doc_id order per batch
+    assert got == {(1, "alpha"), (2, "beta"), (5, "gamma"), (7, "delta")}
