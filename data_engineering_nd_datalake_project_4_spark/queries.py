@@ -4060,10 +4060,16 @@ def q130_incremental_dedup(spark, sf_dir):
     batch = d.filter(F.col("doc_id") >= 250).select(
         "doc_id", "text", "source", "n_chars"
     )
-    # deterministic per-dataset store location; rebuilt (overwritten) each
-    # call so the query stays a pure function of sf_dir
+    # deterministic per-dataset, per-process store location; rebuilt
+    # (overwritten) each call so the query stays a pure function of sf_dir,
+    # and PID-scoped so concurrent harnesses (driver bench + driver-sim)
+    # never overwrite each other's store mid-read
+    import os
+
     tag = hashlib.sha256(str(sf_dir).encode()).hexdigest()[:12]
-    store = str(Path(tempfile.gettempdir()) / f"spark_graft_q130_store_{tag}")
+    store = str(
+        Path(tempfile.gettempdir()) / f"spark_graft_q130_store_{tag}_{os.getpid()}"
+    )
     incremental.build_fingerprint_store(
         corpus, "text", "doc_id", store, mode="canonical", num_buckets=16
     )
@@ -4225,28 +4231,33 @@ def q132_boilerplate_strip(spark, sf_dir):
     "SQL:2011 GROUPS BETWEEN frame (1 PRECEDING..CURRENT ROW over tied "
     "quantities). Neither Spark's parser nor this DuckDB build implements "
     "GROUPS mode — windows.groups_between rewrites it exactly: dense_rank "
-    "peer-group index + RANGE frame over that index (frames always cover "
-    "whole peer groups, so every peer row gets the identical frame value; "
-    "the DISTINCT output makes that property hash-checkable). The oracle "
-    "is an INDEPENDENT formulation — per-(flag,qty) aggregates + LAG — "
-    "so agreement checks the semantics, not the rewrite",
+    "peer-group index + RANGE frame over that index (row-level semantics "
+    "unit-tested in test_windows_groups). Scale form here: because the "
+    "frame aggregates (sum/count) DISTRIBUTE over peer groups, the rows "
+    "are pre-aggregated per (flag, qty) — one ordinary partial+final "
+    "shuffle — and the window runs over one row per peer group (150 rows, "
+    "not 6M: a 3-value partition key must never carry the full fact "
+    "table through a window sort). The oracle is an INDEPENDENT "
+    "formulation — per-group aggregates + LAG — so agreement checks the "
+    "semantics, not the rewrite",
 )
 def q133_groups_frame(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select(
         "l_returnflag", F.col("l_quantity").cast("bigint").alias("qty")
     )
+    per_group = li.groupBy("l_returnflag", "qty").agg(
+        F.sum("qty").alias("__s"), F.count(F.lit(1)).alias("__n")
+    )
     framed = windows.groups_between(
-        li,
-        {"frame_qty": F.sum("qty"), "frame_n": F.count(F.lit(1))},
+        per_group,
+        {"frame_qty": F.sum("__s"), "frame_n": F.sum("__n")},
         ["l_returnflag"],
         [F.col("qty")],
         preceding=1,
     )
-    return (
-        framed.select("l_returnflag", "qty", "frame_qty", "frame_n")
-        .distinct()
-        .orderBy("l_returnflag", "qty")
-    )
+    return framed.select(
+        "l_returnflag", "qty", "frame_qty", "frame_n"
+    ).orderBy("l_returnflag", "qty")
 
 
 @q(
