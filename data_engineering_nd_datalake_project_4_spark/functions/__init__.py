@@ -87,10 +87,16 @@ def cosine_similarity(a: Column, b: Column) -> Column:
 
     Pure Catalyst expression — ``zip_with`` + ``aggregate`` run inside codegen;
     no Python on the data path.
+
+    Zero-norm vectors: ``try_divide`` yields NULL instead of the ANSI
+    DIVIDE_BY_ZERO error — which is also exactly what DuckDB's plain ``/``
+    returns on a zero divisor, so every cosine oracle aligns without a
+    CASE guard. NULL then drops out of thresholds and top-k ranks on both
+    engines identically (advembed soak: planted all-zero embeddings).
     """
     ad = as_double_array(a)
     bd = as_double_array(b)
-    return dot_product(ad, bd) / (l2_norm(ad) * l2_norm(bd))
+    return F.try_divide(dot_product(ad, bd), l2_norm(ad) * l2_norm(bd))
 
 
 def tokens(text_col: Column | str, sep: str = " ") -> Column:

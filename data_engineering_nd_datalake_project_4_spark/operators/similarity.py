@@ -29,10 +29,13 @@ from data_engineering_nd_datalake_project_4_spark.functions import (
 
 def _unit(vec: Column) -> Column:
     """Unit-normalize an array<float|double> column in one pass; cosine of
-    unit vectors is a plain dot product."""
+    unit vectors is a plain dot product. A zero-norm vector normalizes to
+    all-NULL elements (``try_divide``, not an ANSI DIVIDE_BY_ZERO crash),
+    so every sim against it is NULL — dropping out of thresholds and
+    ranks exactly like the oracle's NULL-on-zero-divisor division."""
     vd = as_double_array(vec)
     n = l2_norm(vd)
-    return F.transform(vd, lambda x: x / n)
+    return F.transform(vd, lambda x: F.try_divide(x, n))
 
 
 def brute_force_topk(

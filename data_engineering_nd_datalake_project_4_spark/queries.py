@@ -727,17 +727,23 @@ def q29(spark, sf_dir):
 
 @q(
     "q30",
-    """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id IN (0, 1, 2)),
+    """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                  FROM embeddings WHERE vec_id IN (0, 1, 2)),
          scored AS (
+           -- explicit dot/(|a|*|b|): a zero norm divides to NULL, matching
+           -- Spark's try_divide (DuckDB's list_cosine_similarity instead
+           -- returns a bogus -1.0 on zero vectors — advembed soak)
            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-                  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                                         CAST(e.embedding AS DOUBLE[])) AS sim_raw
+                  list_dot_product(q.emb, CAST(e.embedding AS DOUBLE[]))
+                  / (sqrt(list_dot_product(q.emb, q.emb))
+                     * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                             CAST(e.embedding AS DOUBLE[])))) AS sim_raw
            FROM q JOIN embeddings e ON e.vec_id <> q.vec_id)
        SELECT query_id, neighbor_id, ROUND(sim_raw, 3) AS sim FROM (
          SELECT *, row_number() OVER (PARTITION BY query_id
-                                      ORDER BY sim_raw DESC, neighbor_id) AS rn
+                                      ORDER BY sim_raw DESC NULLS LAST, neighbor_id) AS rn
          FROM scored) WHERE rn <= 5
-       ORDER BY query_id, sim DESC, neighbor_id""",
+       ORDER BY query_id, sim DESC NULLS LAST, neighbor_id""",
     "brute-force cosine top-k (oracle baseline for similarity search)",
 )
 def q30(spark, sf_dir):

@@ -30,6 +30,14 @@ to stay green on each:
   multibyte cases, not just the generator's space-separated ASCII.
   ``n_chars`` is recomputed as the codepoint length so the metadata stays
   generator-faithful.
+- ``advembed`` : embeddings.embedding re-materialized adversarially —
+  all-zero vectors (zero norms: cosine 0/0 paths), exact duplicates of the
+  previous row (top-k tie-breaking), negated twins (cosine −1), constant
+  vectors, and values at 1e-20 (whose SQUARES underflow float32 to 0 —
+  any engine computing the dot in float32 while the other promotes to
+  double diverges here). Every similarity/ANN/k-means query and its
+  oracle must agree on the degenerate geometry, not just the generator's
+  well-conditioned gaussians.
 
 Usage: ``python tools/soak_regen.py [variant ...]`` (default: all).
 Exit code = number of failing (variant, query) pairs.
@@ -133,6 +141,30 @@ def build_variant(name: str, out_dir: Path) -> None:
                 pa.array([len(s) for s in new_texts], pa.int64()),
             )
             pq.write_table(tbl, dst)
+        elif name == "advembed" and t == "embeddings":
+            tbl = pq.read_table(src)
+            ids = tbl.column("vec_id").to_pylist()
+            embs = tbl.column("embedding").to_pylist()
+            new = []
+            for i, (vid, e) in enumerate(zip(ids, embs)):
+                cls = vid % 10
+                if cls == 0:
+                    new.append([0.0] * len(e))          # zero norm
+                elif cls == 1 and i > 0:
+                    new.append(list(embs[i - 1]))        # exact duplicate
+                elif cls == 2:
+                    new.append([-x for x in e])          # negated twin
+                elif cls == 3:
+                    new.append([1e-20] * len(e))         # float32 sq underflow
+                elif cls == 4:
+                    new.append([0.5] * len(e))           # constant vector
+                else:
+                    new.append(e)
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index("embedding"), "embedding",
+                pa.array(new, pa.list_(pa.float32())),
+            )
+            pq.write_table(tbl, dst)
         elif name in ("half2", "half4") and t in MONEY_COLS:
             scale = 2 if name == "half2" else 4
             tbl = pq.read_table(src)
@@ -174,6 +206,7 @@ def main(argv: list[str]) -> int:
 
     variants = argv or [
         "ts_micros", "ts_nanos", "half2", "half4", "rowshuffle", "advtext",
+        "advembed",
     ]
     spark = get_spark(app_name="soak-regen", shuffle_partitions=16)
     total_fail = 0
