@@ -4127,7 +4127,11 @@ def q130_incremental_dedup(spark, sf_dir):
     "patterns are Java-regex AND RE2 compatible so the oracle agrees",
 )
 def q131_pii_scrub(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    from data_engineering_nd_datalake_project_4_spark.operators import ensure_map_parallelism
+
+    # ten chained regexes per doc = compute-dense map stage; don't let it
+    # serialize on a single-row-group scan (1.38s -> 0.83s at sf0.1)
+    d = ensure_map_parallelism(_t(spark, sf_dir, "documents"))
     ds = F.col("doc_id").cast("string")
     aug = d.select(
         "doc_id",
