@@ -187,3 +187,26 @@ def write_csv(df: DataFrame, path: str, header: bool = True, sep: str = ",") -> 
     df.write.mode("overwrite").option("header", str(header).lower()).option(
         "sep", sep
     ).csv(path)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] | None = None,
+    max_records_per_file: int | None = None,
+    compression: str | None = "gzip",
+) -> None:
+    """JSON-Lines sink — the training-data interchange format (one JSON
+    object per line; nested arrays/structs serialize natively, unlike CSV).
+    Spark's json writer IS line-delimited; ``max_records_per_file`` bounds
+    shard sizes for data-loader consumption, ``partition_by`` gives
+    source/language-split exports, gzip keeps text shards ~5x smaller
+    (gzip splits per FILE, not within — bound shard size accordingly)."""
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.json(path)

@@ -146,3 +146,44 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert rows[1] == (2, None)       # old batch: evolved column NULL-filled
     assert rows[4] == (8, "4")        # new batch: value present
     assert len(rows) == 6
+
+
+def test_jsonl_sink_roundtrip_nested(spark, tmp_path):
+    """JSONL export: nested arrays survive (unlike CSV), files are
+    line-delimited gzip, maxRecordsPerFile bounds shard size, and
+    read_json round-trips the exact rows."""
+    import gzip
+    import json as jsonlib
+    from pathlib import Path
+
+    from data_engineering_nd_datalake_project_4_spark.sources import read_json
+    from data_engineering_nd_datalake_project_4_spark.sources.sinks import write_jsonl
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}", [float(i), i + 0.5], "en" if i % 2 else "fr")
+         for i in range(20)],
+        "doc_id LONG, text STRING, emb ARRAY<DOUBLE>, lang STRING",
+    )
+    out = str(tmp_path / "shards")
+    write_jsonl(df, out, partition_by=["lang"], max_records_per_file=4)
+
+    files = sorted(Path(out).rglob("*.json.gz"))
+    assert files, "expected gzip jsonl shard files"
+    # shard bound respected and each line is one standalone JSON object
+    for f in files:
+        lines = gzip.decompress(f.read_bytes()).decode().splitlines()
+        assert 0 < len(lines) <= 4
+        for ln in lines:
+            obj = jsonlib.loads(ln)
+            assert set(obj) <= {"doc_id", "text", "emb"}
+    # partition dirs per lang
+    assert {p.name for p in Path(out).iterdir() if p.is_dir()} == {
+        "lang=en", "lang=fr",
+    }
+    # recursive=False: recursiveFileLookup disables Hive-style partition
+    # discovery, which must supply the lang column from the dir names
+    back = read_json(
+        spark, out, "doc_id LONG, text STRING, emb ARRAY<DOUBLE>, lang STRING",
+        recursive=False,
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
