@@ -77,6 +77,8 @@ NON_EQUI_BY_DESIGN = {
     "q86_rich_inactive", "q88_tfidf", "q96_global_threshold",
     # broadcast 1-row boilerplate-line-set array: O(N·1) map-side strip
     "q132_boilerplate_strip",
+    # broadcast 1-row corpus-token-total (the LM normalizer): O(V·1)
+    "q136_unigram_lm_quality",
 }
 
 
