@@ -77,6 +77,56 @@ def pack_greedy_contiguous(
     )
 
 
+def token_budget_subsample(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    budget_tokens: int,
+    order_by,
+    by: str | None = None,
+) -> DataFrame:
+    """Select documents under a total token budget, best-first — the data
+    mixing step: sample N tokens out of an M-token corpus in a declared
+    quality order (e.g. sample 1T tokens of a 10T crawl for one training
+    run).
+
+    ``order_by`` is the list of ordering columns (must totally order rows,
+    e.g. ``[F.desc("quality"), F.asc(id)]``). With ``by``, the budget is
+    split across strata proportionally to their token mass (floor of the
+    exact share — all arithmetic stays below 2^53, so the split is
+    deterministic), and the prefix-cumsum window is PER STRATUM — the
+    scale path: the one shuffle is on the stratum key and no partition
+    sees more than one stratum's rows. Without ``by`` the cumsum is a
+    single global window — fine for driver-side corpora, serialized at
+    scale; pass ``by`` (source, language, shard) on anything big.
+
+    Returns the selected rows: ``(id_col, [by,] n_tok, cum_tok)``.
+    """
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be positive, got {budget_tokens}")
+    keys = [by] if by else []
+    # keep every original column: order_by may reference any of them
+    t = df.withColumn("n_tok", token_count(text_col))
+    if by:
+        strata = t.groupBy(by).agg(F.sum("n_tok").alias("__s"))
+        total = t.agg(F.sum("n_tok").alias("__g"))
+        budgets = strata.crossJoin(F.broadcast(total)).select(
+            by,
+            F.floor(
+                F.lit(budget_tokens) * F.col("__s") / F.col("__g")
+            ).cast("long").alias("__budget"),
+        )
+        w = Window.partitionBy(by).orderBy(*order_by)
+        keyed = t.join(F.broadcast(budgets), by)
+    else:
+        w = Window.partitionBy().orderBy(*order_by)
+        keyed = t.withColumn("__budget", F.lit(int(budget_tokens)))
+    out = keyed.withColumn("cum_tok", F.sum("n_tok").over(w)).filter(
+        F.col("cum_tok") <= F.col("__budget")
+    )
+    return out.select(F.col(id_col), *keys, "n_tok", "cum_tok")
+
+
 def pack_first_fit(
     df: DataFrame,
     text_col: str,

@@ -4364,3 +4364,41 @@ def q135_sequence_packing(spark, sf_dir):
 def q136_unigram_lm_quality(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return text.unigram_lm_scores(d, "text", "doc_id").orderBy("doc_id")
+
+
+@q(
+    "q137_token_budget_subsample",
+    """WITH t AS (SELECT doc_id, source, n_chars,
+                         len(string_split(text, ' ')) AS n_tok
+                  FROM documents),
+            tot AS (SELECT source, SUM(n_tok) AS s FROM t GROUP BY source),
+            g AS (SELECT SUM(n_tok) AS g FROM t),
+            b AS (SELECT source,
+                         CAST(FLOOR(10000 * s / g.g) AS BIGINT) AS bgt
+                  FROM tot CROSS JOIN g),
+            c AS (SELECT t.*,
+                         SUM(n_tok) OVER (PARTITION BY t.source
+                                          ORDER BY n_chars DESC, doc_id
+                                          ROWS UNBOUNDED PRECEDING) AS cum_tok
+                  FROM t)
+       SELECT c.doc_id, c.source, c.n_tok, c.cum_tok
+       FROM c JOIN b ON b.source = c.source
+       WHERE c.cum_tok <= b.bgt
+       ORDER BY c.doc_id""",
+    "token-budget subsampling (data mixing): select documents under a "
+    "10k-token total budget, best-first (n_chars DESC as the declared "
+    "quality order, doc_id tie-break), with the budget split across "
+    "sources proportionally to their token mass. The budget split is "
+    "exact integer/double arithmetic below 2^53 (deterministic); the "
+    "prefix-cumsum window is PER SOURCE — one shuffle on the stratum "
+    "key, no global serialized window",
+)
+def q137_token_budget_subsample(spark, sf_dir):
+    from data_engineering_nd_datalake_project_4_spark.operators import packing
+
+    d = _t(spark, sf_dir, "documents")
+    picked = packing.token_budget_subsample(
+        d, "text", "doc_id", budget_tokens=10_000,
+        order_by=[F.desc("n_chars"), F.asc("doc_id")], by="source",
+    )
+    return picked.select("doc_id", "source", "n_tok", "cum_tok").orderBy("doc_id")

@@ -90,3 +90,55 @@ def test_invalid_target_raises(spark, docs):
         packing.pack_greedy_contiguous(docs, "text", "doc_id", 0)
     with pytest.raises(ValueError):
         packing.pack_first_fit(docs, "text", "doc_id", -5)
+
+
+def test_budget_subsample_respects_stratum_budgets(spark, docs):
+    picked = packing.token_budget_subsample(
+        docs, "text", "doc_id", budget_tokens=10_000,
+        order_by=[F.desc("n_chars"), F.asc("doc_id")], by="source",
+    )
+    # per-stratum token totals never exceed the proportional budget
+    t = docs.withColumn("n_tok", F.size(F.split("text", " ")))
+    mass = {r["source"]: r["s"] for r in
+            t.groupBy("source").agg(F.sum("n_tok").alias("s")).collect()}
+    total = sum(mass.values())
+    used = {r["source"]: r["u"] for r in
+            picked.groupBy("source").agg(F.sum("n_tok").alias("u")).collect()}
+    for src, u in used.items():
+        assert u <= (10_000 * mass[src]) // total + 1  # floor boundary
+    assert sum(used.values()) <= 10_000
+
+
+def test_budget_subsample_is_order_prefix(spark, docs):
+    """The selection must be a PREFIX of the declared quality order within
+    each stratum — no cherry-picking around a too-big document."""
+    picked = packing.token_budget_subsample(
+        docs, "text", "doc_id", budget_tokens=10_000,
+        order_by=[F.desc("n_chars"), F.asc("doc_id")], by="source",
+    )
+    chosen = {r["doc_id"] for r in picked.collect()}
+    rows = docs.select("doc_id", "source", "n_chars").collect()
+    by_src = {}
+    for r in sorted(rows, key=lambda r: (-r["n_chars"], r["doc_id"])):
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    for src, ordered in by_src.items():
+        flags = [d in chosen for d in ordered]
+        # once a doc is excluded, everything after it in the order is too
+        assert flags == sorted(flags, reverse=True), (src, flags[:10])
+
+
+def test_budget_subsample_global(spark):
+    rows = [(i, " ".join(["w"] * 10)) for i in range(10)]  # 10 tokens each
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    picked = packing.token_budget_subsample(
+        df, "text", "doc_id", budget_tokens=35,
+        order_by=[F.asc("doc_id")],
+    )
+    assert sorted(r["doc_id"] for r in picked.collect()) == [0, 1, 2]
+
+
+def test_budget_subsample_invalid_budget(spark, docs):
+    with pytest.raises(ValueError):
+        packing.token_budget_subsample(
+            docs, "text", "doc_id", 0, order_by=[F.asc("doc_id")]
+        )
