@@ -181,6 +181,33 @@ def normalize_text(text_col: Column | str) -> Column:
     return F.trim(collapsed)
 
 
+def corpus_manifest(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    by: str | None = None,
+) -> DataFrame:
+    """Reproducibility manifest: ``(n_docs, n_tokens, content_xor)`` —
+    the dataset-versioning record a training run pins ("which corpus was
+    this, exactly"). ``content_xor`` is the BIT_XOR of ``xxhash64(id,
+    text)``: order-independent (any regen may permute rows), mergeable
+    (the manifest of disjoint shards XORs together), and any single
+    changed/added/dropped document flips it. One aggregate, no data
+    movement beyond 8-byte partials; ``by`` emits per-shard manifests.
+
+    Not oracle-checkable (DuckDB has no Spark-compatible xxhash64) —
+    property-tested: permutation invariance, single-edit sensitivity,
+    shard-merge identity.
+    """
+    h = F.xxhash64(F.col(id_col), F.col(text_col))
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(text_col))).alias("n_tokens"),
+        F.bit_xor(h).alias("content_xor"),
+    ]
+    return df.groupBy(by).agg(*aggs) if by else df.agg(*aggs)
+
+
 def unigram_lm_scores(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

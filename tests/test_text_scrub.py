@@ -102,3 +102,34 @@ def test_unigram_lm_scores_rank_rare_docs_lower(spark):
     assert all(r["avg_logprob"] <= 0 for r in out.values())
     assert all(r["n_tok"] == 8 for r in out.values())
     assert out[101]["avg_logprob"] < out[100]["avg_logprob"]
+
+
+def test_corpus_manifest_properties(spark):
+    """Order-independence, single-edit sensitivity, shard-merge identity."""
+    rows = [(i, f"doc number {i} text") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    m = T.corpus_manifest(df).collect()[0]
+    assert m["n_docs"] == 50 and m["n_tokens"] == 200
+
+    # permutation invariance: a reshuffled corpus has the identical manifest
+    perm = spark.createDataFrame(list(reversed(rows)), "doc_id LONG, text STRING") \
+        .repartition(7)
+    assert T.corpus_manifest(perm).collect()[0] == m
+
+    # single-edit sensitivity
+    edited = spark.createDataFrame(
+        [(i, t if i != 25 else t + "!") for i, t in rows],
+        "doc_id LONG, text STRING",
+    )
+    assert T.corpus_manifest(edited).collect()[0]["content_xor"] != m["content_xor"]
+
+    # shard-merge identity: XOR of disjoint shard manifests == whole-corpus XOR
+    a = T.corpus_manifest(df.filter("doc_id < 20")).collect()[0]
+    b = T.corpus_manifest(df.filter("doc_id >= 20")).collect()[0]
+    assert (a["content_xor"] ^ b["content_xor"]) == m["content_xor"]
+
+    # per-shard form groups correctly
+    sharded = df.withColumn("shard", (F.col("doc_id") % 2).cast("int"))
+    per = T.corpus_manifest(sharded, by="shard").collect()
+    assert {r["shard"] for r in per} == {0, 1}
+    assert sum(r["n_docs"] for r in per) == 50
