@@ -89,3 +89,69 @@ def test_udtf_chunking_matches_catalyst_chunking(spark, sf_dir):
     a = {tuple(r) for r in via_udtf.collect()}
     b = {tuple(r) for r in via_catalyst.collect()}
     assert a == b and len(a) > 0
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=25),
+    st.integers(min_value=10, max_value=60),
+)
+def test_pack_first_fit_matches_python_reference(sizes, target):
+    """First-fit packing on one shard must equal the sequential Python
+    reference for arbitrary doc-size sequences and targets."""
+    from data_engineering_nd_datalake_project_4_spark.operators.packing import pack_first_fit
+
+    spark = _spark()
+    # doc_id = 8*i keeps every doc in shard 0 (id % 8) with id order = i order
+    rows = [(8 * i, " ".join(["w"] * n)) for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        r["doc_id"]: r["pack_id"]
+        for r in pack_first_fit(df, "text", "doc_id", target, n_shards=8).collect()
+    }
+    ref, pid, filled = {}, 0, 0
+    for i, n in enumerate(sizes):
+        if filled > 0 and filled + n > target:
+            pid += 1
+            filled = 0
+        ref[8 * i] = pid
+        filled += n
+    assert got == ref
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]), min_size=0, max_size=12),
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "zz"]), min_size=1, max_size=12),
+)
+def test_incremental_dedup_matches_set_model(corpus_texts, batch_texts):
+    """Survivors == batch docs whose text is neither in the corpus set nor
+    earlier in the batch — checked against a plain Python set model."""
+    import tempfile
+
+    from data_engineering_nd_datalake_project_4_spark.operators import incremental
+
+    spark = _spark()
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus_texts)] or [(0, "__seed__")],
+        "doc_id LONG, text STRING",
+    )
+    batch = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(batch_texts)], "doc_id LONG, text STRING"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        store = tmp + "/store"
+        incremental.build_fingerprint_store(corpus, "text", "doc_id", store)
+        got = sorted(
+            r["doc_id"]
+            for r in incremental.incremental_dedup(
+                spark, batch, "text", "doc_id", store
+            ).collect()
+        )
+    seen = set(corpus_texts) | ({"__seed__"} if not corpus_texts else set())
+    ref = []
+    for i, t in enumerate(batch_texts):
+        if t not in seen:
+            ref.append(100 + i)
+            seen.add(t)
+    assert got == sorted(ref)
