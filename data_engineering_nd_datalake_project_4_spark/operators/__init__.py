@@ -37,12 +37,12 @@ def _estimated_scan_splits(df: DataFrame, target: int) -> int | None:
     index — no plan→RDD conversion, no job). Returns None when the plan is
     not a local file scan (then the caller pays the accurate RDD probe).
 
-    ≥ ``target`` files → at least one split each, certainly enough. Fewer
-    files → a big file still splits every ``maxPartitionBytes``, so sum
-    per-file split counts from the on-disk sizes. Small-file coalescing
-    can make the true partition count lower than the file count, but a
-    corpus of tiny files is also not a compute-dense workload — the
-    conservative answer is the cheap one.
+    Mirrors Spark's own packing: each file contributes
+    ``size + openCostInBytes`` and chunks bin-pack into partitions of
+    ``maxPartitionBytes`` — so MANY SMALL FILES correctly estimate as the
+    FEW coalesced partitions they actually become (a bare file count would
+    skip a needed repartition there), and one big file still counts as
+    ``size/maxPartitionBytes`` splits.
     """
     try:
         files = df.inputFiles()
@@ -50,22 +50,23 @@ def _estimated_scan_splits(df: DataFrame, target: int) -> int | None:
         return None
     if not files:
         return None
-    if len(files) >= target:
-        return len(files)
+    conf = df.sparkSession.conf
     max_bytes = _parse_byte_conf(
-        df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
     )
-    splits = 0
+    open_cost = _parse_byte_conf(
+        conf.get("spark.sql.files.openCostInBytes", "4194304b"), default=4 << 20
+    )
+    total = 0
     for f in files:
         parsed = urlparse(f)
         if parsed.scheme not in ("", "file"):
             return None  # remote store: can't stat cheaply, use RDD probe
         try:
-            size = os.path.getsize(unquote(parsed.path))
+            total += os.path.getsize(unquote(parsed.path)) + open_cost
         except OSError:
             return None
-        splits += max(1, math.ceil(size / max_bytes))
-    return splits
+    return max(1, math.ceil(total / max_bytes))
 
 
 def ensure_map_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

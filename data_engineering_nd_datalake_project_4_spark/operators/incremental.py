@@ -30,6 +30,7 @@ the raw text and the driver gate would surface any collision as a mismatch.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -127,11 +128,20 @@ def incremental_dedup(
     ]
     try:
         store = spark.read.parquet(store_path)
+    except AnalysisException as e:
+        # ONLY a missing store means "first batch" — a corrupt footer,
+        # permission error or transient storage failure must propagate,
+        # or every batch doc would silently pass dedup (and, with
+        # update_store=True, be permanently recorded as first-seen)
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
+        store = None
+    if store is not None:
         seen = store.filter(F.col("fp_bucket").isin(touched)).select("fp")
         survivors = firsts.join(
             seen, firsts["__fp"] == seen["fp"], "left_anti"
         )
-    except Exception:  # no store yet: everything survives in-batch dedup
+    else:  # no store yet: everything survives in-batch dedup
         survivors = firsts
 
     if update_store:

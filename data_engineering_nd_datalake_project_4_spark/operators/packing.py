@@ -92,9 +92,11 @@ def token_budget_subsample(
 
     ``order_by`` is the list of ordering columns (must totally order rows,
     e.g. ``[F.desc("quality"), F.asc(id)]``). With ``by``, the budget is
-    split across strata proportionally to their token mass (floor of the
-    exact share — all arithmetic stays below 2^53, so the split is
-    deterministic), and the prefix-cumsum window is PER STRATUM — the
+    split across strata proportionally to their token mass —
+    ``floor(budget · (massₛ/mass))`` computed share-first in double (one
+    correctly-rounded division, one multiply: deterministic cross-engine,
+    and no BIGINT wrap even at 1T-token budgets × 1T-token strata) — and
+    the prefix-cumsum window is PER STRATUM — the
     scale path: the one shuffle is on the stratum key and no partition
     sees more than one stratum's rows. Without ``by`` the cumsum is a
     single global window — fine for driver-side corpora, serialized at
@@ -110,10 +112,15 @@ def token_budget_subsample(
     if by:
         strata = t.groupBy(by).agg(F.sum("n_tok").alias("__s"))
         total = t.agg(F.sum("n_tok").alias("__g"))
+        # share-first double math: __s/__g is one correctly-rounded double
+        # division, × budget one multiply — deterministic cross-engine AND
+        # overflow-free at the advertised scale (budget·mass as BIGINT
+        # would wrap at 1T-token budgets × 1T-token strata)
         budgets = strata.crossJoin(F.broadcast(total)).select(
             by,
             F.floor(
-                F.lit(budget_tokens) * F.col("__s") / F.col("__g")
+                F.lit(float(budget_tokens))
+                * (F.col("__s").cast("double") / F.col("__g"))
             ).cast("long").alias("__budget"),
         )
         w = Window.partitionBy(by).orderBy(*order_by)

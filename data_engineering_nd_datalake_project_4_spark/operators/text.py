@@ -221,10 +221,16 @@ def unigram_lm_scores(
 
     Determinism: a float SUM over shuffled rows is order-dependent, so
     per-token log-probs are quantized to DECIMAL(18,6) first — the
-    decimal SUM is exact and order-independent, and the only float ops
-    left (one division building p, one ln, one final divide) are
-    single-expression deterministic. An oracle reproduces the quantize
-    via the VARCHAR-routed decimal cast.
+    decimal SUM is exact and order-independent within AND across engines.
+    The residual cross-engine risk is the transcendental itself: JVM
+    ``Math.log`` and glibc ``log`` differ by 1 ulp on a few percent of
+    inputs (measured), so a token whose true ln sits within ~1 ulp of an
+    x.xxxxxx5 HALF_UP boundary can quantize differently — probability
+    ~1ulp/0.5e-6 ≈ 4e-10 per distinct token, the same accepted
+    measure-zero class as the repo's ROUND-at-scale-3+ policy for
+    log/stddev/cosine outputs (and smaller, because only distinct vocab
+    tokens roll the dice, not every row). An oracle reproduces the
+    quantize via the VARCHAR-routed decimal cast.
 
     Scale shape: the LM is one token-frequency aggregate (8-byte hashed
     key would apply at scale; kept as the string here because the oracle

@@ -4069,13 +4069,26 @@ def q130_incremental_dedup(spark, sf_dir):
     # deterministic per-dataset, per-process store location; rebuilt
     # (overwritten) each call so the query stays a pure function of sf_dir,
     # and PID-scoped so concurrent harnesses (driver bench + driver-sim)
-    # never overwrite each other's store mid-read
+    # never overwrite each other's store mid-read. Best-effort reap of
+    # sibling stores whose owning process is gone keeps /tmp bounded
+    # across repeated harness runs.
     import os
+    import shutil
 
     tag = hashlib.sha256(str(sf_dir).encode()).hexdigest()[:12]
-    store = str(
-        Path(tempfile.gettempdir()) / f"spark_graft_q130_store_{tag}_{os.getpid()}"
-    )
+    base = Path(tempfile.gettempdir())
+    for stale in base.glob("spark_graft_q130_store_*_*"):
+        try:
+            pid = int(stale.name.rsplit("_", 1)[1])
+        except ValueError:
+            continue
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)  # signal 0 = liveness probe only
+        except OSError:  # owning process gone: reap its store
+            shutil.rmtree(stale, ignore_errors=True)
+    store = str(base / f"spark_graft_q130_store_{tag}_{os.getpid()}")
     incremental.build_fingerprint_store(
         corpus, "text", "doc_id", store, mode="canonical", num_buckets=16
     )
@@ -4357,8 +4370,11 @@ def q135_sequence_packing(spark, sf_dir):
     "log-probability. Per-token log-probs quantize to DECIMAL(18,6) so "
     "the per-doc sum is EXACT and order-independent (a float sum over "
     "shuffled rows would hash-differ between engines and runs); the "
-    "quantize itself cross-engine-aligns via the VARCHAR-routed decimal "
-    "cast. Scoring join broadcast by AQE at this vocab; web-scale vocab "
+    "quantize cross-engine-aligns via the VARCHAR-routed decimal cast, "
+    "with the 1-ulp libm ln() divergence surviving only when a token's "
+    "ln sits within an ulp of a quantize boundary (~4e-10 per distinct "
+    "token — accepted measure-zero class, see operator docstring). "
+    "Scoring join broadcast by AQE at this vocab; web-scale vocab "
     "shuffles on the token with skew handled by AQE",
 )
 def q136_unigram_lm_quality(spark, sf_dir):
@@ -4374,7 +4390,9 @@ def q136_unigram_lm_quality(spark, sf_dir):
             tot AS (SELECT source, SUM(n_tok) AS s FROM t GROUP BY source),
             g AS (SELECT SUM(n_tok) AS g FROM t),
             b AS (SELECT source,
-                         CAST(FLOOR(10000 * s / g.g) AS BIGINT) AS bgt
+                         -- share-first double math, mirroring the engine:
+                         -- one division + one multiply, overflow-free
+                         CAST(FLOOR(10000 * (CAST(s AS DOUBLE) / g.g)) AS BIGINT) AS bgt
                   FROM tot CROSS JOIN g),
             c AS (SELECT t.*,
                          SUM(n_tok) OVER (PARTITION BY t.source
@@ -4388,8 +4406,10 @@ def q136_unigram_lm_quality(spark, sf_dir):
     "token-budget subsampling (data mixing): select documents under a "
     "10k-token total budget, best-first (n_chars DESC as the declared "
     "quality order, doc_id tie-break), with the budget split across "
-    "sources proportionally to their token mass. The budget split is "
-    "exact integer/double arithmetic below 2^53 (deterministic); the "
+    "sources proportionally to their token mass. The split is share-first "
+    "double math (one correctly-rounded division + one multiply — "
+    "deterministic cross-engine, and overflow-free even at 1T-token "
+    "budgets where a BIGINT budget*mass product would wrap); the "
     "prefix-cumsum window is PER SOURCE — one shuffle on the stratum "
     "key, no global serialized window",
 )

@@ -30,7 +30,10 @@ def test_single_file_scan_is_spread(spark, tmp_path):
     assert out.rdd.getNumPartitions() == 8
 
 
-def test_many_file_scan_is_noop_without_rdd_probe(spark, tmp_path, monkeypatch):
+def test_many_small_files_still_spread(spark, tmp_path, monkeypatch):
+    """8 tiny files coalesce into ~1 real scan partition (openCost packing)
+    — the probe must see the COALESCED count and still repartition, and
+    must do it without ever materializing the RDD."""
     p = str(tmp_path / "many")
     spark.range(1000).repartition(8).write.parquet(p)
     df = spark.read.parquet(p)
@@ -40,7 +43,30 @@ def test_many_file_scan_is_noop_without_rdd_probe(spark, tmp_path, monkeypatch):
 
     monkeypatch.setattr(DataFrame, "rdd", property(boom))
     out = ensure_map_parallelism(df, min_partitions=4)
-    assert out is df  # ≥ target files → identical plan, no repartition
+    assert out is not df  # tiny files pack into < 4 partitions → spread
+
+
+def test_enough_real_partitions_is_noop(spark, tmp_path, monkeypatch):
+    """With openCost ≈ maxPartitionBytes each file is its own partition —
+    ≥ target real partitions → identical plan, still no RDD probe."""
+    p = str(tmp_path / "many2")
+    spark.range(1000).repartition(8).write.parquet(p)
+    prev_open = spark.conf.get("spark.sql.files.openCostInBytes")
+    prev_max = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.openCostInBytes", "4194304b")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "4194305b")
+        df = spark.read.parquet(p)
+
+        def boom(self):
+            raise AssertionError("df.rdd touched on the file-scan fast path")
+
+        monkeypatch.setattr(DataFrame, "rdd", property(boom))
+        out = ensure_map_parallelism(df, min_partitions=4)
+        assert out is df
+    finally:
+        spark.conf.set("spark.sql.files.openCostInBytes", prev_open)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_max)
 
 
 def test_few_large_files_counted_by_size(spark, tmp_path):

@@ -150,8 +150,12 @@ def build_variant(name: str, out_dir: Path) -> None:
                 cls = vid % 10
                 if cls == 0:
                     new.append([0.0] * len(e))          # zero norm
-                elif cls == 1 and i > 0:
-                    new.append(list(embs[i - 1]))        # exact duplicate
+                elif cls == 1 and i >= 2:
+                    # exact duplicate of a row that SURVIVES rewriting:
+                    # vec_ids are sequential, so i-1 is cls 0 (zeroed) but
+                    # i-2 is cls 9 (kept verbatim) — copying embs[i-1]
+                    # would duplicate a vector that no longer exists
+                    new.append(list(embs[i - 2]))
                 elif cls == 2:
                     new.append([-x for x in e])          # negated twin
                 elif cls == 3:
