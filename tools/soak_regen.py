@@ -30,6 +30,12 @@ to stay green on each:
   multibyte cases, not just the generator's space-separated ASCII.
   ``n_chars`` is recomputed as the codepoint length so the metadata stays
   generator-faithful.
+- ``date32`` : the semantically-date columns (``l_shipdate`` /
+  ``o_orderdate`` — shipped as midnight TIMESTAMP(MICROS)) re-written as
+  parquet DATE32. A generator that starts emitting true dates changes
+  Spark's read type to DateType and the oracle's to DATE: every date
+  filter, range join, date_trunc/extract and interval comparison must
+  agree under both physical types.
 - ``advembed`` : embeddings.embedding re-materialized adversarially —
   all-zero vectors (zero norms: cosine 0/0 paths), exact duplicates of the
   previous row (top-k tie-breaking), negated twins (cosine −1), constant
@@ -141,6 +147,14 @@ def build_variant(name: str, out_dir: Path) -> None:
                 pa.array([len(s) for s in new_texts], pa.int64()),
             )
             pq.write_table(tbl, dst)
+        elif name == "date32" and t in ("lineitem", "orders"):
+            tbl = pq.read_table(src)
+            col = "l_shipdate" if t == "lineitem" else "o_orderdate"
+            i = tbl.schema.get_field_index(col)
+            tbl = tbl.set_column(
+                i, col, tbl.column(col).cast(pa.date32())
+            )
+            pq.write_table(tbl, dst)
         elif name == "advembed" and t == "embeddings":
             tbl = pq.read_table(src)
             ids = tbl.column("vec_id").to_pylist()
@@ -210,7 +224,7 @@ def main(argv: list[str]) -> int:
 
     variants = argv or [
         "ts_micros", "ts_nanos", "half2", "half4", "rowshuffle", "advtext",
-        "advembed",
+        "advembed", "date32",
     ]
     spark = get_spark(app_name="soak-regen", shuffle_partitions=16)
     total_fail = 0
