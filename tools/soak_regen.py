@@ -36,6 +36,11 @@ to stay green on each:
   Spark's read type to DateType and the oracle's to DATE: every date
   filter, range join, date_trunc/extract and interval comparison must
   agree under both physical types.
+- ``int32`` : every int64 key/id column that fits is re-written as
+  parquet INT32 (generators change integer widths freely). Spark then
+  reads IntegerType where it saw LongType; the oracle reads INTEGER
+  (whose SUM is HUGEINT). Joins, aggregates, modular arithmetic and
+  rendering must all agree across the width flip.
 - ``advembed`` : embeddings.embedding re-materialized adversarially —
   all-zero vectors (zero norms: cosine 0/0 paths), exact duplicates of the
   previous row (top-k tie-breaking), negated twins (cosine −1), constant
@@ -155,6 +160,19 @@ def build_variant(name: str, out_dir: Path) -> None:
                 i, col, tbl.column(col).cast(pa.date32())
             )
             pq.write_table(tbl, dst)
+        elif name == "int32":
+            tbl = pq.read_table(src)
+            for field in list(tbl.schema):
+                if field.type == pa.int64():
+                    col = tbl.column(field.name)
+                    mn = pc.min(col).as_py()
+                    mx = pc.max(col).as_py()
+                    if mn is not None and mn >= -(2**31) and mx < 2**31:
+                        i = tbl.schema.get_field_index(field.name)
+                        tbl = tbl.set_column(
+                            i, field.name, col.cast(pa.int32())
+                        )
+            pq.write_table(tbl, dst)
         elif name == "advembed" and t == "embeddings":
             tbl = pq.read_table(src)
             ids = tbl.column("vec_id").to_pylist()
@@ -224,7 +242,7 @@ def main(argv: list[str]) -> int:
 
     variants = argv or [
         "ts_micros", "ts_nanos", "half2", "half4", "rowshuffle", "advtext",
-        "advembed", "date32",
+        "advembed", "date32", "int32",
     ]
     spark = get_spark(app_name="soak-regen", shuffle_partitions=16)
     total_fail = 0
