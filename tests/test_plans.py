@@ -79,6 +79,8 @@ NON_EQUI_BY_DESIGN = {
     "q132_boilerplate_strip",
     # broadcast 1-row corpus-token-total (the LM normalizer): O(V·1)
     "q136_unigram_lm_quality",
+    # broadcast 1-row corpus-token-total (the budget denominator): O(S·1)
+    "q137_token_budget_subsample",
 }
 
 
