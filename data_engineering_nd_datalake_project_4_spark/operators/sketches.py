@@ -32,7 +32,7 @@ def build_cms(
     """One-scan Count-Min sketch: DataFrame[row, bucket, cnt] with
     ``depth`` hash rows of ``width`` buckets. Error: overestimate only,
     ≤ e/width · N with probability 1 - e^-depth."""
-    rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row")
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
     return (
         df.select(F.col(col).alias("__v"))
         .select("__v", rows)
@@ -68,7 +68,7 @@ def cms_estimate(
     """Estimated frequency for each distinct value in ``items[col]``:
     min over the depth hash rows of the matching bucket counters. The
     sketch side is broadcast (it is depth × width rows at most)."""
-    rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row")
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
     probes = (
         items.select(F.col(col).alias("item"))
         .distinct()

@@ -101,46 +101,71 @@ def upsert_partitioned(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    from pyspark.errors import AnalysisException
+
     prev_overwrite_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    # limit(cap+1): detect overflow without an unbounded collect
-    touched = [
-        tuple(r)
-        for r in updates.select(*partition_by)
-        .distinct()
-        .limit(max_touched_partitions + 1)
-        .collect()
-    ]
+    # the updates plan drives THREE consumers (touched-partition collect,
+    # the merge union, and — past the cap — the semi-join build side):
+    # persist so an expensive/nondeterministic upstream runs once and the
+    # partition list cannot disagree with the rows actually merged
+    updates = updates.persist()
     try:
-        existing = spark.read.parquet(path)
-        if len(touched) <= max_touched_partitions:
-            pred = F.lit(False)
-            for combo in touched:
-                clause = F.lit(True)
-                for col, val in zip(partition_by, combo):
-                    clause = clause & (F.col(col) == F.lit(val))
-                pred = pred | clause
-            existing = existing.filter(pred)
-        else:
-            existing = existing.join(
-                updates.select(*partition_by).distinct(), list(partition_by), "left_semi"
+        # limit(cap+1): detect overflow without an unbounded collect
+        touched = [
+            tuple(r)
+            for r in updates.select(*partition_by)
+            .distinct()
+            .limit(max_touched_partitions + 1)
+            .collect()
+        ]
+        try:
+            existing = spark.read.parquet(path)
+        except AnalysisException as e:
+            # ONLY a missing table means first write — a schema-drift or
+            # column error below must propagate, or the dynamic overwrite
+            # would silently replace touched partitions with updates-only
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
+            existing = None
+        if existing is not None:
+            if len(touched) <= max_touched_partitions:
+                pred = F.lit(False)
+                for combo in touched:
+                    clause = F.lit(True)
+                    for col, val in zip(partition_by, combo):
+                        # eqNullSafe: a NULL partition value must still
+                        # match its existing partition or its rows are
+                        # dropped by the merge yet overwritten on disk
+                        clause = clause & F.col(col).eqNullSafe(F.lit(val))
+                    pred = pred | clause
+                existing = existing.filter(pred)
+            else:
+                upd_parts = updates.select(*partition_by).distinct()
+                cond = F.lit(True)
+                for col in partition_by:
+                    cond = cond & existing[col].eqNullSafe(upd_parts[col])
+                existing = existing.join(upd_parts, cond, "left_semi")
+            existing = existing.select(*updates.columns)
+            merged = existing.unionByName(updates)
+        else:  # first write: nothing to merge
+            merged = updates
+        w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
+        latest = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        try:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            latest.repartition(*partition_by).write.mode("overwrite").partitionBy(
+                *partition_by
+            ).parquet(path)
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_overwrite_mode
             )
-        existing = existing.select(*updates.columns)
-        merged = existing.unionByName(updates)
-    except Exception:  # first write: nothing to merge
-        merged = updates
-    w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
-    latest = (
-        merged.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
-    try:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        latest.repartition(*partition_by).write.mode("overwrite").partitionBy(
-            *partition_by
-        ).parquet(path)
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_overwrite_mode)
+        updates.unpersist()
 
 
 def compact_parquet_dir(
@@ -149,26 +174,42 @@ def compact_parquet_dir(
     target_file_bytes: int = 128 * 1024 * 1024,
 ) -> int:
     """Compact a small-file parquet directory in place: read, coalesce to
-    ~target-sized files, atomically replace via a temp dir. Returns the new
-    file count. The antidote to streaming sinks and over-parallel writes
-    accumulating thousands of KB-sized files (each file costs a task +
-    footer fetch on every downstream scan)."""
+    ~target-sized files, swap in via rename. Returns the new file count.
+    The antidote to streaming sinks and over-parallel writes accumulating
+    thousands of KB-sized files (each file costs a task + footer fetch on
+    every downstream scan).
+
+    Filesystem ops go through the Hadoop FileSystem API, so the same code
+    works on ``file://``, ``hdfs://`` and ``s3a://`` paths (sizing via
+    ``getContentSummary``, swap via ``rename``). The swap order is
+    old→aside, new→live, delete-aside: a crash can leave the table under
+    the ``__old`` name (recoverable by a rename), never half-deleted. On
+    a rename-less object store the two renames are copies, not atomic —
+    a table format (Delta/Iceberg) is the real answer there; the data
+    motion is identical.
+    """
     import math
-    import shutil
-    import os
 
     df = spark.read.parquet(path)
-    total_bytes = sum(
-        os.path.getsize(os.path.join(r, f))
-        for r, _, fs in os.walk(path)
-        for f in fs
-        if f.endswith(".parquet")
-    )
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path.rstrip("/"))
+    fs = jpath.getFileSystem(hconf)
+    total_bytes = fs.getContentSummary(jpath).getLength()
     n_files = max(1, math.ceil(total_bytes / target_file_bytes))
-    tmp = path.rstrip("/") + "__compacting"
-    df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    tmp = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compacting")
+    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__old")
+    df.coalesce(n_files).write.mode("overwrite").parquet(tmp.toString())
+    if fs.exists(old):
+        fs.delete(old, True)
+    if not fs.rename(jpath, old):
+        raise IOError(f"compact: could not move {path} aside")
+    if not fs.rename(tmp, jpath):
+        # put the original back before failing — never leave the live
+        # path missing
+        fs.rename(old, jpath)
+        raise IOError(f"compact: could not swap in compacted {path}")
+    fs.delete(old, True)
     return n_files
 
 

@@ -99,8 +99,11 @@ class RunningStatsProcessor(StatefulProcessor):
         n, mx = (self._state.get() or (0, None)) if self._state.exists() else (0, None)
         for pdf in rows:
             n += len(pdf)
-            batch_max = int(pdf["value"].max()) if len(pdf) else None
-            if batch_max is not None:
+            # pd.notna, not len(): an all-NULL value column arrives as
+            # float64 NaN and int(NaN) would kill the streaming query
+            batch_max = pdf["value"].max() if len(pdf) else None
+            if batch_max is not None and pd.notna(batch_max):
+                batch_max = int(batch_max)
                 mx = batch_max if mx is None else max(mx, batch_max)
         self._state.update((n, mx))
         yield pd.DataFrame(

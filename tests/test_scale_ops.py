@@ -158,3 +158,64 @@ def test_upsert_many_partitions_semi_join_fallback(spark, tmp_path):
             assert got[i] == (f"new{i}", 20), i
         else:
             assert got[i] == (f"v{i}", 10), i
+
+
+def test_salted_join_rejects_non_equivalent_how(skewed):
+    big, small = skewed
+    with pytest.raises(ValueError, match="duplicate every unmatched"):
+        salted_join(big, small, "k", how="full")
+    with pytest.raises(ValueError):
+        salted_join(big, small, "k", how="right")
+
+
+def test_salted_join_spreads_duplicate_rows(spark):
+    """A hot key made of EXACT-duplicate rows must still spread across
+    salts (per-row default salt) — a content hash would give every copy
+    the same salt and leave the straggler in place."""
+    from pyspark.sql import functions as F
+
+    big = spark.range(10_000).select(F.lit(0).alias("k"), F.lit(1).alias("payload"))
+    small = spark.createDataFrame([(0, "dim")], "k INT, name STRING")
+    salted = big.withColumn(
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(8)).cast("int")
+    )
+    n_salts_used = salted.select("__salt").distinct().count()
+    assert n_salts_used > 1  # duplicates really do get distinct salts
+    out = salted_join(big, small, "k", n_salts=8)
+    assert out.count() == 10_000  # join result unchanged by the salting
+
+
+def test_upsert_schema_drift_errors_not_data_loss(spark, tmp_path):
+    """An updates frame missing a column of the existing table must FAIL,
+    not be treated as a first write that replaces touched partitions."""
+    from data_engineering_nd_datalake_project_4_spark.sources.sinks import upsert_partitioned
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, 1, "a", 10), (2, 1, "a", 20)], "id INT, ver INT, part STRING, c INT"
+    )
+    upsert_partitioned(spark, base, path, ["id"], "ver", ["part"])
+    drifted = spark.createDataFrame(
+        [(1, 2, "a", 11, "extra")], "id INT, ver INT, part STRING, c INT, d STRING"
+    )
+    with pytest.raises(Exception):
+        upsert_partitioned(spark, drifted, path, ["id"], "ver", ["part"])
+    # the existing table is untouched
+    assert spark.read.parquet(path).count() == 2
+
+
+def test_upsert_null_partition_value_preserved(spark, tmp_path):
+    """Existing rows in the NULL partition must survive an upsert that
+    touches that partition (eqNullSafe pruning)."""
+    from data_engineering_nd_datalake_project_4_spark.sources.sinks import upsert_partitioned
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, 1, None), (2, 1, None), (3, 1, "x")], "id INT, ver INT, part STRING"
+    )
+    upsert_partitioned(spark, base, path, ["id"], "ver", ["part"])
+    upd = spark.createDataFrame([(1, 2, None)], "id INT, ver INT, part STRING")
+    upsert_partitioned(spark, upd, path, ["id"], "ver", ["part"])
+    rows = {(r["id"], r["ver"]) for r in spark.read.parquet(path).collect()}
+    # id 1 updated; id 2 (same NULL partition) SURVIVES; id 3 untouched
+    assert rows == {(1, 2), (2, 1), (3, 1)}
