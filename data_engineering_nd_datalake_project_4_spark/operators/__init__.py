@@ -31,11 +31,17 @@ def _parse_byte_conf(value: str, default: int = 128 << 20) -> int:
         return default
 
 
-def _estimated_scan_splits(df: DataFrame, target: int) -> int | None:
+def _estimated_scan_splits(df: DataFrame) -> int | None:
     """Planner-cost-free estimate of the scan's split count from the file
     listing alone (``inputFiles`` touches only the already-built file
     index — no plan→RDD conversion, no job). Returns None when the plan is
     not a local file scan (then the caller pays the accurate RDD probe).
+
+    PRECONDITION: valid only for a SINGLE-file-scan plan. On a multi-source
+    plan (join/union of scans) ``inputFiles()`` returns the union of every
+    scan's files, so the estimate would describe no real stage — detected
+    by counting leaf scans in the optimized plan and returning None (→ the
+    caller's accurate RDD probe) when there is more than one.
 
     Mirrors Spark's own packing: each file contributes
     ``size + openCostInBytes`` and chunks bin-pack into partitions of
@@ -50,6 +56,13 @@ def _estimated_scan_splits(df: DataFrame, target: int) -> int | None:
         return None
     if not files:
         return None
+    try:
+        # multi-scan guard: inputFiles() unions ALL scans' files, so a
+        # join/union plan would mis-estimate — detect via leaf count
+        if df._jdf.queryExecution().optimizedPlan().collectLeaves().size() > 1:
+            return None
+    except Exception:
+        pass  # non-JVM backend: rely on the documented precondition
     conf = df.sparkSession.conf
     max_bytes = _parse_byte_conf(
         conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
@@ -92,7 +105,7 @@ def ensure_map_parallelism(df: DataFrame, min_partitions: int | None = None) -> 
     """
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
-    est = _estimated_scan_splits(df, target)
+    est = _estimated_scan_splits(df)
     if est is None:
         est = df.rdd.getNumPartitions()
     if est < target:

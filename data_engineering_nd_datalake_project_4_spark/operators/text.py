@@ -7,6 +7,8 @@ semantics so the DuckDB oracle can check it (SURVEY.md §2.3 policy).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -323,8 +325,14 @@ def strip_boilerplate(
     explode → anti-join on line hash → re-assemble with
     ``array_sort(collect_list(struct(pos, line)))``.
     """
+    # F.split takes a Java REGEX: quote the separator so '.', '|', '+'
+    # split literally, matching the docstring and the DuckDB oracle
+    # (string_split is literal). re.escape backslash-escapes exactly the
+    # regex metachars and never an alphanumeric — the one Java-illegal
+    # escape class — so the quoted form is Java-regex-safe.
+    sep_re = re.escape(sep)
     lines = df.select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), sep)).alias("__line")
+        F.col(id_col), F.explode(F.split(F.col(text_col), sep_re)).alias("__line")
     )
     boiler = (
         lines.groupBy(F.xxhash64("__line").alias("__lh"))
@@ -336,7 +344,7 @@ def strip_boilerplate(
         .agg(F.array_sort(F.collect_list("__line")).alias("__boiler"))
     )
     split_docs = df.select(
-        F.col(id_col), F.split(F.col(text_col), sep).alias("__ls")
+        F.col(id_col), F.split(F.col(text_col), sep_re).alias("__ls")
     )
     kept = F.filter(
         F.col("__ls"), lambda x: ~F.array_contains(F.col("__boiler"), x)

@@ -4086,8 +4086,10 @@ def q130_incremental_dedup(spark, sf_dir):
             continue
         try:
             os.kill(pid, 0)  # signal 0 = liveness probe only
-        except OSError:  # owning process gone: reap its store
+        except ProcessLookupError:  # owning process gone: reap its store
             shutil.rmtree(stale, ignore_errors=True)
+        except PermissionError:
+            pass  # PID exists under another user: ALIVE — do not reap
     store = str(base / f"spark_graft_q130_store_{tag}_{os.getpid()}")
     incremental.build_fingerprint_store(
         corpus, "text", "doc_id", store, mode="canonical", num_buckets=16

@@ -86,6 +86,40 @@ def test_update_store_is_idempotent(spark, corpus_and_batch, tmp_path):
     ) == [201]
 
 
+def test_nondeterministic_batch_store_matches_survivors(spark, tmp_path):
+    """A nondeterministic upstream batch (sampled feed) must append to the
+    store EXACTLY the fingerprints of the survivors it returns — the plan
+    is persisted + checkpointed so its three consumers (touched-bucket
+    collect, store append, returned rows) share one evaluation (ADVICE r4).
+    """
+    import random
+
+    from pyspark.sql.types import BooleanType
+
+    keep = F.udf(lambda: random.random() < 0.5, BooleanType()).asNondeterministic()
+    base = spark.createDataFrame(
+        [(i, f"nondet doc {i}") for i in range(40)], "doc_id LONG, text STRING"
+    )
+    batch = base.filter(keep())
+    store = str(tmp_path / "store")
+    incremental.build_fingerprint_store(
+        spark.createDataFrame([(0, "seed corpus doc")], "doc_id LONG, text STRING"),
+        "text", "doc_id", store,
+    )
+    before = {r["fp"] for r in spark.read.parquet(store).select("fp").collect()}
+    survivors = incremental.incremental_dedup(
+        spark, batch, "text", "doc_id", store, update_store=True
+    )
+    got_fps = {
+        r["fp"]
+        for r in survivors.select(F.xxhash64("text").alias("fp")).collect()
+    }
+    after = {r["fp"] for r in spark.read.parquet(store).select("fp").collect()}
+    assert after - before == got_fps
+    # and the frozen survivors are stable across re-collection
+    assert _ids(survivors) == _ids(survivors)
+
+
 def test_store_layout_and_pruned_scan(spark, corpus_and_batch, tmp_path):
     """The store is hash-partitioned by fp_bucket and a batch's store scan
     is pruned to its touched buckets (static IN literals → fewer files)."""

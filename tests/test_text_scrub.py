@@ -81,6 +81,18 @@ def test_boilerplate_preserves_line_order(spark):
         assert r["n_dropped"] == 2
 
 
+def test_boilerplate_literal_metachar_separator(spark):
+    """``sep`` is a LITERAL separator: a regex metachar like '|' or '.'
+    must not split on every character (ADVICE r4: F.split regex trap)."""
+    rows = [(i, f"SPAM|keep-{i}|SPAM") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id LONG, t STRING")
+    out = {r["doc_id"]: r.asDict()
+           for r in T.strip_boilerplate(df, "t", "doc_id", min_docs=3, sep="|").collect()}
+    for i in range(4):
+        assert out[i]["kept_text"] == f"keep-{i}"
+        assert out[i]["n_dropped"] == 2
+
+
 def test_boilerplate_none_qualifies(spark):
     df = spark.createDataFrame(
         [(1, "a\nb"), (2, "c\nd")], "doc_id LONG, t STRING"
