@@ -1,0 +1,85 @@
+"""Pin the driver-graded registry window (VERDICT r4 task 1).
+
+The driver grades the FIRST 50 entries of ``queries()`` in registry order
+(CLAUDE.md: keep new queries after q50). Nothing else asserts that order,
+so an innocent refactor of queries.py that reordered the ``@q``
+decorators would silently swap graded entries while every local test
+stayed green. This test makes any reorder of the graded window red, and
+checks that every name the driver actually graded last round still
+resolves in the registry (both ``queries()`` and ``oracle_sql()`` sides).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+#: the exact graded window, in driver grading order — matches
+#: CORRECTNESS_r04.json key-for-key. Update ONLY if the driver's window
+#: curation changes, never as a side effect of a queries.py refactor.
+GRADED_WINDOW = [
+    "q01", "q02", "q03", "q04", "q05", "q06", "q07", "q08", "q09", "q10",
+    "q11", "q12", "q13", "q14", "q15", "q16", "q17", "q18", "q19", "q20",
+    "q21", "q22", "q23", "q24", "q25", "q26", "q27", "q28", "q29", "q30",
+    "q31", "q32",
+    "q33_exact_dedup", "q34_unigram_jaccard", "q35_minhash_lsh",
+    "q36_simhash", "q37_lang_id", "q38_quality", "q39_token_counts",
+    "q40_fingerprints", "q41_embedding_near_dup", "q42_ivf_topk",
+    "q43_rp_buckets", "q44_pandas_udf", "q45_approx_distinct",
+    "q46_having", "q47_date_math", "q48_math_funcs", "q49_array_funcs",
+    "q50_stats_agg",
+]
+
+#: graded entries deliberately without an oracle (probabilistic outputs,
+#: declared in SURVEY.md §2.3) — the driver records rows-only for these
+NO_ORACLE = {
+    "q35_minhash_lsh", "q36_simhash", "q40_fingerprints",
+    "q42_ivf_topk", "q45_approx_distinct",
+}
+
+
+def _entry_module():
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod_window", REPO / "__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_first_50_registry_names_are_the_graded_window():
+    names = list(_entry_module().queries())
+    assert names[:50] == GRADED_WINDOW, (
+        "registry slots 1-50 ARE the driver-graded window — a reorder "
+        "here silently swaps what the driver grades; new queries must be "
+        "registered after q50 (CLAUDE.md)"
+    )
+    assert len(names) == len(set(names)), "duplicate registry names"
+
+
+def test_graded_window_oracle_coverage():
+    mod = _entry_module()
+    osql = mod.oracle_sql()
+    for name in GRADED_WINDOW:
+        if name in NO_ORACLE:
+            assert name not in osql, (
+                f"{name} is declared rows-only; adding an oracle changes "
+                "the driver's gate class — update NO_ORACLE deliberately"
+            )
+        else:
+            assert name in osql, f"graded query {name} lost its oracle"
+
+
+def test_last_driver_correctness_names_still_resolve():
+    """Every name the driver graded last round must still exist — a rename
+    would drop its CORRECTNESS row even with the window order intact."""
+    latest = max(REPO.glob("CORRECTNESS_r*.json"))
+    graded = json.loads(latest.read_text())
+    mod = _entry_module()
+    qs = mod.queries()
+    missing = [n for n in graded if n not in qs]
+    assert not missing, f"driver-graded names missing from registry: {missing}"
+    assert sorted(graded) == sorted(GRADED_WINDOW)
