@@ -234,23 +234,41 @@ def unigram_lm_scores(
     tokens roll the dice, not every row). An oracle reproduces the
     quantize via the VARCHAR-routed decimal cast.
 
-    Scale shape: the LM is one token-frequency aggregate (8-byte hashed
-    key would apply at scale; kept as the string here because the oracle
-    joins on it). The scoring join token→logp is a plain equi-join: AQE
-    broadcasts it while the vocab is small; a web-scale vocab shuffles on
-    the token — Zipf skew is AQE-skew-join territory, with the classic
-    refinement (broadcast the hot head, shuffle the tail) left to the
-    caller.
+    Scale shape: the LM is one token-frequency aggregate, materialized
+    once via ``localCheckpoint`` — it feeds three consumers (the total,
+    the hot-head probe, and BOTH branches of the scoring join), each of
+    which would otherwise re-tokenize the corpus; the checkpoint is
+    vocab-sized (distributed blocks, never driver-side — swap for a
+    reliable ``checkpoint()`` dir where executor loss is in scope). The
+    scoring join token→logp rides :func:`..skew.hot_cold_join`: token
+    frequency is Zipf, so the hot head (stopwords with ≥``1%`` of
+    occurrences — read EXACTLY and for free off the materialized LM)
+    joins against a broadcast of its few logp rows, bypassing the shuffle
+    for precisely the straggler keys, while the cold tail takes the
+    normal equi-join (AQE broadcasts it whole while the vocab is small;
+    shuffles with skew already removed at web vocab). Hot membership only
+    picks the physical strategy — the result is branch-invariant.
     """
+    from data_engineering_nd_datalake_project_4_spark.operators.skew import hot_cold_join
+
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__token"))
     lm = tok.groupBy("__token").agg(F.count(F.lit(1)).alias("__cnt"))
+    lm = lm.localCheckpoint(eager=True)
     n = lm.agg(F.sum("__cnt").alias("__n"))
     lp = lm.crossJoin(F.broadcast(n)).select(
         "__token",
         F.log(F.col("__cnt") / F.col("__n")).cast("decimal(18,6)").alias("__logp"),
     )
+    total = n.collect()[0][0] or 0
+    hot = [
+        r[0]
+        for r in lm.filter(F.col("__cnt") >= max(1, total) * 0.01)
+        .orderBy(F.desc("__cnt"), "__token")
+        .limit(10_000)
+        .collect()
+    ]
     return (
-        tok.join(lp, "__token")
+        hot_cold_join(tok, lp, "__token", hot_keys=hot)
         .groupBy(id_col)
         .agg(F.sum("__logp").alias("__slp"), F.count(F.lit(1)).alias("n_tok"))
         .select(

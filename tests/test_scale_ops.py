@@ -7,7 +7,12 @@ import pytest
 from pyspark.sql import functions as F
 
 from data_engineering_nd_datalake_project_4_spark import plans
-from data_engineering_nd_datalake_project_4_spark.operators.skew import salted_join, skewed_keys
+from data_engineering_nd_datalake_project_4_spark.operators.skew import (
+    hot_cold_join,
+    salted_join,
+    sampled_hot_keys,
+    skewed_keys,
+)
 from data_engineering_nd_datalake_project_4_spark.sources.sinks import write_bucketed_table
 
 
@@ -45,6 +50,70 @@ def test_salted_join_left_keeps_unmatched(spark):
     out = salted_join(big, small, "k", n_salts=4, how="left").collect()
     by_k = {r["k"]: r["name"] for r in out}
     assert by_k == {1: "dim", 99: None}
+
+
+def test_sampled_hot_keys_finds_the_head(skewed):
+    big, _ = skewed
+    # 90% of rows are key 0: any sane sample must surface it (seeded)
+    hot = sampled_hot_keys(big, "k", min_share=0.5, sample_fraction=0.05)
+    assert hot == [0]
+
+
+def test_hot_cold_join_equals_plain_join(skewed):
+    big, small = skewed
+
+    def summarize(df):
+        return sorted(
+            map(tuple, df.groupBy("k").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("payload").alias("s")
+            ).collect())
+        )
+
+    plain = summarize(big.join(small, "k"))
+    # explicit hot set and the default sampled-detection path
+    assert summarize(hot_cold_join(big, small, "k", hot_keys=[0])) == plain
+    assert summarize(hot_cold_join(big, small, "k", min_share=0.5)) == plain
+
+
+def test_hot_cold_join_all_join_types_with_nulls(spark):
+    """hot/cold partitions BOTH sides consistently, so every join type —
+    including right/full — matches the plain join; NULL keys ride the
+    cold branch and null-extend exactly as the plain join does."""
+    from collections import Counter
+
+    big = spark.createDataFrame(
+        [(1, "a"), (1, "a2"), (None, "bn"), (99, "z")], "k INT, v STRING"
+    )
+    small = spark.createDataFrame(
+        [(1, "d1"), (None, "dn"), (2, "d2")], "k INT, name STRING"
+    )
+    for how in ["inner", "left", "right", "full", "left_semi", "left_anti"]:
+        plain = Counter(map(tuple, big.join(small, "k", how).collect()))
+        hc = Counter(
+            map(tuple, hot_cold_join(big, small, "k", how=how, hot_keys=[1]).collect())
+        )
+        assert hc == plain, f"how={how}"
+
+
+def test_hot_cold_join_empty_hot_set_degrades_to_plain(skewed):
+    big, small = skewed
+    out = hot_cold_join(big, small, "k", hot_keys=[])
+    assert out.count() == big.join(small, "k").count()
+
+
+def test_hot_cold_join_plan_head_broadcasts_tail_shuffles(spark, skewed):
+    """The whole point: the hot head must be a BroadcastHashJoin (its keys
+    never enter a shuffle) while the cold tail takes the shuffle join —
+    checked with auto-broadcast disabled so the hint is doing the work."""
+    big, small = skewed
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plans.explain_str(hot_cold_join(big, small, "k", hot_keys=[0]))
+        assert "BroadcastHashJoin" in plan
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 def test_bucketed_join_has_no_shuffle(spark):
