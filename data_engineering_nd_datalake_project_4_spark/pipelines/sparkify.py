@@ -41,20 +41,32 @@ class SparkifyConfig:
     song_data_path: str
     output_root: str
     declared_schemas: bool = False  # True = reference's FLOAT schemas
+    #: malformed-record posture for the raw JSON feeds. The reference has
+    #: none (/root/reference/etl.py:83-95 — a torn S3 line silently became
+    #: an all-NULL row); PERMISSIVE default keeps that fidelity, real
+    #: deployments should run DROPMALFORMED or set bad_records_path.
+    ingest_mode: str = "PERMISSIVE"
+    bad_records_path: str | None = None
 
 
 def ingest_logs(spark: SparkSession, cfg: SparkifyConfig) -> DataFrame:
     """R01: recursive JSON-lines scan of the event log
     (/root/reference/etl.py:83-85)."""
     ddl = schemas.LOG_EVENTS_DECLARED_DDL if cfg.declared_schemas else schemas.LOG_EVENTS_DDL
-    return read_json(spark, cfg.log_data_path, ddl, recursive=True)
+    return read_json(
+        spark, cfg.log_data_path, ddl, recursive=True,
+        mode=cfg.ingest_mode, bad_records_path=cfg.bad_records_path,
+    )
 
 
 def ingest_songs(spark: SparkSession, cfg: SparkifyConfig) -> DataFrame:
     """R02: recursive one-object-per-file JSON scan of the song catalog
     (/root/reference/etl.py:93-95)."""
     ddl = schemas.SONGS_DECLARED_DDL if cfg.declared_schemas else schemas.SONGS_DDL
-    return read_json(spark, cfg.song_data_path, ddl, recursive=True)
+    return read_json(
+        spark, cfg.song_data_path, ddl, recursive=True,
+        mode=cfg.ingest_mode, bad_records_path=cfg.bad_records_path,
+    )
 
 
 def songs_table(songs: DataFrame) -> DataFrame:

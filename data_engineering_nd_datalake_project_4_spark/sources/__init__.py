@@ -8,7 +8,94 @@ for nested directory fan-outs (the song_data ``A/<L1>/<L2>/`` layout).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StringType, StructField, StructType
+
+#: Spark parser modes for semi-structured scans (JSON/CSV)
+_PARSE_MODES = {"PERMISSIVE", "DROPMALFORMED", "FAILFAST"}
+
+#: internal corrupt-capture column backing the bad_records_path emulation
+_AUDIT_COL = "__corrupt_record_audit"
+
+
+def _malformed_options(
+    reader,
+    schema: StructType | str,
+    mode: str,
+    corrupt_record_col: str | None,
+    bad_records_path: str | None,
+):
+    """Apply the malformed-record surface shared by JSON and CSV scans.
+
+    Real feeds contain torn lines (the reference ingests raw S3 JSON,
+    /root/reference/etl.py:83-95, with no handling at all — a torn line
+    silently becomes an all-NULL row). Three explicit postures:
+
+    - ``mode='PERMISSIVE'`` (Spark default) + ``corrupt_record_col``:
+      keep every row; unparseable ones land with the RAW text captured in
+      the named extra string column (appended to the schema here — Spark
+      only populates it when the column exists in the schema) so bad
+      input is visible and quarantinable instead of silent NULLs.
+    - ``mode='DROPMALFORMED'``: parser drops unparseable rows.
+    - ``mode='FAILFAST'``: the scan throws on the first bad record —
+      the right posture for feeds that are contractually clean.
+    - ``bad_records_path``: each bad record lands as a JSON audit row
+      ``{path, record}`` under the directory and is dropped from the
+      result. Databricks implements this as a reader option; OSS Spark
+      SILENTLY IGNORES that option, so it is emulated here via corrupt
+      capture + :func:`_bad_records_split` — never pass the raw option
+      through, a silently-ignored audit sink is a data-loss trap.
+    """
+    mode = mode.upper()
+    if mode not in _PARSE_MODES:
+        raise ValueError(f"mode must be one of {sorted(_PARSE_MODES)}, got {mode!r}")
+    if bad_records_path is not None:
+        if mode != "PERMISSIVE" or corrupt_record_col is not None:
+            raise ValueError(
+                "bad_records_path supersedes the parser posture: use it "
+                "with mode='PERMISSIVE' (default) and no corrupt_record_col"
+            )
+        corrupt_record_col = _AUDIT_COL
+    reader = reader.option("mode", mode)
+    if corrupt_record_col is not None:
+        if mode != "PERMISSIVE":
+            raise ValueError(
+                "corrupt_record_col captures raw text into the result and "
+                "requires mode='PERMISSIVE'"
+            )
+        if isinstance(schema, str):
+            schema = StructType.fromDDL(schema)
+        schema = schema.add(StructField(corrupt_record_col, StringType()))
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_record_col)
+    return reader.schema(schema)
+
+
+def _bad_records_split(df: DataFrame, bad_records_path: str) -> DataFrame:
+    """Write ``{path, record}`` JSON audit rows for every corrupt-captured
+    record, then return the clean rows with the capture column dropped.
+
+    The audit write is an eager action (one scan of the feed; the caller's
+    later action re-scans — the same two consumers Databricks' native
+    implementation pays). The transient ``cache()`` is required: Spark
+    refuses queries whose only referenced data column is the internal
+    corrupt-record column unless the parsed frame is cached, and it is
+    released as soon as the audit rows are on disk.
+    """
+    from pyspark.sql import functions as F
+
+    df = df.cache()
+    try:
+        (
+            df.filter(F.col(_AUDIT_COL).isNotNull())
+            .select(
+                F.input_file_name().alias("path"),
+                F.col(_AUDIT_COL).alias("record"),
+            )
+            .write.mode("append")
+            .json(bad_records_path)
+        )
+    finally:
+        df.unpersist()
+    return df.filter(F.col(_AUDIT_COL).isNull()).drop(_AUDIT_COL)
 
 
 def read_json(
@@ -17,13 +104,23 @@ def read_json(
     schema: StructType | str,
     recursive: bool = True,
     multiline: bool = False,
+    mode: str = "PERMISSIVE",
+    corrupt_record_col: str | None = None,
+    bad_records_path: str | None = None,
 ) -> DataFrame:
     """JSON scan with a declared schema. ``recursive`` handles per-day /
-    nested-dir fan-outs (reference R01/R02, /root/reference/etl.py:83-95)."""
+    nested-dir fan-outs (reference R01/R02, /root/reference/etl.py:83-95).
+    Malformed-record posture via ``mode`` / ``corrupt_record_col`` /
+    ``bad_records_path`` — see :func:`_malformed_options`."""
     reader = spark.read.option("recursiveFileLookup", str(recursive).lower())
     if multiline:
         reader = reader.option("multiLine", "true")
-    return reader.schema(schema).json(path)
+    df = _malformed_options(
+        reader, schema, mode, corrupt_record_col, bad_records_path
+    ).json(path)
+    if bad_records_path is not None:
+        df = _bad_records_split(df, bad_records_path)
+    return df
 
 
 def read_csv(
@@ -32,13 +129,17 @@ def read_csv(
     schema: StructType | str,
     header: bool = True,
     sep: str = ",",
+    mode: str = "PERMISSIVE",
+    corrupt_record_col: str | None = None,
+    bad_records_path: str | None = None,
 ) -> DataFrame:
-    return (
-        spark.read.option("header", str(header).lower())
-        .option("sep", sep)
-        .schema(schema)
-        .csv(path)
-    )
+    reader = spark.read.option("header", str(header).lower()).option("sep", sep)
+    df = _malformed_options(
+        reader, schema, mode, corrupt_record_col, bad_records_path
+    ).csv(path)
+    if bad_records_path is not None:
+        df = _bad_records_split(df, bad_records_path)
+    return df
 
 
 def read_parquet(

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import json
 import os
+from pathlib import Path
 
 from pyspark.sql import functions as F
 
@@ -187,3 +188,77 @@ def test_jsonl_sink_roundtrip_nested(spark, tmp_path):
         recursive=False,
     )
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_json_malformed_permissive_capture(spark, tmp_path):
+    """PERMISSIVE + corrupt_record_col: torn line kept with its RAW text
+    captured (the pre-round-5 behavior was a silent all-NULL row)."""
+    p = tmp_path / "feed.json"
+    p.write_text(
+        '{"id": 1, "v": "a"}\n'
+        '{"id": 2 "v": TORN\n'
+        '{"id": 3, "v": "c"}\n'
+    )
+    df = read_json(spark, str(p), "id INT, v STRING", corrupt_record_col="_corrupt")
+    rows = df.collect()
+    assert len(rows) == 3
+    bad = [r for r in rows if r["_corrupt"] is not None]
+    assert len(bad) == 1
+    assert "TORN" in bad[0]["_corrupt"] and bad[0]["id"] is None
+    assert sorted(r["id"] for r in rows if r["_corrupt"] is None) == [1, 3]
+
+
+def test_json_malformed_drop_and_failfast(spark, tmp_path):
+    import pytest
+
+    p = tmp_path / "feed.json"
+    p.write_text('{"id": 1}\nNOT JSON AT ALL\n{"id": 3}\n')
+    dropped = read_json(spark, str(p), "id INT", mode="DROPMALFORMED")
+    assert sorted(r["id"] for r in dropped.collect()) == [1, 3]
+    with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        read_json(spark, str(p), "id INT", mode="FAILFAST").collect()
+
+
+def test_json_bad_records_path_audit_files(spark, tmp_path):
+    """bad_records_path: torn rows are dropped from the result and land
+    as JSON audit records (path + raw record + reason) under the dir."""
+    import json as jsonlib
+
+    p = tmp_path / "feed.json"
+    p.write_text('{"id": 1}\n{"id": BAD-2\n{"id": 3}\n')
+    audit = tmp_path / "badrecords"
+    df = read_json(spark, str(p), "id INT", bad_records_path=str(audit))
+    assert sorted(r["id"] for r in df.collect()) == [1, 3]
+    audit_files = sorted(Path(audit).rglob("part-*"))
+    assert audit_files, "expected bad-record audit files"
+    recs = [jsonlib.loads(ln) for f in audit_files for ln in f.read_text().splitlines()]
+    assert len(recs) == 1 and "BAD-2" in recs[0]["record"]
+
+
+def test_csv_malformed_row_capture_and_drop(spark, tmp_path):
+    from pyspark.sql.types import StructType
+
+    p = tmp_path / "feed.csv"
+    p.write_text("id,name,score\n1,a,2.5\n2,b,oops,extra\n3,c,1.0\n")
+    # StructType schema path for the corrupt-column append
+    schema = StructType.fromDDL("id INT, name STRING, score DOUBLE")
+    df = read_csv(spark, str(p), schema, corrupt_record_col="_corrupt")
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[2]["_corrupt"] is not None and "extra" in rows[2]["_corrupt"]
+    assert rows[1]["_corrupt"] is None and rows[3]["_corrupt"] is None
+    dropped = read_csv(spark, str(p), "id INT, name STRING, score DOUBLE",
+                       mode="DROPMALFORMED")
+    assert sorted(r["id"] for r in dropped.collect()) == [1, 3]
+
+
+def test_malformed_option_validation(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="mode must be one of"):
+        read_json(spark, str(tmp_path), "id INT", mode="LENIENT")
+    with pytest.raises(ValueError, match="PERMISSIVE"):
+        read_json(spark, str(tmp_path), "id INT", mode="DROPMALFORMED",
+                  corrupt_record_col="_c")
+    with pytest.raises(ValueError, match="PERMISSIVE"):
+        read_csv(spark, str(tmp_path), "id INT", corrupt_record_col="_c",
+                 bad_records_path=str(tmp_path / "bad"))
