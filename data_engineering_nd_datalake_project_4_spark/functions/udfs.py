@@ -80,7 +80,15 @@ def grouped_running_cents(df, key: str, ts_col: str, id_col: str, value_col: str
 
     def cumsum(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["__ts", id_col])
-        pdf["running_cents"] = pdf["__cents"].cumsum()
+        # SQL running-SUM NULL semantics (nulls soak): NULL values are
+        # skipped (the total carries through a NULL row), but rows before
+        # the first non-NULL value get NULL. A bare .cumsum() would emit
+        # NaN at every NULL row instead — and Arrow hands NULL int64 over
+        # as float64, so route through nullable Int64 to stay exact.
+        c = pdf["__cents"].astype("Int64")
+        run = c.fillna(0).cumsum()
+        seen = c.notna().cumsum() > 0
+        pdf["running_cents"] = run.where(seen, other=pd.NA).astype("Int64")
         return pdf[[key, id_col, "running_cents"]]
 
     out_schema = f"{key} int, {id_col} int, running_cents long"

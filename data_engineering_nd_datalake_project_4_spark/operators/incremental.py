@@ -41,6 +41,10 @@ _STORE_COLS = ("fp", "first_id", "fp_bucket")
 
 
 def _fingerprint(text_col: str, mode: str) -> Column:
+    # NULL text: xxhash64 of a NULL arg returns the seed hash (constant),
+    # so all NULL-text docs form ONE duplicate class — "no content" dedups
+    # against "no content". Oracles must compare null-safely
+    # (IS NOT DISTINCT FROM) to reproduce this (nulls soak, q130).
     if mode == "exact":
         return F.xxhash64(F.col(text_col))
     if mode == "canonical":

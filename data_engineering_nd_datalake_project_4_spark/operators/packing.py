@@ -134,6 +134,83 @@ def token_budget_subsample(
     return out.select(F.col(id_col), *keys, "n_tok", "cum_tok")
 
 
+#: modulus/multipliers for the portable epoch-shuffle hash. 2^31 keeps
+#: every intermediate product below 2^63: Spark longs would silently wrap
+#: past that, while DuckDB BIGINT multiplication ERRORS — staying under the
+#: bound is what makes the key bit-identical (and oracle-checkable) on both
+#: engines. MUL1 is Knuth's golden-ratio multiplicative constant, MUL2 is
+#: xxHash PRIME32_2 — two multiply-mod rounds disperse sequential ids well
+#: enough for data ordering (this is a reproducible pseudo-shuffle, not
+#: cryptography; swap xxhash64 in via shuffle key_col for adversarial
+#: settings and lose only the cross-engine oracle).
+SHUFFLE_MOD = 2_147_483_648
+_SHUFFLE_MUL1 = 2_654_435_761
+_SHUFFLE_MUL2 = 2_246_822_519
+
+
+def epoch_shuffle_key(id_col, seed: int, epoch: int = 0):
+    """Deterministic per-(seed, epoch) pseudo-random key for a document id:
+    ``((id + salt)·MUL1 mod 2³¹)·MUL2 + salt mod 2³¹``. Pure Catalyst
+    arithmetic, reproducible across engines, sessions and cluster sizes —
+    the property a training run needs from its data order. Ids ≥ 2³¹ fold
+    by pmod first (key ties are broken by id downstream)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    salt = (seed * 1_000_003 + epoch * 7_368_787) % SHUFFLE_MOD
+    a = F.pmod(F.pmod(c, F.lit(SHUFFLE_MOD)) + F.lit(salt), F.lit(SHUFFLE_MOD))
+    k1 = F.pmod(a * F.lit(_SHUFFLE_MUL1), F.lit(SHUFFLE_MOD))
+    return F.pmod(k1 * F.lit(_SHUFFLE_MUL2) + F.lit(salt), F.lit(SHUFFLE_MOD))
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: int,
+    epoch: int = 0,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Deterministic corpus shuffle for one training epoch: every row gets
+    ``(shuffle_key, shard_id, pos)`` where ``pos`` is its 1-based position
+    within its shard's shuffled order. The standard step between token-
+    budget mixing (q137) and sequence packing (q135): each epoch re-orders
+    the corpus by re-seeding, each data-loader worker reads one shard in
+    ``pos`` order.
+
+    Scale shape: the key is map-side arithmetic; position is a per-SHARD
+    window (``row_number`` over ``shuffle_key``), so the one shuffle
+    partitions by ``shard_id`` and no task sorts more than corpus/n_shards
+    rows — a GLOBAL shuffled position would serialize the corpus through
+    one window partition. Ties on the folded key are broken by id: the
+    order is total and replay-identical.
+    """
+    key = epoch_shuffle_key(id_col, seed, epoch)
+    w = Window.partitionBy("shard_id").orderBy("shuffle_key", id_col)
+    return (
+        df.withColumn("shuffle_key", key)
+        .withColumn("shard_id", F.pmod(F.col("shuffle_key"), F.lit(n_shards)).cast("int"))
+        .withColumn("pos", F.row_number().over(w))
+    )
+
+
+def epoch_sample(
+    df: DataFrame,
+    id_col: str,
+    seed: int,
+    epoch: int = 0,
+    fraction: float = 0.5,
+) -> DataFrame:
+    """Per-epoch without-replacement subsample: keep rows whose epoch
+    shuffle key falls below ``fraction`` of the key space. Within an epoch
+    each doc appears at most once (threshold selection, no replacement);
+    across epochs the subsets decorrelate because the salt re-seeds the
+    key. Deterministic — re-running an epoch yields byte-identical data —
+    and map-side only (a filter; no shuffle, no sample() RNG state).
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    threshold = int(fraction * SHUFFLE_MOD)
+    return df.filter(epoch_shuffle_key(id_col, seed, epoch) < F.lit(threshold))
+
+
 def pack_first_fit(
     df: DataFrame,
     text_col: str,

@@ -393,10 +393,15 @@ def chunk_tokens(
     one ``posexplode`` — fan-out is ~n_tokens/stride rows per doc with no
     UDF and no shuffle (chunking is map-side; the shuffle only comes from
     whatever aggregation follows). Output: id, chunk_idx, start, n_chunk
-    tokens, chunk text."""
+    tokens, chunk text.
+
+    NULL-text docs yield ZERO chunks (nothing to chunk) — without the
+    filter, ``greatest(size(NULL)-1, 0)`` silently manufactures one
+    NULL chunk per NULL doc (nulls soak). Empty-string docs still chunk
+    their single empty token on both engines."""
     if stride <= 0 or size <= 0:
         raise ValueError(f"size ({size}) and stride ({stride}) must be positive")
-    toks = df.select(
+    toks = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), tokens(F.col(text_col)).alias("__toks")
     ).withColumn("__n", F.size("__toks"))
     starts = F.sequence(F.lit(0), F.greatest(F.col("__n") - 1, F.lit(0)), F.lit(stride))

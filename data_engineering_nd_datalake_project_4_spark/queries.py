@@ -547,7 +547,7 @@ def q20(spark, sf_dir):
               LOWER(c_mktsegment) AS seg_lower,
               substring(c_name, -3, 3) AS name_tail,
               CAST(length(c_name) AS INT) AS name_len,
-              c_name || '-' || c_mktsegment AS name_seg,
+              concat_ws('-', c_name, c_mktsegment) AS name_seg,
               REPLACE(c_name, 'Customer#', 'C') AS name_short
        FROM customer WHERE c_custkey < 50 ORDER BY c_custkey""",
     "string function surface",
@@ -812,20 +812,27 @@ def q32(spark, sf_dir):
 
 @q(
     "q33_exact_dedup",
-    """SELECT COUNT(*) AS n_rows, COUNT(DISTINCT text) AS n_unique_texts,
+    """SELECT COUNT(*) AS n_rows,
+              COUNT(DISTINCT text)
+                + MAX(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS n_unique_texts,
               COUNT(DISTINCT (lang, source)) AS n_lang_source
        FROM documents""",
     "exact dedup cardinalities; n_unique_texts counts DISTINCT xxhash64(text) "
     "so the distinct-aggregate shuffle key is 8 bytes, never the document "
     "(equal to distinct texts absent a ~2^-64 collision; the oracle counts "
-    "texts directly) — plan-guarded by test_plans.test_dedup_no_fulltext_shuffle",
+    "texts directly) — plan-guarded by test_plans.test_dedup_no_fulltext_shuffle. "
+    "NULL semantics (nulls soak): Spark xxhash64(NULL)=seed, one extra distinct "
+    "class — the oracle adds the NULL class explicitly since COUNT(DISTINCT) "
+    "skips it; n_lang_source uses a STRUCT distinct so (NULL, src) tuples "
+    "count like DuckDB ROW values (bare multi-col countDistinct drops any-null "
+    "rows)",
 )
 def q33_exact_dedup(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct(F.xxhash64("text")).alias("n_unique_texts"),
-        F.countDistinct("lang", "source").alias("n_lang_source"),
+        F.countDistinct(F.struct("lang", "source")).alias("n_lang_source"),
     )
 
 
@@ -893,16 +900,16 @@ def q36_simhash(spark, sf_dir):
     "q37_lang_id",
     """WITH scored AS (
          SELECT lang,
-                len(list_intersect(list_distinct(string_split(text,' ')),
-                    ['der','die','das','und','nicht'])) AS s_de,
-                len(list_intersect(list_distinct(string_split(text,' ')),
-                    ['the','and','of','to','in'])) AS s_en,
-                len(list_intersect(list_distinct(string_split(text,' ')),
-                    ['el','los','las','y','que'])) AS s_es,
-                len(list_intersect(list_distinct(string_split(text,' ')),
-                    ['le','la','les','et','des'])) AS s_fr,
-                len(list_intersect(list_distinct(string_split(text,' ')),
-                    ['的','是','了','在','我'])) AS s_zh
+                COALESCE(len(list_intersect(list_distinct(string_split(text,' ')),
+                    ['der','die','das','und','nicht'])), 0) AS s_de,
+                COALESCE(len(list_intersect(list_distinct(string_split(text,' ')),
+                    ['the','and','of','to','in'])), 0) AS s_en,
+                COALESCE(len(list_intersect(list_distinct(string_split(text,' ')),
+                    ['el','los','las','y','que'])), 0) AS s_es,
+                COALESCE(len(list_intersect(list_distinct(string_split(text,' ')),
+                    ['le','la','les','et','des'])), 0) AS s_fr,
+                COALESCE(len(list_intersect(list_distinct(string_split(text,' ')),
+                    ['的','是','了','在','我'])), 0) AS s_zh
          FROM documents),
        pred AS (
          SELECT lang,
@@ -1702,9 +1709,13 @@ def q64_time_rollup(spark, sf_dir):
               lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key,
               rtrim(ltrim('  ' || c_name || '  ')) AS trimmed_name
        FROM customer
-       WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+       WINDOW w AS (PARTITION BY c_mktsegment
+                    ORDER BY c_acctbal NULLS FIRST, c_custkey)
        ORDER BY c_mktsegment, c_custkey""",
-    "percent_rank / cume_dist distribution windows + lpad/trim string fns",
+    "percent_rank / cume_dist distribution windows + lpad/trim string fns. "
+    "NULLS FIRST pinned in the oracle window: Spark's asc default is "
+    "NULLS FIRST, DuckDB's is NULLS LAST — with NULL acctbals (nulls soak) "
+    "the distribution values diverge without it",
 )
 def q65_window_dist(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
@@ -2253,13 +2264,20 @@ def q80_histogram_bitwise(spark, sf_dir):
                   FROM documents)
        SELECT a.doc_id AS doc_id,
               len(list_intersect(a.toks, b.toks)) AS n_common,
-              len(list_distinct(a.toks || b.toks)) AS n_union,
+              -- DuckDB list concat (||) IGNORES a NULL side where Spark
+              -- array_union NULL-propagates (nulls soak): guard explicitly
+              CASE WHEN a.toks IS NULL OR b.toks IS NULL THEN NULL
+                   ELSE len(list_distinct(a.toks || b.toks)) END AS n_union,
               len(list_filter(a.toks, x -> NOT list_contains(b.toks, x))) AS n_only_a,
               -- DuckDB array_to_string is string_agg underneath: an EMPTY
               -- intersect yields NULL, where Spark array_join yields ''.
-              -- COALESCE to the Spark semantics (advtext soak: empty docs).
-              COALESCE(array_to_string(list_sort(list_intersect(a.toks, b.toks)), ' '),
-                       '') AS common_str
+              -- COALESCE to the Spark semantics (advtext soak: empty docs)
+              -- but keep true NULL when either token list is NULL (Spark
+              -- array_join of a NULL array is NULL — nulls soak).
+              CASE WHEN a.toks IS NULL OR b.toks IS NULL THEN NULL
+                   ELSE COALESCE(
+                     array_to_string(list_sort(list_intersect(a.toks, b.toks)), ' '),
+                     '') END AS common_str
        FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
        WHERE a.doc_id % 100 = 0
        ORDER BY doc_id""",
@@ -3398,11 +3416,16 @@ def q113_sql_pipe(spark, sf_dir):
 )
 def q114_from_xml(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    xml = F.concat(
-        F.lit("<doc><lang>"), F.col("lang"),
-        F.lit("</lang><n>"), F.col("n_chars"),
-        F.lit("</n></doc>"),
-    )
+    # NULL fields OMIT their tag (from_xml reads a missing tag as NULL) —
+    # a plain concat would NULL the whole fragment when any field is NULL
+    # and silently move the row into the NULL group (nulls soak)
+    def tag(name, col):
+        return F.when(
+            F.col(col).isNotNull(),
+            F.concat(F.lit(f"<{name}>"), F.col(col), F.lit(f"</{name}>")),
+        ).otherwise(F.lit(""))
+
+    xml = F.concat(F.lit("<doc>"), tag("lang", "lang"), tag("n", "n_chars"), F.lit("</doc>"))
     parsed = F.from_xml(xml, "lang STRING, n BIGINT")
     return (
         d.select(parsed.alias("p"))
@@ -4042,7 +4065,8 @@ def q129_contamination(spark, sf_dir):
             firsts AS (SELECT MIN(doc_id) AS doc_id FROM batch GROUP BY ck)
        SELECT b.doc_id, b.source, b.n_chars
        FROM batch b JOIN firsts f ON f.doc_id = b.doc_id
-       WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.ck = b.ck)
+       WHERE NOT EXISTS (SELECT 1 FROM corpus c
+                         WHERE c.ck IS NOT DISTINCT FROM b.ck)
        ORDER BY b.doc_id""",
     "incremental dedup against a persisted fingerprint store: docs < 250 "
     "are the existing corpus (only their canonical-token xxhash64 "
@@ -4198,8 +4222,12 @@ def q131_pii_scrub(spark, sf_dir):
             bl AS (SELECT COALESCE(list(line ORDER BY line),
                                    CAST([] AS VARCHAR[])) AS bset FROM boiler)
        SELECT doc_id,
-              COALESCE(array_to_string(
-                  list_filter(ls, x -> NOT list_contains(bset, x)), chr(10)), '')
+              -- COALESCE only the EMPTY-list→NULL string_agg quirk
+              -- (advtext soak); a NULL doc stays NULL (nulls soak)
+              CASE WHEN ls IS NULL THEN NULL
+                   ELSE COALESCE(array_to_string(
+                       list_filter(ls, x -> NOT list_contains(bset, x)),
+                       chr(10)), '') END
                   AS kept_text,
               len(list_filter(ls, x -> NOT list_contains(bset, x))) AS n_kept,
               len(ls) - len(list_filter(ls, x -> NOT list_contains(bset, x)))
@@ -4424,3 +4452,75 @@ def q137_token_budget_subsample(spark, sf_dir):
         order_by=[F.desc("n_chars"), F.asc("doc_id")], by="source",
     )
     return picked.select("doc_id", "source", "n_tok", "cum_tok").orderBy("doc_id")
+
+
+@q(
+    "q138_epoch_shuffle",
+    """WITH k AS (SELECT doc_id,
+                         ((((doc_id % 2147483648 + 49368913) % 2147483648)
+                            * 2654435761) % 2147483648) AS k1
+                  FROM documents),
+            s AS (SELECT doc_id,
+                         (k1 * 2246822519 + 49368913) % 2147483648 AS shuffle_key
+                  FROM k)
+       SELECT doc_id, shuffle_key,
+              CAST(shuffle_key % 8 AS INT) AS shard_id,
+              CAST(ROW_NUMBER() OVER (PARTITION BY shuffle_key % 8
+                                      ORDER BY shuffle_key, doc_id) AS INT) AS pos
+       FROM s ORDER BY doc_id""",
+    "deterministic corpus shuffle for a training epoch (seed 42, epoch 1): "
+    "every doc gets a portable two-round multiply-mod key (2^31 modulus "
+    "keeps every product BIGINT-exact on BOTH engines — Spark would wrap "
+    "silently past 2^63, DuckDB would error), a shard, and its 1-based "
+    "position within the shard's shuffled order. Key is map-side "
+    "arithmetic; position is a PER-SHARD row_number window, so no task "
+    "sorts more than corpus/n_shards rows — the step between token-budget "
+    "mixing (q137) and sequence packing (q135), replay-identical across "
+    "engines, sessions and cluster sizes",
+)
+def q138_epoch_shuffle(spark, sf_dir):
+    from data_engineering_nd_datalake_project_4_spark.operators import packing
+
+    d = _t(spark, sf_dir, "documents")
+    out = packing.epoch_shuffle(d, "doc_id", seed=42, epoch=1, n_shards=8)
+    return out.select("doc_id", "shuffle_key", "shard_id", "pos").orderBy("doc_id")
+
+
+@q(
+    "q139_epoch_sample",
+    """WITH epochs(epoch, salt) AS (VALUES (0, 42000126), (1, 49368913),
+                                          (2, 56737700), (3, 64106487)),
+            keyed AS (SELECT e.epoch, d.doc_id, d.n_chars,
+                             (((((d.doc_id % 2147483648 + e.salt) % 2147483648)
+                                 * 2654435761) % 2147483648)
+                               * 2246822519 + e.salt) % 2147483648 AS skey
+                      FROM documents d CROSS JOIN epochs e)
+       SELECT epoch, COUNT(*) AS n_docs,
+              CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+       FROM keyed WHERE skey < 536870912
+       GROUP BY epoch ORDER BY epoch""",
+    "per-epoch without-replacement subsampling (seed 42, fraction 0.25, "
+    "epochs 0-3): keep docs whose epoch shuffle key falls below 0.25 of "
+    "the key space — a map-side filter with zero shuffle and no sample() "
+    "RNG state, deterministic per (seed, epoch) so an epoch replays "
+    "byte-identically, re-seeded per epoch so the subsets decorrelate. "
+    "The oracle re-derives every epoch's key from the same portable "
+    "multiply-mod arithmetic",
+)
+def q139_epoch_sample(spark, sf_dir):
+    from data_engineering_nd_datalake_project_4_spark.operators import packing
+
+    d = _t(spark, sf_dir, "documents")
+    parts = []
+    for e in range(4):
+        s = packing.epoch_sample(d, "doc_id", seed=42, epoch=e, fraction=0.25)
+        parts.append(
+            s.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("sum_chars"),
+            ).select(F.lit(e).alias("epoch"), "n_docs", "sum_chars")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("epoch")

@@ -142,3 +142,52 @@ def test_budget_subsample_invalid_budget(spark, docs):
         packing.token_budget_subsample(
             docs, "text", "doc_id", 0, order_by=[F.asc("doc_id")]
         )
+
+
+def test_epoch_shuffle_deterministic_and_shard_partitioned(spark, docs):
+    a = packing.epoch_shuffle(docs, "doc_id", seed=42, epoch=1).select(
+        "doc_id", "shuffle_key", "shard_id", "pos"
+    )
+    b = packing.epoch_shuffle(docs, "doc_id", seed=42, epoch=1).select(
+        "doc_id", "shuffle_key", "shard_id", "pos"
+    )
+    rows_a = sorted(map(tuple, a.collect()))
+    assert rows_a == sorted(map(tuple, b.collect()))  # replay-identical
+    # every doc exactly once, keys in [0, 2^31)
+    ids = [r[0] for r in rows_a]
+    assert ids == sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    assert all(0 <= r[1] < packing.SHUFFLE_MOD for r in rows_a)
+    # pos is a contiguous 1..n ranking within each shard, ordered by key
+    by_shard = {}
+    for doc_id, key, shard, pos in rows_a:
+        by_shard.setdefault(shard, []).append((pos, key, doc_id))
+    for shard, entries in by_shard.items():
+        entries.sort()
+        assert [p for p, _, _ in entries] == list(range(1, len(entries) + 1))
+        assert [(k, i) for _, k, i in entries] == sorted((k, i) for _, k, i in entries)
+    # a different epoch must produce a different order (same doc set)
+    c = packing.epoch_shuffle(docs, "doc_id", seed=42, epoch=2)
+    order_1 = [r["doc_id"] for r in a.orderBy("shard_id", "pos").collect()]
+    order_2 = [r["doc_id"] for r in c.orderBy("shard_id", "pos").collect()]
+    assert sorted(order_1) == sorted(order_2)
+    assert order_1 != order_2
+
+
+def test_epoch_sample_rate_determinism_and_decorrelation(spark, docs):
+    n = docs.count()
+    s1 = packing.epoch_sample(docs, "doc_id", seed=7, epoch=0, fraction=0.25)
+    ids1 = {r["doc_id"] for r in s1.select("doc_id").collect()}
+    ids1_again = {r["doc_id"] for r in
+                  packing.epoch_sample(docs, "doc_id", seed=7, epoch=0, fraction=0.25)
+                  .select("doc_id").collect()}
+    assert ids1 == ids1_again  # deterministic
+    assert 0.1 * n < len(ids1) < 0.4 * n  # near the 25% rate
+    ids2 = {r["doc_id"] for r in
+            packing.epoch_sample(docs, "doc_id", seed=7, epoch=1, fraction=0.25)
+            .select("doc_id").collect()}
+    assert ids1 != ids2  # epochs decorrelate
+    # boundary fractions: 1.0 keeps everything, 0.0 nothing
+    assert packing.epoch_sample(docs, "doc_id", seed=7, fraction=1.0).count() == n
+    assert packing.epoch_sample(docs, "doc_id", seed=7, fraction=0.0).count() == 0
+    with pytest.raises(ValueError, match="fraction"):
+        packing.epoch_sample(docs, "doc_id", seed=7, fraction=1.5)

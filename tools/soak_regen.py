@@ -41,6 +41,13 @@ to stay green on each:
   reads IntegerType where it saw LongType; the oracle reads INTEGER
   (whose SUM is HUGEINT). Joins, aggregates, modular arithmetic and
   rendering must all agree across the width flip.
+- ``nulls`` : nullable non-key columns made ACTUALLY NULL on a
+  deterministic id-modulo slice (documents.text/lang, events.value/props,
+  customer.c_mktsegment/c_acctbal; documents.n_chars nulled with its
+  text). The shipped generator never emits NULLs, so NULL-vs-empty-string
+  tokenization, SUM/AVG null-skip, NULL group keys, and Spark-NULLS-FIRST
+  vs DuckDB-NULLS-LAST ordering defaults were all untested by regen —
+  the last classic cross-engine traps.
 - ``advembed`` : embeddings.embedding re-materialized adversarially —
   all-zero vectors (zero norms: cosine 0/0 paths), exact duplicates of the
   previous row (top-k tie-breaking), negated twins (cosine −1), constant
@@ -115,6 +122,24 @@ def _advtext_rewrite(doc_id: int, text: str) -> str:
         # tab/newline whitespace inside "tokens" (split is on ' ' only)
         return "tab\tseparated new\nline " + text
     return text
+
+
+#: nulls variant: (column, id_column, modulus) — NULL where id % mod == 0.
+#: Distinct co-prime moduli keep most rows intact and the slices disjoint
+#: enough that multi-column rows (both NULL) still occur (13·17 overlap).
+NULL_RULES = {
+    "documents": [("text", "doc_id", 13), ("lang", "doc_id", 17)],
+    "events": [("value", "event_id", 13), ("props", "event_id", 17)],
+    "customer": [("c_mktsegment", "c_custkey", 13), ("c_acctbal", "c_custkey", 17)],
+}
+
+
+def _null_slice(tbl: pa.Table, col: str, id_col: str, mod: int) -> pa.Table:
+    ids = tbl.column(id_col).to_pylist()
+    vals = tbl.column(col).to_pylist()
+    i = tbl.schema.get_field_index(col)
+    new = [None if k % mod == 0 else v for k, v in zip(ids, vals)]
+    return tbl.set_column(i, col, pa.array(new, tbl.schema.field(i).type))
 
 
 def build_variant(name: str, out_dir: Path) -> None:
@@ -201,6 +226,14 @@ def build_variant(name: str, out_dir: Path) -> None:
                 pa.array(new, pa.list_(pa.float32())),
             )
             pq.write_table(tbl, dst)
+        elif name == "nulls" and t in NULL_RULES:
+            tbl = pq.read_table(src)
+            for col, id_col, mod in NULL_RULES[t]:
+                tbl = _null_slice(tbl, col, id_col, mod)
+            if t == "documents":
+                # n_chars must stay consistent with its (now NULL) text
+                tbl = _null_slice(tbl, "n_chars", "doc_id", 13)
+            pq.write_table(tbl, dst)
         elif name in ("half2", "half4") and t in MONEY_COLS:
             scale = 2 if name == "half2" else 4
             tbl = pq.read_table(src)
@@ -242,7 +275,7 @@ def main(argv: list[str]) -> int:
 
     variants = argv or [
         "ts_micros", "ts_nanos", "half2", "half4", "rowshuffle", "advtext",
-        "advembed", "date32", "int32",
+        "advembed", "date32", "int32", "nulls",
     ]
     spark = get_spark(app_name="soak-regen", shuffle_partitions=16)
     total_fail = 0
