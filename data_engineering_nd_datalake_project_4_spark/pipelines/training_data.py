@@ -60,6 +60,72 @@ def curate(
     return near
 
 
+def curate_annotated(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.3,
+) -> DataFrame:
+    """One-pass curation with full reject observability: every input row
+    comes back with its scores and a ``reject_reason`` column — NULL for
+    survivors, else the FIRST gate that rejected it (``quality`` →
+    ``exact_dup`` → ``near_dup``). At 100 TB you cannot silently drop
+    rejects: the quarantine stream (reason-coded) is what audits the
+    corpus diet, debugs a bad gate, and feeds reclamation reruns.
+
+    Same survivor set as :func:`curate` (property-tested), computed
+    WITHOUT re-running any gate: the dedup windows rank only rows still
+    alive at their stage by carrying the alive-flag in the window
+    PARTITION key (dead rows land in their own partitions and cannot
+    steal a survivor slot), so the whole annotation is the same two
+    8-byte-hash window passes ``curate`` runs — one scan, plus a reason
+    CASE. Write kept and quarantined in one action via
+    ``partitionBy('reject_reason')``-style sinks, or filter the two
+    streams off this frame.
+
+    NULL text: quality is NULL, which COALESCEs to a failed gate — NULL
+    docs quarantine as 'quality' rather than vanishing (nulls soak).
+    """
+    scored = score(df, text_col)
+    q_ok = F.coalesce(F.col("quality") >= min_quality, F.lit(False))
+    scored = scored.withColumn("__q_ok", q_ok)
+    w_exact = Window.partitionBy(
+        F.col("__q_ok"), F.xxhash64(F.col(text_col))
+    ).orderBy(F.asc(id_col))
+    scored = scored.withColumn("__rn_e", F.row_number().over(w_exact))
+    scored = scored.withColumn(
+        "__e_first", F.col("__q_ok") & (F.col("__rn_e") == 1)
+    )
+    w_near = Window.partitionBy(
+        F.col("__e_first"), F.xxhash64(canonical_text_key(text_col))
+    ).orderBy(F.asc(id_col))
+    scored = scored.withColumn("__rn_n", F.row_number().over(w_near))
+    reason = (
+        F.when(~F.col("__q_ok"), F.lit("quality"))
+        .when(F.col("__rn_e") > 1, F.lit("exact_dup"))
+        .when(F.col("__rn_n") > 1, F.lit("near_dup"))
+    )
+    return scored.withColumn("reject_reason", reason).drop(
+        "__q_ok", "__rn_e", "__e_first", "__rn_n"
+    )
+
+
+def curate_with_quarantine(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.3,
+) -> tuple[DataFrame, DataFrame]:
+    """(kept, quarantined) split of :func:`curate_annotated` — kept rows
+    match :func:`curate` exactly; quarantined rows carry their reason.
+    Both are filters over ONE annotated plan: persist (or write once,
+    partitioned by reason) before actioning both at scale."""
+    annotated = curate_annotated(df, text_col, id_col, min_quality)
+    kept = annotated.filter(F.col("reject_reason").isNull()).drop("reject_reason")
+    quarantined = annotated.filter(F.col("reject_reason").isNotNull())
+    return kept, quarantined
+
+
 def corpus_stats(survivors: DataFrame, group_col: str = "lang") -> DataFrame:
     # avg = exact dec4-sum / count: ROUND(AVG, 3) of 4-decimal quality scores
     # sits on x.xxx5 half-boundaries where Spark and DuckDB rounding disagree

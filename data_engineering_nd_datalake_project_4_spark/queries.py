@@ -4524,3 +4524,59 @@ def q139_epoch_sample(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("epoch")
+
+
+@q(
+    "q140_curation_quarantine",
+    """WITH scored AS (
+         SELECT doc_id, text,
+                ROUND(0.4 * (CASE WHEN len(string_split(text,' ')) BETWEEN 5 AND 10000
+                                  THEN 1.0 ELSE 0.0 END)
+                    + 0.3 * (CAST(len(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+                             / GREATEST(len(text), 1))
+                    + 0.3 * LEAST(1.0,
+                        len(list_intersect(list_distinct(string_split(text,' ')),
+                            ['the','and','of','to','in'])) / 2.0), 4) AS quality,
+                len(string_split(text, ' ')) AS n_tokens
+         FROM documents),
+       g AS (SELECT *, COALESCE(quality >= 0.3, FALSE) AS q_ok FROM scored),
+       e AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_ok, text
+                                          ORDER BY doc_id) AS rn_e FROM g),
+       f AS (SELECT *, (q_ok AND rn_e = 1) AS e_first,
+                    array_to_string(list_sort(list_distinct(
+                        string_split(text,' '))),' ') AS ck FROM e),
+       n AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY e_first, ck
+                                          ORDER BY doc_id) AS rn_n FROM f),
+       r AS (SELECT CASE WHEN NOT q_ok THEN 'quality'
+                         WHEN rn_e > 1 THEN 'exact_dup'
+                         WHEN rn_n > 1 THEN 'near_dup'
+                         ELSE 'kept' END AS status, n_tokens FROM n)
+       SELECT status, COUNT(*) AS n_docs,
+              CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+       FROM r GROUP BY status ORDER BY status""",
+    "curation observability: q58's pipeline with the quarantine side-output "
+    "— every input doc is accounted for with its FIRST reject reason "
+    "(quality -> exact_dup -> near_dup) or kept. One pass: the dedup "
+    "windows rank only still-alive rows by carrying the alive flag in the "
+    "window PARTITION key, so annotation costs exactly the two 8-byte-hash "
+    "window passes the silent pipeline already ran. NULL text quarantines "
+    "as 'quality' (COALESCEd gate) instead of vanishing. kept equals "
+    "curate() exactly (property-tested); kept ∪ quarantined = input",
+)
+def q140_curation_quarantine(spark, sf_dir):
+    from data_engineering_nd_datalake_project_4_spark.pipelines import training_data
+
+    d = _t(spark, sf_dir, "documents")
+    ann = training_data.curate_annotated(d, min_quality=0.3)
+    return (
+        ann.select(
+            F.coalesce(F.col("reject_reason"), F.lit("kept")).alias("status"),
+            "n_tokens",
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("status")
+    )
