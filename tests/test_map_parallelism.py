@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import DataFrame
 
 from data_engineering_nd_datalake_project_4_spark.operators import (
+    _estimated_scan_splits,
     _parse_byte_conf,
     ensure_map_parallelism,
 )
@@ -88,3 +89,18 @@ def test_in_memory_input_falls_back_to_rdd_probe(spark):
     df = spark.createDataFrame([(i,) for i in range(10)], "x LONG")
     out = ensure_map_parallelism(df, min_partitions=4)
     assert out.rdd.getNumPartitions() >= 4 or out is df
+
+
+def test_multi_scan_plan_rejects_file_estimate(spark, tmp_path):
+    """ADVICE r4: inputFiles() on a join/union of scans returns the UNION
+    of all files, so the cheap estimate would describe no real stage —
+    the leaf-count guard must force the accurate RDD probe (None)."""
+    pa = str(tmp_path / "a")
+    pb = str(tmp_path / "b")
+    spark.range(100).selectExpr("id", "id * 2 AS v").write.parquet(pa)
+    spark.range(100).selectExpr("id", "id * 3 AS w").write.parquet(pb)
+    a = spark.read.parquet(pa)
+    b = spark.read.parquet(pb)
+    assert _estimated_scan_splits(a) is not None  # single scan: fast path
+    assert _estimated_scan_splits(a.join(b, "id")) is None
+    assert _estimated_scan_splits(a.unionByName(b.selectExpr("id", "w AS v"))) is None

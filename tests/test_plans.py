@@ -217,3 +217,21 @@ def test_q36_simhash_stays_banded(spark, sf_dir):
     )
     assert joined_on_band, plan[:2000]
     assert not [l for l in _exchange_key_lines(plan) if "text#" in l]
+
+
+def test_q138_epoch_shuffle_window_is_per_shard(spark, sf_dir):
+    """The shuffled position must come from a PER-SHARD window — a global
+    (empty-partition-spec) window would serialize the corpus through one
+    task at scale."""
+    df = REGISTRY["q138_epoch_shuffle"].spark_fn(spark, sf_dir)
+    plan = plans.explain_str(df)
+    assert "windowspecdefinition(shard_id" in plan, plan
+
+
+def test_q140_quarantine_single_annotation_pass(spark, sf_dir):
+    """Reason-coded annotation must cost the silent pipeline's two window
+    passes — not a window per gate, and no join back to the input."""
+    df = REGISTRY["q140_curation_quarantine"].spark_fn(spark, sf_dir)
+    plan = plans.explain_str(df, "simple")
+    assert plan.count("Window") == 2, plan
+    assert "Join" not in plan, plan
