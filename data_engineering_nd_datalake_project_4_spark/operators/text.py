@@ -13,6 +13,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from data_engineering_nd_datalake_project_4_spark.functions import tokens
+from data_engineering_nd_datalake_project_4_spark.operators import ensure_map_parallelism
 
 #: Tiny per-language marker-token lists for the n-gram/stopword heuristic
 #: language identifier. Deliberately simple + deterministic (oracle-checkable);
@@ -417,5 +418,78 @@ def chunk_tokens(
             "start",
             F.size(F.slice("__toks", F.col("start") + 1, size)).alias("n_chunk_tokens"),
             F.array_join(F.slice("__toks", F.col("start") + 1, size), " ").alias("chunk"),
+        )
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Substring-level duplication profile (ExactSubstr-style, after Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models Better"):
+    every length-``n`` token window of a document is a *span*; a span is
+    *duplicated* when its n-gram occurs in at least ``min_docs`` DISTINCT
+    documents. Unlike the doc-level dedup family (exact / canonical /
+    MinHash), this finds repeated PASSAGES inside otherwise-unique
+    documents — boilerplate paragraphs, license headers, quoted chunks.
+
+    Returns one row per document that has at least one span (i.e. at least
+    ``n`` tokens): ``(id_col, n_spans, n_dup_spans, dup_ratio)`` where
+    ``dup_ratio = n_dup_spans / n_spans`` as one exact IEEE division
+    (deterministic cross-engine — never a ROUND of a rational).
+
+    Scale shape: the span n-gram is hashed to 8 bytes INSIDE the fan-out
+    projection (``xxhash64`` over the joined window), so the exploded rows
+    carry (id, pos, hash) = ~24 bytes and no span text is ever shuffled —
+    at 100 TB the shuffle volume is ~24B x n_tokens rows, independent of
+    document size. Dup detection is one groupBy on the hash with a
+    COUNT(DISTINCT id) (partial aggregation applies); the mark-back is a
+    second hash-keyed join; per-doc stats are a third 8-byte-keyed
+    aggregate. NULL text and sub-``n``-token docs are filtered BEFORE the
+    fan-out (the `nulls`-soak chunk_tokens pattern: ``sequence`` over a
+    NULL size would manufacture phantom rows).
+    """
+    if n <= 0:
+        raise ValueError(f"span length n ({n}) must be positive")
+    if min_docs < 2:
+        raise ValueError(
+            f"min_docs ({min_docs}) < 2 would mark EVERY span duplicated "
+            "(each span trivially occurs in its own document)"
+        )
+    toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+        .filter(F.size("__toks") >= n)
+    )
+    # compute-dense fan-out over a possibly single-row-group scan
+    toks = ensure_map_parallelism(toks)
+    spans = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__toks") - n),
+                lambda i: F.xxhash64(F.array_join(F.slice("__toks", i + 1, n), " ")),
+            )
+        ).alias("start_pos", "gram_h"),
+    )
+    dup = (
+        spans.groupBy("gram_h")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("gram_h", F.lit(1).alias("__dup"))
+    )
+    return (
+        spans.join(dup, "gram_h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count("__dup").alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_ratio", F.col("n_dup_spans").cast("double") / F.col("n_spans")
         )
     )

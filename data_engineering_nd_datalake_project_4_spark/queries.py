@@ -4580,3 +4580,34 @@ def q140_curation_quarantine(spark, sf_dir):
         )
         .orderBy("status")
     )
+
+
+@q(
+    "q141_duplicate_spans",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents WHERE text IS NOT NULL),
+            tt AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 8),
+            spans AS (SELECT doc_id, i AS start_pos,
+                             array_to_string(toks[i+1:i+8], ' ') AS gram
+                      FROM tt, UNNEST(range(0, len(toks) - 8 + 1)) AS u(i)),
+            dup AS (SELECT gram FROM spans GROUP BY gram
+                    HAVING COUNT(DISTINCT doc_id) >= 2),
+            per AS (SELECT s.doc_id, COUNT(*) AS n_spans,
+                           COUNT(d.gram) AS n_dup_spans
+                    FROM spans s LEFT JOIN dup d USING (gram)
+                    GROUP BY s.doc_id)
+       SELECT doc_id, n_spans, n_dup_spans,
+              CAST(n_dup_spans AS DOUBLE) / n_spans AS dup_ratio
+       FROM per ORDER BY doc_id""",
+    "substring-level duplication profile (ExactSubstr after Lee et al. "
+    "2022): every 8-token window is a span; spans whose n-gram occurs in "
+    ">=2 DISTINCT docs are duplicated — finds repeated PASSAGES "
+    "(boilerplate paragraphs, license headers) that doc-level dedup "
+    "misses. Scale: the n-gram is xxhash64'd INSIDE the fan-out "
+    "projection, so exploded rows are ~24 bytes and no span text is ever "
+    "shuffled (the oracle groups by the gram text itself — same classes); "
+    "dup_ratio is one exact IEEE division, never a ROUND of a rational",
+)
+def q141_duplicate_spans(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text.duplicate_spans(d, "text", "doc_id", n=8, min_docs=2).orderBy("doc_id")

@@ -1,0 +1,80 @@
+"""Substring-level (span) dedup — operators.text.duplicate_spans.
+
+Doc-level dedup can't see a boilerplate paragraph shared by otherwise
+unique documents; these tests plant exactly that and hand-check the span
+accounting. Oracle equivalence at sf0.001/sf0.01 is covered by
+test_queries_oracle (q141) and the soak variants.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_engineering_nd_datalake_project_4_spark.operators import text as T
+
+BOILER = "this software is provided as is without any warranty"  # 9 tokens
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_planted_boilerplate_passage_found(spark):
+    rows = [
+        (1, BOILER + " alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "iota kappa lambda mu nu xi omicron pi " + BOILER),
+        (3, "rho sigma tau upsilon phi chi psi omega aa bb cc dd"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in T.duplicate_spans(_corpus(spark, rows), n=8, min_docs=2).collect()
+    }
+    # docs 1 and 2 share the 9-token passage => two 8-gram spans each are
+    # duplicated (positions 0-1 in doc 1, trailing two in doc 2)
+    assert out[1]["n_dup_spans"] == 2
+    assert out[2]["n_dup_spans"] == 2
+    assert out[3]["n_dup_spans"] == 0
+    # span counts: len(toks) - n + 1
+    assert out[1]["n_spans"] == 17 - 8 + 1
+    assert out[3]["dup_ratio"] == 0.0
+    assert out[1]["dup_ratio"] == pytest.approx(2 / 10)
+
+
+def test_within_doc_repeat_is_not_cross_doc_duplication(spark):
+    # the same 8-gram twice in ONE doc: COUNT(DISTINCT doc_id)=1 < 2
+    rows = [(1, BOILER + " filler " + BOILER), (2, "x y z " * 5)]
+    out = {
+        r["doc_id"]: r
+        for r in T.duplicate_spans(_corpus(spark, rows), n=8, min_docs=2).collect()
+    }
+    assert out[1]["n_dup_spans"] == 0
+    # but "x y z" * 5 self-overlap also stays un-marked
+    assert out[2]["n_dup_spans"] == 0
+
+
+def test_null_and_short_docs_excluded(spark):
+    rows = [(1, None), (2, "one two three"), (3, BOILER), (4, BOILER)]
+    out = T.duplicate_spans(_corpus(spark, rows), n=8, min_docs=2)
+    ids = {r["doc_id"] for r in out.collect()}
+    # doc 1 (NULL) and doc 2 (3 tokens < 8) produce no row — and no
+    # phantom rows are manufactured from a NULL token array
+    assert ids == {3, 4}
+    vals = {r["doc_id"]: r["n_dup_spans"] for r in out.collect()}
+    assert vals == {3: 2, 4: 2}  # 9-token boiler => 2 spans, all shared
+
+
+def test_min_docs_three_requires_wider_spread(spark):
+    rows = [(i, BOILER + f" unique{i} tail{i} pad{i}") for i in (1, 2)]
+    none_yet = T.duplicate_spans(_corpus(spark, rows), n=8, min_docs=3)
+    assert all(r["n_dup_spans"] == 0 for r in none_yet.collect())
+    rows.append((3, "lead in tokens here " + BOILER))
+    spread = T.duplicate_spans(_corpus(spark, rows), n=8, min_docs=3)
+    assert all(r["n_dup_spans"] == 2 for r in spread.collect())
+
+
+def test_parameter_validation(spark):
+    df = _corpus(spark, [(1, BOILER)])
+    with pytest.raises(ValueError, match="span length"):
+        T.duplicate_spans(df, n=0)
+    with pytest.raises(ValueError, match="min_docs"):
+        T.duplicate_spans(df, min_docs=1)
