@@ -386,3 +386,115 @@ def quantize_embeddings(
 def dequantize(qvec: Column, qscale: Column) -> Column:
     """Reconstruct an approximate double vector from int8 codes + scale."""
     return F.transform(qvec, lambda c: c.cast("double") * qscale)
+
+
+def banded_sign_lsh_keys(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 4,
+    band_bits: int = 4,
+) -> DataFrame:
+    """Banded sign-LSH: ``bands`` independent ``band_bits``-bit signatures
+    per vector from the same deterministic sin() hyperplane family as
+    :func:`random_projection_buckets` (plane j uses weight sin((i+1)·j),
+    planes numbered 1..bands*band_bits across the bands).
+
+    Where a single 2^n_bits bucketing ANDs all the bits (recall falls
+    exponentially in n_bits), banding ORs ``bands`` chances of a
+    ``band_bits``-bit match — the MinHash-banding construction applied to
+    the angular metric. Returns one row per (vector, band):
+    ``(id_col, band, band_key)`` — 16 bytes of shuffle payload per row,
+    never the vector itself.
+
+    Sizing at scale: expected bucket size is N / 2^band_bits per band, so
+    band_bits should grow ~log2(N) to hold candidate volume flat;
+    recall at cosine c is 1-(1-p^band_bits)^bands with p = 1-acos(c)/pi.
+    """
+    if bands <= 0 or band_bits <= 0:
+        raise ValueError(f"bands ({bands}) and band_bits ({band_bits}) must be positive")
+    # stage the double vector once; referenced by every plane projection
+    # (non-cheap multi-ref, so CollapseProject leaves the staging in place)
+    staged = vectors.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("__vd"))
+    vd = F.col("__vd")
+
+    def plane_proj(j: int) -> Column:  # j is 1-based plane number
+        return F.aggregate(
+            F.zip_with(
+                vd,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(vd)),
+                    lambda i: F.sin(i.cast("double") * j),
+                ),
+                lambda x, wgt: x * wgt,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    band_structs = []
+    for b in range(bands):
+        key = F.lit(0)
+        for t in range(band_bits):
+            j = b * band_bits + t + 1
+            key = key + F.when(plane_proj(j) > 0, F.lit(2 ** t)).otherwise(F.lit(0))
+        band_structs.append(F.struct(F.lit(b).alias("band"), key.cast("int").alias("band_key")))
+    return staged.select(
+        F.col(id_col),
+        F.explode(F.array(*band_structs)).alias("__bk"),
+    ).select(id_col, F.col("__bk.band").alias("band"), F.col("__bk.band_key").alias("band_key"))
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    bands: int = 4,
+    band_bits: int = 4,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): a vector
+    is REMOVED when some candidate with a SMALLER id has cosine similarity
+    ≥ ``threshold`` — keep-earliest, so the kept set is deterministic and
+    order-free. Candidates come from :func:`banded_sign_lsh_keys` blocking
+    (pairs sharing any band key), the same shape SemDeDup gets from
+    k-means clusters but deterministic and oracle-checkable; pairs the
+    banding misses are the documented approximation, tunable via
+    bands/band_bits (use :func:`blocked_all_pairs_cosine` for the exact
+    variant at oracle scale).
+
+    Returns the input plus a ``sem_removed`` boolean — every row is
+    accounted for (quarantine-style observability, q140 pattern).
+
+    Scale shape: the candidate self-join shuffles only (id, band, key)
+    16-byte rows; vectors are re-joined by id ONCE per pair side for the
+    cosine rescore (not bands× — the pair set is distinct'd first);
+    zero-norm vectors get NULL cosine (try_divide) and are never removed,
+    matching DuckDB. Real deployments run threshold 0.9+ on trained
+    embeddings; the default is calibrated to this repo's synthetic
+    near-uniform vectors.
+    """
+    keys = banded_sign_lsh_keys(vectors, id_col, vec_col, bands, band_bits)
+    a = keys.select(F.col(id_col).alias("__ida"), "band", "band_key")
+    b = keys.select(F.col(id_col).alias("__idb"), "band", "band_key")
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("__ida") < F.col("__idb"))
+        .select("__ida", "__idb")
+        .distinct()
+    )
+    va = vectors.select(F.col(id_col).alias("__ida"), F.col(vec_col).alias("__va"))
+    vb = vectors.select(F.col(id_col).alias("__idb"), F.col(vec_col).alias("__vb"))
+    removed = (
+        cand.join(va, "__ida")
+        .join(vb, "__idb")
+        .filter(cosine_similarity(F.col("__va"), F.col("__vb")) >= threshold)
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+    )
+    marker = removed.withColumn("__rm", F.lit(True))
+    return (
+        vectors.join(marker, id_col, "left")
+        .withColumn("sem_removed", F.coalesce(F.col("__rm"), F.lit(False)))
+        .drop("__rm")
+    )

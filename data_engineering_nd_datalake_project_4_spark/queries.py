@@ -4611,3 +4611,52 @@ def q140_curation_quarantine(spark, sf_dir):
 def q141_duplicate_spans(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return text.duplicate_spans(d, "text", "doc_id", n=8, min_docs=2).orderBy("doc_id")
+
+
+@q(
+    "q142_semantic_dedup",
+    """WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                         CAST(unnest(embedding) AS DOUBLE) AS e FROM embeddings),
+            p AS (SELECT vec_id, j, SUM(e * sin(CAST(i AS DOUBLE) * j)) AS proj
+                  FROM u CROSS JOIN (SELECT unnest(range(1, 17)) AS j) js
+                  GROUP BY vec_id, j),
+            bb AS (SELECT vec_id, CAST((j - 1) // 4 AS INT) AS band,
+                          CAST(SUM(CASE WHEN proj > 0
+                                        THEN CAST(pow(2, (j - 1) % 4) AS INT)
+                                        ELSE 0 END) AS INT) AS band_key
+                   FROM p GROUP BY vec_id, (j - 1) // 4),
+            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+            cand AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+                     FROM bb a JOIN bb b ON a.band = b.band
+                                        AND a.band_key = b.band_key
+                                        AND a.vec_id < b.vec_id),
+            rem AS (SELECT DISTINCT c.ib AS vec_id
+                    FROM cand c JOIN e x ON x.vec_id = c.ia
+                                JOIN e y ON y.vec_id = c.ib
+                    WHERE list_cosine_similarity(x.emb, y.emb) >= 0.45)
+       SELECT v.vec_id, v.label,
+              CASE WHEN r.vec_id IS NULL THEN 'kept' ELSE 'removed' END AS status
+       FROM embeddings v LEFT JOIN rem r USING (vec_id)
+       ORDER BY v.vec_id""",
+    "SemDeDup-style semantic dedup (Abbas et al. 2023): remove a vector "
+    "when a smaller-id candidate has cosine >= 0.45; candidates from "
+    "banded sign-LSH (4 bands x 4 bits of deterministic sin() planes — "
+    "the MinHash-banding construction on the angular metric, standing in "
+    "for SemDeDup's k-means clusters but deterministic and "
+    "oracle-checkable). The candidate join shuffles 16-byte (id, band, "
+    "key) rows, never vectors; vectors re-join ONCE per pair side for the "
+    "rescore; zero-norm vectors get NULL cosine and are never removed. "
+    "Every input row is accounted for (kept/removed status). Real "
+    "deployments run threshold 0.9+; 0.45 is calibrated to this repo's "
+    "synthetic near-uniform embeddings so removals actually fire",
+)
+def q142_semantic_dedup(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    ann = similarity.semantic_dedup(
+        e, "vec_id", "embedding", threshold=0.45, bands=4, band_bits=4
+    )
+    return ann.select(
+        "vec_id",
+        "label",
+        F.when(F.col("sem_removed"), F.lit("removed")).otherwise(F.lit("kept")).alias("status"),
+    ).orderBy("vec_id")

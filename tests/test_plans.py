@@ -235,3 +235,37 @@ def test_q140_quarantine_single_annotation_pass(spark, sf_dir):
     plan = plans.explain_str(df, "simple")
     assert plan.count("Window") == 2, plan
     assert "Join" not in plan, plan
+
+
+def test_q141_span_dedup_never_shuffles_span_text(spark, sf_dir):
+    """The span fan-out hashes the n-gram INSIDE the projection; every
+    exchange must key on the 8-byte hash or the doc id — a gram-string
+    exchange would shuffle ~n x the corpus text at 100 TB."""
+    plan = plans.explain_str(REGISTRY["q141_duplicate_spans"].spark_fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    offenders = [
+        l for l in _exchange_key_lines(plan) if "gram#" in l or "text#" in l
+    ]
+    assert not offenders, offenders
+
+
+def test_q142_semantic_dedup_band_join_shuffles_keys_not_vectors(spark, sf_dir):
+    """The banded candidate join must exchange (id, band, band_key) rows
+    only — an embedding-carrying exchange on the pair-explosion side
+    would move the vector corpus bands x per epoch. The vectors re-join
+    by id once per pair side (id-keyed exchanges carrying embedding are
+    the rescore joins and are fine — their volume is |V|, not |pairs|)."""
+    plan = plans.explain_str(REGISTRY["q142_semantic_dedup"].spark_fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    offenders = [
+        l
+        for l in _exchange_key_lines(plan)
+        if ("band#" in l or "band_key#" in l) and ("embedding#" in l or "__vd#" in l)
+    ]
+    assert not offenders, offenders
+    # structural guarantee the plan check rides on: the band-key frame the
+    # candidate join consumes never carries the vector column at all
+    from data_engineering_nd_datalake_project_4_spark.operators import similarity as S
+
+    keys = S.banded_sign_lsh_keys(load_table(spark, sf_dir, "embeddings"))
+    assert set(keys.columns) == {"vec_id", "band", "band_key"}

@@ -1,0 +1,70 @@
+"""SemDeDup-style semantic dedup — operators.similarity.semantic_dedup.
+
+Oracle equivalence at sf0.001/sf0.01 + advembed/nulls soak is covered by
+q142; these tests pin the operator semantics on planted vectors:
+keep-earliest removal, banding recall on true near-duplicates, zero-norm
+safety, and determinism of the banded keys.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_engineering_nd_datalake_project_4_spark.operators import similarity as S
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _status(df):
+    return {r["vec_id"]: r["sem_removed"] for r in df.collect()}
+
+
+def test_exact_duplicates_keep_earliest(spark):
+    base = [1.0, 2.0, -0.5, 3.0] * 4
+    rows = [(1, base), (2, base), (3, base), (4, [-x for x in base])]
+    out = _status(S.semantic_dedup(_vecs(spark, rows), threshold=0.9))
+    # identical vectors share every band key, so banding can never miss
+    # them; smallest id survives, later ids are removed
+    assert out[1] is False
+    assert out[2] is True and out[3] is True
+    # the negated twin has cosine -1: never removed
+    assert out[4] is False
+
+
+def test_near_duplicate_above_threshold_removed(spark):
+    base = [1.0, 2.0, -0.5, 3.0, 0.25, -1.5, 2.5, 0.75]
+    near = list(base)
+    near[0] += 1e-3  # cosine ~ 1 - 1e-8
+    rows = [(10, base), (20, near), (30, [b * -1.0 + 0.9 for b in base])]
+    out = _status(S.semantic_dedup(_vecs(spark, rows), threshold=0.99))
+    assert out[10] is False and out[20] is True
+    assert out[30] is False
+
+
+def test_zero_norm_is_never_removed_and_never_removes(spark):
+    z = [0.0] * 8
+    rows = [(1, z), (2, z), (3, [1.0] * 8)]
+    out = _status(S.semantic_dedup(_vecs(spark, rows), threshold=0.1))
+    # cosine(zero, anything) is NULL (try_divide) -> no removal either way
+    assert out == {1: False, 2: False, 3: False}
+
+
+def test_banded_keys_shape_and_determinism(spark):
+    rows = [(i, [float(i + d) for d in range(16)]) for i in range(20)]
+    df = _vecs(spark, rows)
+    k1 = sorted(map(tuple, S.banded_sign_lsh_keys(df, bands=3, band_bits=5).collect()))
+    k2 = sorted(map(tuple, S.banded_sign_lsh_keys(df, bands=3, band_bits=5).collect()))
+    assert k1 == k2  # deterministic planes, no RNG state
+    assert len(k1) == 20 * 3  # one row per (vector, band)
+    assert all(0 <= key < 2 ** 5 for (_, band, key) in k1)
+    assert {band for (_, band, key) in k1} == {0, 1, 2}
+
+
+def test_parameter_validation(spark):
+    df = _vecs(spark, [(1, [1.0, 2.0])])
+    with pytest.raises(ValueError, match="bands"):
+        S.banded_sign_lsh_keys(df, bands=0)
+    with pytest.raises(ValueError, match="band_bits"):
+        S.banded_sign_lsh_keys(df, band_bits=-1)
