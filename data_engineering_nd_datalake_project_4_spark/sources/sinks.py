@@ -14,6 +14,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_parquet(
@@ -251,3 +252,57 @@ def write_jsonl(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.json(path)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str | None = "text",
+    seed: int = 42,
+    epoch: int = 0,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Materialize one training epoch on disk: deterministic shuffle
+    (``packing.epoch_shuffle``), then EXACTLY ONE parquet file per shard
+    with rows in shuffled ``pos`` order — the layout a data-loader fleet
+    consumes (worker k streams shard k sequentially; no shared scan, no
+    runtime shuffling). Returns the per-shard manifest DataFrame
+    ``(shard_id, n_docs[, n_tokens, content_xor])`` computed from the
+    FILES JUST WRITTEN (read-back, not the plan), so the manifest attests
+    what actually landed; it is written alongside the data under
+    ``<path>/_manifest`` (underscore-prefixed → invisible to parquet
+    readers of ``path``).
+
+    Scale shape: one shuffle (repartition on shard_id, ~n_shards tasks,
+    each sorting corpus/n_shards rows); the per-shard file is written by
+    exactly one task because every shard's rows hash to one partition.
+    Determinism: same (seed, epoch) → byte-identical shard order on any
+    cluster size, and shard manifests XOR-merge to the corpus manifest
+    (``text.corpus_manifest`` property). Re-writing the same path with a
+    new epoch refreshes the session file-status cache — without that, a
+    reader session pins the OLD file listing (CLAUDE.md round-5 trap).
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards ({n_shards}) must be positive")
+    from data_engineering_nd_datalake_project_4_spark.operators.packing import epoch_shuffle
+    from data_engineering_nd_datalake_project_4_spark.operators.text import corpus_manifest
+
+    shuffled = epoch_shuffle(df, id_col, seed, epoch, n_shards)
+    (
+        shuffled.repartition(n_shards, "shard_id")
+        .sortWithinPartitions("shard_id", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(path)
+    )
+    spark = df.sparkSession
+    spark.catalog.refreshByPath(path)
+    written = spark.read.parquet(path)
+    if text_col is not None:
+        manifest = corpus_manifest(written, text_col, id_col, by="shard_id")
+    else:
+        manifest = written.groupBy("shard_id").agg(F.count(F.lit(1)).alias("n_docs"))
+    manifest = manifest.orderBy("shard_id")
+    manifest.coalesce(1).write.mode("overwrite").json(f"{path}/_manifest")
+    return manifest
