@@ -167,3 +167,96 @@ def interval_point_join(
         )
         .drop("__bin")
     )
+
+
+def build_bloom_words(
+    df: DataFrame, key_col: str, num_bits: int = 1 << 20, num_hashes: int = 5
+) -> list[int]:
+    """Distributed Bloom-filter build over a key column: k seeded xxhash64
+    positions per key, OR'd into a dense ``num_bits``-bit bitmap. The
+    reduction is Catalyst end-to-end (explode positions → per-word
+    ``bit_or`` with map-side partial aggregation); only the finished
+    ``num_bits/64``-word bitmap reaches the driver — bounded MODEL state
+    (the k-means-centroid precedent), not data. 2^20 bits ≈ 1% false
+    positives at ~100k distinct keys; size num_bits ≈ 10·n_keys for ~1%.
+    """
+    if num_bits <= 0 or num_bits % 64 != 0:
+        raise ValueError(f"num_bits ({num_bits}) must be a positive multiple of 64")
+    if num_hashes <= 0:
+        raise ValueError(f"num_hashes ({num_hashes}) must be positive")
+    pos = [
+        F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(num_bits))
+        for i in range(num_hashes)
+    ]
+    words = (
+        df.where(F.col(key_col).isNotNull())
+        .select(F.explode(F.array(*pos)).alias("__p"))
+        .select(
+            (F.col("__p") / 64).cast("int").alias("__w"),
+            F.expr("shiftleft(1L, cast(__p % 64 AS INT))").alias("__b"),
+        )
+        .groupBy("__w")
+        .agg(F.bit_or("__b").alias("__bits"))
+        .collect()
+    )
+    dense = [0] * (num_bits // 64)
+    for r in words:
+        dense[r["__w"]] = r["__bits"]
+    return dense
+
+
+def bloom_might_contain(
+    words: list[int], key: Column, num_hashes: int = 5
+) -> Column:
+    """Catalyst membership probe against :func:`build_bloom_words` output:
+    k seeded hash positions, each tested with one array lookup + bit test
+    on the broadcast literal bitmap. No false negatives; NULL keys probe
+    to a deterministic constant position set (xxhash64(NULL, seed) = seed)."""
+    num_bits = len(words) * 64
+    arr = F.lit(words)
+    pred = F.lit(True)
+    for i in range(num_hashes):
+        p = F.pmod(F.xxhash64(key, F.lit(i)), F.lit(num_bits))
+        word = F.element_at(arr, (p / 64).cast("int") + 1)
+        # shiftleft's Python wrapper only takes an int shift; the SQL
+        # function itself accepts expressions (1L << 63 wraps to the sign
+        # bit in Java shift semantics — exactly the mask we need, where a
+        # pow(2,63)->long cast would ANSI-overflow)
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
+        )
+        pred = pred & (word.bitwiseAND(mask) != 0)
+    return pred
+
+
+def bloom_prefilter_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    how: str = "inner",
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Semi-join reduction: filter the big ``probe`` side through a Bloom
+    filter of ``build``'s join keys BEFORE the join's shuffle — at 100 TB
+    this is the difference between shuffling the whole fact table and
+    shuffling only the ~matching fraction. Spark's runtime bloom filter
+    (spark.sql.optimizer.runtime.bloomFilter.enabled) does this
+    automatically within one query when its thresholds hit; this operator
+    makes the reduction explicit, reusable across queries (build once,
+    probe many), and independent of optimizer heuristics.
+
+    No false negatives (bloom property) ⇒ the result is EXACTLY the plain
+    join for match-only join types (false positives just ride through to
+    the real join and fall out there). Outer types keep non-matching
+    probe rows, so prefiltering would change the result — refused loudly.
+    """
+    if how not in ("inner", "left_semi", "semi"):
+        raise ValueError(
+            f"bloom_prefilter_join supports match-only join types "
+            f"(inner/left_semi), got {how!r}: outer types keep "
+            "non-matching probe rows, which the prefilter would drop"
+        )
+    words = build_bloom_words(build, on, num_bits, num_hashes)
+    filtered = probe.where(bloom_might_contain(words, F.col(on), num_hashes))
+    return filtered.join(build, on, "left_semi" if how == "semi" else how)
