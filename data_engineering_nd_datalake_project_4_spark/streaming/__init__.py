@@ -150,3 +150,61 @@ def stream_dedup(
     if watermark and ts_col:
         return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
     return df.dropDuplicates(keys)
+
+
+def stream_static_join(
+    stream_df: DataFrame,
+    static_df: DataFrame,
+    on: list[str] | Column,
+    how: str = "inner",
+    broadcast_static: bool = True,
+) -> DataFrame:
+    """Enrich a stream against a static dimension (the reference joins log
+    events to song/artist dims, /root/reference/etl.py:150-162 — here as a
+    continuous stream). Stateless: the static side is re-planned per
+    micro-batch, so a broadcast keeps every micro-batch shuffle-free —
+    the default for dimension tables; disable for a static side too big
+    to broadcast (falls back to a per-batch shuffle join)."""
+    s = F.broadcast(static_df) if broadcast_static else static_df
+    return stream_df.join(s, on, how)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower: str = "0 seconds",
+    upper: str = "10 minutes",
+    watermark: str | None = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream join with an event-time interval condition: match
+    left/right rows sharing ``key`` where ``right_ts`` lies in
+    ``[left_ts - lower, left_ts + upper]`` (attribution joins: a purchase
+    within N minutes of a view, a response within N of a request).
+
+    BOTH sides carry a watermark and the join condition bounds event time
+    in BOTH directions — together they let Spark evict buffered state
+    once the watermark passes ``upper``; an unbounded condition would
+    buffer each side forever (OOM at scale, and Spark refuses outer
+    variants without it). State size ≈ rate × (watermark + upper), not
+    corpus size. Rows later than the watermark drop from state and stop
+    matching — the documented late-data semantics, same as the windowed
+    aggregates'.
+
+    Column naming: both inputs keep their own columns; alias the ts/key
+    columns distinctly before calling if they collide (the self-join
+    shared-attribute trap, CLAUDE.md).
+    """
+    # watermark=None means the caller already applied one (Spark refuses a
+    # second withWatermark on the same stream: "Redefining watermark")
+    lw = left.withWatermark(left_ts, watermark) if (watermark and left.isStreaming) else left
+    rw = right.withWatermark(right_ts, watermark) if (watermark and right.isStreaming) else right
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] >= lw[left_ts] - F.expr(f"INTERVAL {lower}"))
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {upper}"))
+    )
+    return lw.join(rw, cond, how)

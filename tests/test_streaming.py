@@ -21,6 +21,8 @@ from data_engineering_nd_datalake_project_4_spark.streaming import (
     run_available_now,
     session_agg,
     stream_dedup,
+    stream_static_join,
+    stream_stream_interval_join,
     sliding_agg,
     tumbling_agg,
 )
@@ -175,7 +177,7 @@ def test_stream_static_join(spark, sf_dir, events_stream_dir):
     dim = spark.createDataFrame(
         [(i, f"user_{i}") for i in range(100)], "user_id LONG, user_name STRING"
     )
-    joined = stream.join(F.broadcast(dim), "user_id").groupBy("user_name").count()
+    joined = stream_static_join(stream, dim, "user_id").groupBy("user_name").count()
     out = run_available_now(joined, "ss_join")
     assert out.count() > 0
     batch = (
@@ -200,20 +202,57 @@ def test_stream_stream_join_time_bounded(spark, tmp_path_factory):
         "ad_id", F.to_timestamp("ts").alias("clk_ts")
     ).coalesce(1).write.parquet(clk_dir + "/b")
 
-    imp_s = spark.readStream.schema("ad_id INT, imp_ts TIMESTAMP").parquet(
-        imp_dir + "/*"
-    ).withWatermark("imp_ts", "1 hour")
-    clk_s = spark.readStream.schema("ad_id INT, clk_ts TIMESTAMP").parquet(
-        clk_dir + "/*"
-    ).withWatermark("clk_ts", "1 hour")
-    joined = imp_s.join(
-        clk_s,
-        (imp_s["ad_id"] == clk_s["ad_id"])
-        & F.expr("clk_ts BETWEEN imp_ts AND imp_ts + INTERVAL 10 MINUTES"),
+    imp_s = spark.readStream.schema("ad_id INT, imp_ts TIMESTAMP").parquet(imp_dir + "/*")
+    clk_s = spark.readStream.schema("ad_id INT, clk_ts TIMESTAMP").parquet(clk_dir + "/*")
+    joined = stream_stream_interval_join(
+        imp_s, clk_s, "ad_id", "imp_ts", "clk_ts",
+        lower="0 seconds", upper="10 minutes", watermark="1 hour",
     ).select(imp_s["ad_id"].alias("ad_id"), "imp_ts", "clk_ts")
     out = run_available_now(joined, "ss2_join", output_mode="append")
     rows = out.collect()
     assert [r["ad_id"] for r in rows] == [1], rows
+
+
+def test_stream_stream_join_matches_across_microbatches(spark, tmp_path_factory):
+    """The property that makes a stream-stream join STATEFUL: the left row
+    arrives in micro-batch 1, its match in micro-batch 2 — the join must
+    still emit the pair from buffered state (a naive per-batch join would
+    emit nothing). maxFilesPerTrigger=1 forces the two files into separate
+    micro-batches."""
+    imp_dir = str(tmp_path_factory.mktemp("imp_mb"))
+    clk_dir = str(tmp_path_factory.mktemp("clk_mb"))
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], "ad_id INT, ts STRING"
+    ).select("ad_id", F.to_timestamp("ts").alias("imp_ts")).coalesce(1).write.parquet(
+        imp_dir + "/b1"
+    )
+    # clicks: one early file so the source has data in batch 1, and the
+    # matching click in a SECOND file (second micro-batch)
+    spark.createDataFrame(
+        [(99, "2024-01-01 00:00:30")], "ad_id INT, ts STRING"
+    ).select("ad_id", F.to_timestamp("ts").alias("clk_ts")).coalesce(1).write.parquet(
+        clk_dir + "/b1"
+    )
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:04:00")], "ad_id INT, ts STRING"
+    ).select("ad_id", F.to_timestamp("ts").alias("clk_ts")).coalesce(1).write.parquet(
+        clk_dir + "/b2"
+    )
+    imp_s = spark.readStream.schema("ad_id INT, imp_ts TIMESTAMP").parquet(imp_dir + "/*")
+    clk_s = (
+        spark.readStream.schema("ad_id INT, clk_ts TIMESTAMP")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(clk_dir + "/*")
+    )
+    joined = stream_stream_interval_join(
+        imp_s, clk_s, "ad_id", "imp_ts", "clk_ts",
+        lower="0 seconds", upper="10 minutes", watermark="1 hour",
+    ).select(imp_s["ad_id"].alias("ad_id"), "imp_ts", "clk_ts")
+    out = run_available_now(joined, "ss_mb_join", output_mode="append")
+    rows = out.collect()
+    assert [(r["ad_id"], str(r["clk_ts"])) for r in rows] == [
+        (1, "2024-01-01 00:04:00")
+    ], rows
 
 
 def _slide(df):
