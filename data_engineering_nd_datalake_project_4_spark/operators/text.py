@@ -493,3 +493,80 @@ def duplicate_spans(
             "dup_ratio", F.col("n_dup_spans").cast("double") / F.col("n_spans")
         )
     )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The ACTION to :func:`duplicate_spans`' detection: rewrite each
+    document with every cross-doc-duplicated span removed (Lee et al.
+    2022 drop the repeated substring occurrences, not the documents).
+    A token is removed when ANY duplicated span covers it (union of
+    overlapping spans). Returns ``(id_col, new_text, n_tokens,
+    n_removed_tokens)`` for every input row — NULL text passes through
+    NULL with 0 removed; sub-``n``-token docs pass through unchanged.
+
+    Tokenization is the exact single-space split the rest of the text
+    family uses, so ``new_text`` round-trips byte-identically for
+    untouched docs (empty tokens from multi-space runs are preserved).
+
+    Scale shape: detection reuses the q141 hash-only shuffle; the covered
+    positions come back as ONE array per touched doc (collect_set over an
+    id-keyed shuffle of 12-byte rows), and the rewrite is a map-side
+    indexed ``F.filter`` + ``array_join`` — the corpus text itself is
+    never shuffled. The per-token ``array_contains`` probe is
+    O(|tokens|·|covered|) per doc; covered is bounded by |tokens|, and
+    only docs with duplicated spans pay it.
+    """
+    if n <= 0:
+        raise ValueError(f"span length n ({n}) must be positive")
+    if min_docs < 2:
+        raise ValueError(f"min_docs ({min_docs}) must be >= 2")
+    toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+        .filter(F.size("__toks") >= n)
+    )
+    toks = ensure_map_parallelism(toks)
+    spans = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__toks") - n),
+                lambda i: F.xxhash64(F.array_join(F.slice("__toks", i + 1, n), " ")),
+            )
+        ).alias("start_pos", "gram_h"),
+    )
+    dup = (
+        spans.groupBy("gram_h")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("gram_h")
+    )
+    covered = (
+        spans.join(dup, "gram_h", "left_semi")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("start_pos"), F.col("start_pos") + (n - 1))
+            ).alias("__pos"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("__pos").alias("__cov"))
+    )
+    base = df.select(id_col, F.col(text_col)).join(covered, id_col, "left")
+    tok_arr = tokens(F.col(text_col))
+    cov = F.coalesce(F.col("__cov"), F.array().cast("array<int>"))
+    kept = F.filter(tok_arr, lambda t, i: ~F.array_contains(cov, i.cast("int")))
+    return base.select(
+        F.col(id_col),
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+        .otherwise(F.array_join(kept, " "))
+        .alias("new_text"),
+        F.coalesce(F.size(tok_arr), F.lit(0)).alias("n_tokens"),
+        F.coalesce(F.size(tok_arr) - F.size(kept), F.lit(0)).alias("n_removed_tokens"),
+    )

@@ -4660,3 +4660,47 @@ def q142_semantic_dedup(spark, sf_dir):
         "label",
         F.when(F.col("sem_removed"), F.lit("removed")).otherwise(F.lit("kept")).alias("status"),
     ).orderBy("vec_id")
+
+
+@q(
+    "q143_strip_duplicate_spans",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents WHERE text IS NOT NULL),
+            tt AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 8),
+            spans AS (SELECT doc_id, i AS start_pos,
+                             array_to_string(toks[i+1:i+8], ' ') AS gram
+                      FROM tt, UNNEST(range(0, len(toks) - 8 + 1)) AS u(i)),
+            dup AS (SELECT gram FROM spans GROUP BY gram
+                    HAVING COUNT(DISTINCT doc_id) >= 2),
+            covered AS (SELECT DISTINCT s.doc_id, s.start_pos + v.i AS pos
+                        FROM spans s JOIN dup USING (gram),
+                             UNNEST(range(0, 8)) AS v(i)),
+            tok AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,
+                           unnest(toks) AS tok FROM t),
+            agg AS (SELECT k.doc_id,
+                           COALESCE(string_agg(k.tok, ' ' ORDER BY k.pos)
+                                    FILTER (WHERE c.doc_id IS NULL), '') AS new_text,
+                           COUNT(*) AS n_tokens,
+                           COUNT(c.doc_id) AS n_removed_tokens
+                    FROM tok k LEFT JOIN covered c
+                         ON k.doc_id = c.doc_id AND k.pos = c.pos
+                    GROUP BY k.doc_id)
+       SELECT d.doc_id,
+              CASE WHEN d.text IS NULL THEN NULL ELSE a.new_text END AS new_text,
+              COALESCE(a.n_tokens, 0) AS n_tokens,
+              COALESCE(a.n_removed_tokens, 0) AS n_removed_tokens
+       FROM documents d LEFT JOIN agg a USING (doc_id)
+       ORDER BY d.doc_id""",
+    "the ACTION to q141's detection (Lee et al. 2022): rewrite every doc "
+    "with all cross-doc-duplicated 8-token spans removed (union of "
+    "overlapping spans covers a token -> dropped). Detection reuses the "
+    "hash-only shuffle; covered positions return as ONE int array per "
+    "touched doc; the rewrite is a map-side indexed F.filter + "
+    "array_join — corpus text is never shuffled. Every input row is "
+    "accounted for: NULL text passes through NULL, short/untouched docs "
+    "round-trip byte-identically (single-space tokenization preserves "
+    "empty tokens from multi-space runs)",
+)
+def q143_strip_duplicate_spans(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text.strip_duplicate_spans(d, "text", "doc_id", n=8, min_docs=2).orderBy("doc_id")

@@ -78,3 +78,53 @@ def test_parameter_validation(spark):
         T.duplicate_spans(df, n=0)
     with pytest.raises(ValueError, match="min_docs"):
         T.duplicate_spans(df, min_docs=1)
+
+
+# --- strip_duplicate_spans: the rewrite action -------------------------------
+
+
+def _strip(spark, rows, **kw):
+    return {
+        r["doc_id"]: r
+        for r in T.strip_duplicate_spans(_corpus(spark, rows), **kw).collect()
+    }
+
+
+def test_strip_removes_shared_passage_and_keeps_unique_text(spark):
+    rows = [
+        (1, BOILER + " alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "iota kappa lambda mu nu xi omicron pi " + BOILER),
+        (3, "rho sigma tau upsilon phi chi psi omega aa bb cc dd"),
+    ]
+    out = _strip(spark, rows, n=8, min_docs=2)
+    # the union of doc 1's two dup spans covers tokens 0..8 (the 9-token
+    # boiler passage); the unique tail survives verbatim
+    assert out[1]["new_text"] == "alpha beta gamma delta epsilon zeta eta theta"
+    assert out[1]["n_removed_tokens"] == 9
+    assert out[2]["new_text"] == "iota kappa lambda mu nu xi omicron pi"
+    assert out[3]["new_text"] == rows[2][1]  # untouched doc round-trips
+    assert out[3]["n_removed_tokens"] == 0
+
+
+def test_strip_passthrough_null_short_and_multispace(spark):
+    rows = [
+        (1, None),
+        (2, "one two three"),
+        (3, "a  double  spaced short doc"),  # empty tokens must round-trip
+        (4, BOILER),
+        (5, BOILER + " tail"),
+    ]
+    out = _strip(spark, rows, n=8, min_docs=2)
+    assert out[1]["new_text"] is None and out[1]["n_removed_tokens"] == 0
+    assert out[2]["new_text"] == "one two three"
+    assert out[3]["new_text"] == "a  double  spaced short doc"
+    # docs 4 and 5 share the 9-token boiler: doc 4 is fully covered
+    assert out[4]["new_text"] == "" and out[4]["n_removed_tokens"] == 9
+    assert out[5]["new_text"] == "tail"
+
+
+def test_strip_every_row_accounted_for(spark):
+    rows = [(i, BOILER if i % 2 else None) for i in range(10)]
+    df = T.strip_duplicate_spans(_corpus(spark, rows))
+    assert df.count() == 10
+    assert {r["doc_id"] for r in df.collect()} == set(range(10))
