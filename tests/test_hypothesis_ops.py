@@ -155,3 +155,64 @@ def test_incremental_dedup_matches_set_model(corpus_texts, batch_texts):
             ref.append(100 + i)
             seen.add(t)
     assert got == sorted(ref)
+
+
+# --- span dedup vs a python reference model ---------------------------------
+
+SPAN_DOCS = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=12
+    ).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _span_model(texts, n=3, min_docs=2):
+    """Python reference: per-doc span stats + scrubbed text."""
+    toks = {i: t.split(" ") for i, t in enumerate(texts) if t is not None}
+    spans = {}  # gram -> set of doc ids
+    per_doc = {}
+    for i, tk in toks.items():
+        if len(tk) < n:
+            continue
+        per_doc[i] = [tuple(tk[s : s + n]) for s in range(len(tk) - n + 1)]
+        for g in per_doc[i]:
+            spans.setdefault(g, set()).add(i)
+    dup = {g for g, ids in spans.items() if len(ids) >= min_docs}
+    stats, scrub = {}, {}
+    for i, tk in toks.items():
+        covered = set()
+        n_spans = n_dup = 0
+        for s, g in enumerate(per_doc.get(i, [])):
+            n_spans += 1
+            if g in dup:
+                n_dup += 1
+                covered.update(range(s, s + n))
+        if n_spans:
+            stats[i] = (n_spans, n_dup)
+        kept = [t for p, t in enumerate(tk) if p not in covered]
+        scrub[i] = (" ".join(kept), len(tk), len(tk) - len(kept))
+    return stats, scrub
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(SPAN_DOCS)
+def test_span_family_matches_python_model(texts):
+    from data_engineering_nd_datalake_project_4_spark.operators import text as T
+
+    spark = _spark()
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id INT, text STRING")
+    stats_m, scrub_m = _span_model(texts, n=3, min_docs=2)
+
+    got_stats = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"])
+        for r in T.duplicate_spans(df, n=3, min_docs=2).collect()
+    }
+    assert got_stats == stats_m
+
+    got_scrub = {
+        r["doc_id"]: (r["new_text"], r["n_tokens"], r["n_removed_tokens"])
+        for r in T.strip_duplicate_spans(df, n=3, min_docs=2).collect()
+    }
+    assert got_scrub == scrub_m
