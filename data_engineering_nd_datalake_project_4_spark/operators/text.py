@@ -422,6 +422,32 @@ def chunk_tokens(
     )
 
 
+def _span_hash_rows(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """Shared fan-out for the span-dedup family: one row per length-``n``
+    token window, ``(id_col, start_pos, gram_h)`` with the n-gram
+    xxhash64'd INSIDE the projection (~24-byte rows; no span text ever
+    shuffles). NULL text and sub-``n``-token docs are filtered BEFORE the
+    fan-out (the `nulls`-soak chunk_tokens pattern)."""
+    toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+        .filter(F.size("__toks") >= n)
+    )
+    # compute-dense fan-out over a possibly single-row-group scan
+    toks = ensure_map_parallelism(toks)
+    return toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__toks") - n),
+                lambda i: F.xxhash64(F.array_join(F.slice("__toks", i + 1, n), " ")),
+            )
+        ).alias("start_pos", "gram_h"),
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -460,22 +486,7 @@ def duplicate_spans(
             f"min_docs ({min_docs}) < 2 would mark EVERY span duplicated "
             "(each span trivially occurs in its own document)"
         )
-    toks = (
-        df.filter(F.col(text_col).isNotNull())
-        .select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
-        .filter(F.size("__toks") >= n)
-    )
-    # compute-dense fan-out over a possibly single-row-group scan
-    toks = ensure_map_parallelism(toks)
-    spans = toks.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("__toks") - n),
-                lambda i: F.xxhash64(F.array_join(F.slice("__toks", i + 1, n), " ")),
-            )
-        ).alias("start_pos", "gram_h"),
-    )
+    spans = _span_hash_rows(df, text_col, id_col, n)
     dup = (
         spans.groupBy("gram_h")
         .agg(F.countDistinct(id_col).alias("__nd"))
@@ -526,21 +537,7 @@ def strip_duplicate_spans(
         raise ValueError(f"span length n ({n}) must be positive")
     if min_docs < 2:
         raise ValueError(f"min_docs ({min_docs}) must be >= 2")
-    toks = (
-        df.filter(F.col(text_col).isNotNull())
-        .select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
-        .filter(F.size("__toks") >= n)
-    )
-    toks = ensure_map_parallelism(toks)
-    spans = toks.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("__toks") - n),
-                lambda i: F.xxhash64(F.array_join(F.slice("__toks", i + 1, n), " ")),
-            )
-        ).alias("start_pos", "gram_h"),
-    )
+    spans = _span_hash_rows(df, text_col, id_col, n)
     dup = (
         spans.groupBy("gram_h")
         .agg(F.countDistinct(id_col).alias("__nd"))
@@ -559,14 +556,25 @@ def strip_duplicate_spans(
         .agg(F.collect_set("__pos").alias("__cov"))
     )
     base = df.select(id_col, F.col(text_col)).join(covered, id_col, "left")
-    tok_arr = tokens(F.col(text_col))
     cov = F.coalesce(F.col("__cov"), F.array().cast("array<int>"))
-    kept = F.filter(tok_arr, lambda t, i: ~F.array_contains(cov, i.cast("int")))
-    return base.select(
+    # stage the token array and the filtered survivors as ALIASED columns:
+    # a bare python variable would inline the whole split+filter subtree
+    # into every consumer expression (computed 2-4x per row); a non-cheap
+    # multi-referenced alias is left staged by CollapseProject
+    staged = base.select(
+        F.col(id_col),
+        F.col(text_col),
+        tokens(F.col(text_col)).alias("__toks"),
+        F.filter(
+            tokens(F.col(text_col)),
+            lambda t, i: ~F.array_contains(cov, i.cast("int")),
+        ).alias("__kept"),
+    )
+    return staged.select(
         F.col(id_col),
         F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
-        .otherwise(F.array_join(kept, " "))
+        .otherwise(F.array_join(F.col("__kept"), " "))
         .alias("new_text"),
-        F.coalesce(F.size(tok_arr), F.lit(0)).alias("n_tokens"),
-        F.coalesce(F.size(tok_arr) - F.size(kept), F.lit(0)).alias("n_removed_tokens"),
+        F.coalesce(F.size("__toks"), F.lit(0)).alias("n_tokens"),
+        F.coalesce(F.size("__toks") - F.size("__kept"), F.lit(0)).alias("n_removed_tokens"),
     )
