@@ -179,3 +179,43 @@ def incremental_dedup(
     finally:
         if update_store:
             keyed.unpersist()
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dataset-versioning diff: classify every document across two corpus
+    snapshots as ``added`` (id only in new), ``removed`` (id only in old),
+    ``changed`` (id in both, content differs) or ``unchanged``. The audit
+    record behind "what moved between corpus v1 and v2" — pairs with
+    ``text.corpus_manifest`` (the manifest says THAT something changed;
+    the diff says WHAT).
+
+    Returns ``(id_col, status)`` — one row per id in either snapshot.
+
+    Scale shape: each side reduces to (id, xxhash64(id, text)) 16-byte
+    rows before the single full-outer shuffle join — corpus text never
+    moves. Content comparison is null-safe: a NULL text on both sides is
+    'unchanged' (xxhash64(NULL)=seed on both — the nulls-soak trap works
+    FOR us here), NULL vs non-NULL is 'changed'.
+    """
+    o = old.select(
+        F.col(id_col), F.xxhash64(F.col(id_col), F.col(text_col)).alias("__oh")
+    )
+    n = new.select(
+        F.col(id_col), F.xxhash64(F.col(id_col), F.col(text_col)).alias("__nh")
+    )
+    return (
+        o.join(n, id_col, "full_outer")
+        .select(
+            F.col(id_col),
+            F.when(F.col("__oh").isNull(), F.lit("added"))
+            .when(F.col("__nh").isNull(), F.lit("removed"))
+            .when(F.col("__oh") == F.col("__nh"), F.lit("unchanged"))
+            .otherwise(F.lit("changed"))
+            .alias("status"),
+        )
+    )
