@@ -557,3 +557,69 @@ def weighted_corpus_mix(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def fuzzy_string_pairs(
+    df: DataFrame,
+    str_col: str,
+    id_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Fuzzy string self-join via symmetric deletion (SymSpell): two
+    strings within edit distance 1 ALWAYS share a string in their
+    0-or-1-character-deletion neighborhoods, so a hash-join on deletion
+    variants is a COMPLETE candidate generator — no missed pairs — and
+    ``F.levenshtein`` (codegen builtin) verifies each candidate exactly.
+    Returns ``(id_a, id_b, dist)`` with ``id_a < id_b``, dist ≤ max_dist.
+
+    Only ``max_dist=1`` is supported: the k-deletion neighborhood grows
+    O(len^k), and distance-1 is the entity-resolution workhorse (typo'd
+    keys, off-by-one serials). Refused loudly for other k rather than
+    silently missing pairs.
+
+    Scale shape: a string of length L fans out to L+1 (id, 8-byte
+    variant-hash) rows — the only shuffle payload; candidate pairs are
+    distinct'd before the verify join, and the strings re-join by id once
+    per side. The levenshtein verify is JVM codegen, not Python. NULL
+    strings produce no variants and no pairs (matching SQL levenshtein's
+    NULL propagation).
+    """
+    if max_dist != 1:
+        raise ValueError(
+            f"fuzzy_string_pairs supports max_dist=1 only (got {max_dist}): "
+            "the k-deletion neighborhood grows O(len^k) and a larger k here "
+            "would silently miss pairs beyond the generated variants"
+        )
+    base = df.filter(F.col(str_col).isNotNull()).select(F.col(id_col), F.col(str_col))
+    base = ensure_map_parallelism(base)
+    s = F.col(str_col)
+    deletions = F.transform(
+        F.sequence(F.lit(1), F.length(s)),
+        lambda i: F.concat(
+            s.substr(F.lit(1), i - 1), s.substr(i + 1, F.length(s) - i)
+        ),
+    )
+    variants = F.concat(
+        F.array(s),
+        F.when(F.length(s) > 0, deletions).otherwise(F.array().cast("array<string>")),
+    )
+    keyed = base.select(
+        F.col(id_col), F.explode(variants).alias("__v")
+    ).select(F.col(id_col), F.xxhash64("__v").alias("__vh")).distinct()
+    a = keyed.select(F.col(id_col).alias("id_a"), "__vh")
+    b = keyed.select(F.col(id_col).alias("id_b"), "__vh")
+    cand = (
+        a.join(b, "__vh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = base.select(F.col(id_col).alias("id_a"), F.col(str_col).alias("__sa"))
+    sb = base.select(F.col(id_col).alias("id_b"), F.col(str_col).alias("__sb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("dist", F.levenshtein("__sa", "__sb"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )

@@ -4704,3 +4704,27 @@ def q142_semantic_dedup(spark, sf_dir):
 def q143_strip_duplicate_spans(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return text.strip_duplicate_spans(d, "text", "doc_id", n=8, min_docs=2).orderBy("doc_id")
+
+
+@q(
+    "q144_fuzzy_name_pairs",
+    """SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+              levenshtein(a.s_name, b.s_name) AS dist
+       FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+       WHERE levenshtein(a.s_name, b.s_name) <= 1
+       ORDER BY id_a, id_b""",
+    "fuzzy string self-join via symmetric deletion (SymSpell): supplier "
+    "names within edit distance 1 (typo'd keys, off-by-one serials — the "
+    "entity-resolution workhorse). The deletion-neighborhood hash join is "
+    "a COMPLETE candidate generator for distance 1 (two such strings "
+    "always share a 0/1-deletion variant), so the result EQUALS the "
+    "oracle's brute-force all-pairs levenshtein while shuffling only "
+    "(id, 8-byte variant-hash) rows — len+1 per name — instead of "
+    "comparing N^2 pairs; the per-candidate verify is the codegen "
+    "levenshtein builtin",
+)
+def q144_fuzzy_name_pairs(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    return dedup.fuzzy_string_pairs(s, "s_name", "s_suppkey", max_dist=1).orderBy(
+        "id_a", "id_b"
+    )

@@ -269,3 +269,15 @@ def test_q142_semantic_dedup_band_join_shuffles_keys_not_vectors(spark, sf_dir):
 
     keys = S.banded_sign_lsh_keys(load_table(spark, sf_dir, "embeddings"))
     assert set(keys.columns) == {"vec_id", "band", "band_key"}
+
+
+def test_q144_fuzzy_join_is_hash_banded_not_cartesian(spark, sf_dir):
+    """The deletion-variant candidate join must be a hash join on the
+    variant hash — an all-pairs levenshtein cross join is the O(n²)
+    plan the symmetric-delete construction exists to avoid; and no
+    exchange may carry the name strings (only ids and 8-byte hashes)."""
+    plan = plans.explain_str(REGISTRY["q144_fuzzy_name_pairs"].spark_fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    offenders = [l for l in _exchange_key_lines(plan) if "s_name#" in l or "__v#" in l]
+    assert not offenders, offenders
