@@ -260,3 +260,65 @@ def bloom_prefilter_join(
     words = build_bloom_words(build, on, num_bits, num_hashes)
     filtered = probe.where(bloom_might_contain(words, F.col(on), num_hashes))
     return filtered.join(build, on, "left_semi" if how == "semi" else how)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bin_width: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Pure interval-overlap join (closed intervals, NO equi key): pairs
+    where ``[l_start, l_end]`` and ``[r_start, r_end]`` intersect. This is
+    the join :func:`range_join` can't plan — without an equi conjunct
+    Spark degenerates to a nested-loop O(N·M) scan — so both sides are
+    binned to a grid of ``bin_width``-wide cells (an interval joins every
+    cell it touches) and the join becomes a hash join on the cell id.
+
+    Duplicate suppression is free: a pair overlapping across several
+    shared cells is emitted ONLY at the canonical cell containing
+    ``max(l_start, r_start)`` (the first cell where both are present), so
+    no distinct shuffle is needed.
+
+    Bounds must be NUMERIC (epoch days/seconds — convert timestamps
+    first) and column names must be disjoint across the two inputs (the
+    self-join shared-attribute trap). NULL bounds produce no cells and no
+    pairs. ``bin_width`` ≈ the median interval length is a good default:
+    cells per interval = len/bin_width + 1 (fan-out) vs intervals per
+    cell (join width) — tune for the data. Only ``how='inner'`` is
+    supported (outer overlap semantics are ambiguous under binning).
+    """
+    if bin_width <= 0:
+        raise ValueError(f"bin_width ({bin_width}) must be positive")
+    if how != "inner":
+        raise ValueError(f"interval_overlap_join supports how='inner' only (got {how!r})")
+    overlap_cols = set(left.columns) & set(right.columns)
+    if overlap_cols:
+        raise ValueError(
+            f"left/right share column names {sorted(overlap_cols)}: rename "
+            "before joining (shared attribute ids make the join condition "
+            "ambiguous)"
+        )
+    w = F.lit(bin_width)
+
+    def cells(s: str, e: str) -> Column:
+        return F.sequence(
+            F.floor(F.col(s) / w).cast("long"), F.floor(F.col(e) / w).cast("long")
+        )
+
+    lb = left.withColumn("__cell", F.explode(cells(l_start, l_end)))
+    rb = right.withColumn("__rcell", F.explode(cells(r_start, r_end)))
+    canonical = F.floor(F.greatest(F.col(l_start), F.col(r_start)) / w).cast("long")
+    return (
+        lb.join(rb, lb["__cell"] == rb["__rcell"])
+        .filter(
+            (F.col(l_start) <= F.col(r_end))
+            & (F.col(r_start) <= F.col(l_end))
+            & (F.col("__cell") == canonical)
+        )
+        .drop("__cell", "__rcell")
+    )

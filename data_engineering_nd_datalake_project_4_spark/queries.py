@@ -4728,3 +4728,53 @@ def q144_fuzzy_name_pairs(spark, sf_dir):
     return dedup.fuzzy_string_pairs(s, "s_name", "s_suppkey", max_dist=1).orderBy(
         "id_a", "id_b"
     )
+
+
+@q(
+    "q145_interval_overlap_join",
+    """WITH b AS (SELECT o_orderkey,
+                         date_diff('day', DATE '1970-01-01', o_orderdate) AS s,
+                         date_diff('day', DATE '1970-01-01', o_orderdate) + 7 AS e,
+                         o_orderpriority
+                  FROM orders
+                  WHERE o_orderdate >= DATE '1995-01-01'
+                    AND o_orderdate <  DATE '1995-04-01'),
+            u AS (SELECT o_orderkey AS id_a, s AS a_s, e AS a_e FROM b
+                  WHERE o_orderpriority = '1-URGENT'),
+            l AS (SELECT o_orderkey AS id_b, s AS b_s, e AS b_e FROM b
+                  WHERE o_orderpriority = '5-LOW')
+       SELECT id_a, id_b,
+              CAST(LEAST(a_e, b_e) - GREATEST(a_s, b_s) AS BIGINT) AS overlap_days
+       FROM u JOIN l ON a_s <= b_e AND b_s <= a_e
+       ORDER BY id_a, id_b""",
+    "pure interval-overlap join (interval x interval, NO equi key): "
+    "7-day fulfillment windows of URGENT orders overlapping those of LOW "
+    "orders in 1995Q1. Without binning Spark can only plan this as a "
+    "nested-loop O(N*M) scan; each interval explodes to the 7-day grid "
+    "cells it touches and the join becomes a hash join on the cell id, "
+    "with duplicate pairs suppressed for free by emitting only at the "
+    "canonical cell containing max(start, start) — no distinct shuffle. "
+    "The oracle is the brute-force theta join (fine at oracle scale)",
+)
+def q145_interval_overlap_join(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01"))
+    )
+    days = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    u = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("id_a"),
+        days.alias("a_s"),
+        (days + 7).alias("a_e"),
+    )
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_orderkey").alias("id_b"),
+        days.alias("b_s"),
+        (days + 7).alias("b_e"),
+    )
+    pairs = joins.interval_overlap_join(u, low, "a_s", "a_e", "b_s", "b_e", bin_width=7)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (F.least("a_e", "b_e") - F.greatest("a_s", "b_s")).cast("long").alias("overlap_days"),
+    ).orderBy("id_a", "id_b")

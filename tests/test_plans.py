@@ -281,3 +281,14 @@ def test_q144_fuzzy_join_is_hash_banded_not_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     offenders = [l for l in _exchange_key_lines(plan) if "s_name#" in l or "__v#" in l]
     assert not offenders, offenders
+
+
+def test_q145_overlap_join_is_cell_hash_join(spark, sf_dir):
+    """The interval x interval join has NO equi key; unbinned it can only
+    plan as a nested loop. The grid binning must make it a hash join on
+    the cell id."""
+    plan = plans.explain_str(
+        REGISTRY["q145_interval_overlap_join"].spark_fn(spark, sf_dir), "simple"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
