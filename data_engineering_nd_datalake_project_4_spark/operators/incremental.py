@@ -114,71 +114,69 @@ def incremental_dedup(
     the store first (same bucket layout), making the operation idempotent:
     replaying the identical batch then yields zero survivors.
 
-    Multi-consumer consistency (update_store=True): the batch plan feeds
-    three consumers — the touched-bucket collect, the store append, and
-    the survivor rows the caller later actions. A nondeterministic or
-    sampled upstream must not evaluate once per consumer, or the store
-    could permanently record fingerprints that disagree with the survivors
-    actually returned. So the keyed batch is persist()ed for the duration
-    of the call (mirroring ``upsert_partitioned``), and the survivor set is
-    ``localCheckpoint(eager=True)``-materialized ONCE before the append —
-    the append writes, and the caller reads, the same frozen rows, after
-    which the keyed persist can be released. The checkpoint holds only the
-    surviving *batch* rows (never corpus-sized); on a real cluster with
-    executor loss in scope, swap for a reliable ``checkpoint()`` dir.
+    Multi-consumer consistency (BOTH paths): the batch plan feeds several
+    consumers — the touched-bucket collect, the survivor anti-join the
+    caller later actions, and (update_store=True) the store append. A
+    nondeterministic or sampled upstream must not evaluate once per
+    consumer, or fingerprints could land in buckets that were pruned from
+    the store scan (silently letting duplicates pass), or the store could
+    permanently record fingerprints disagreeing with the survivors
+    returned. So the keyed batch is ``localCheckpoint(eager=True)``-frozen
+    ONCE up front — every consumer, including the caller's consumption
+    after this function returns, reads the same materialized rows (a
+    ``persist()`` released in ``finally`` could not cover that last
+    consumer). With update_store=True the survivor set is additionally
+    checkpointed so the append and the caller share one evaluation of the
+    anti-join. Both checkpoints hold only *batch*-sized rows (never
+    corpus-sized); on a real cluster with executor loss in scope, swap
+    for a reliable ``checkpoint()`` dir.
     """
     fp = _fingerprint(text_col, mode)
-    keyed = batch.withColumn("__fp", fp)
-    if update_store:
-        keyed = keyed.persist()
+    keyed = batch.withColumn("__fp", fp).localCheckpoint(eager=True)
+    # first-wins within the batch: one window shuffle on the 8-byte hash
+    firsts = latest_per_key(keyed, ["__fp"], [F.col(id_col)])
+
+    # prune the store scan to the buckets this batch can touch: at most
+    # num_buckets driver-side ints → static partition pruning literals
+    touched = [
+        r[0]
+        for r in keyed.select(_bucket(F.col("__fp"), num_buckets).alias("b"))
+        .distinct()
+        .collect()
+    ]
     try:
-        # first-wins within the batch: one window shuffle on the 8-byte hash
-        firsts = latest_per_key(keyed, ["__fp"], [F.col(id_col)])
+        store = spark.read.parquet(store_path)
+    except AnalysisException as e:
+        # ONLY a missing store means "first batch" — a corrupt footer,
+        # permission error or transient storage failure must propagate,
+        # or every batch doc would silently pass dedup (and, with
+        # update_store=True, be permanently recorded as first-seen)
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
+        store = None
+    if store is not None:
+        seen = store.filter(F.col("fp_bucket").isin(touched)).select("fp")
+        survivors = firsts.join(
+            seen, firsts["__fp"] == seen["fp"], "left_anti"
+        )
+    else:  # no store yet: everything survives in-batch dedup
+        survivors = firsts
 
-        # prune the store scan to the buckets this batch can touch: at most
-        # num_buckets driver-side ints → static partition pruning literals
-        touched = [
-            r[0]
-            for r in keyed.select(_bucket(F.col("__fp"), num_buckets).alias("b"))
-            .distinct()
-            .collect()
-        ]
-        try:
-            store = spark.read.parquet(store_path)
-        except AnalysisException as e:
-            # ONLY a missing store means "first batch" — a corrupt footer,
-            # permission error or transient storage failure must propagate,
-            # or every batch doc would silently pass dedup (and, with
-            # update_store=True, be permanently recorded as first-seen)
-            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
-                raise
-            store = None
-        if store is not None:
-            seen = store.filter(F.col("fp_bucket").isin(touched)).select("fp")
-            survivors = firsts.join(
-                seen, firsts["__fp"] == seen["fp"], "left_anti"
+    if update_store:
+        # freeze the survivor set once; append and caller share it
+        survivors = survivors.localCheckpoint(eager=True)
+        (
+            survivors.select(
+                F.col("__fp").alias("fp"),
+                F.col(id_col).cast("long").alias("first_id"),
+                _bucket(F.col("__fp"), num_buckets).alias("fp_bucket"),
             )
-        else:  # no store yet: everything survives in-batch dedup
-            survivors = firsts
-
-        if update_store:
-            # freeze the survivor set once; append and caller share it
-            survivors = survivors.localCheckpoint(eager=True)
-            (
-                survivors.select(
-                    F.col("__fp").alias("fp"),
-                    F.col(id_col).cast("long").alias("first_id"),
-                    _bucket(F.col("__fp"), num_buckets).alias("fp_bucket"),
-                )
-                .repartition("fp_bucket")
-                .write.mode("append")
-                .partitionBy("fp_bucket")
-                .parquet(store_path)
-            )
-        return survivors.drop("__fp")
-    finally:
-        if update_store:
-            keyed.unpersist()
+            .repartition("fp_bucket")
+            .write.mode("append")
+            .partitionBy("fp_bucket")
+            .parquet(store_path)
+        )
+    return survivors.drop("__fp")
 
 
 def corpus_diff(

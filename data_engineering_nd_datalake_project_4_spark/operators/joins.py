@@ -211,7 +211,10 @@ def bloom_might_contain(
     """Catalyst membership probe against :func:`build_bloom_words` output:
     k seeded hash positions, each tested with one array lookup + bit test
     on the broadcast literal bitmap. No false negatives; NULL keys probe
-    to a deterministic constant position set (xxhash64(NULL, seed) = seed)."""
+    to a deterministic constant position set — Spark's xxhash64 SKIPS a
+    NULL argument and hashes only the remaining seed literal, so a NULL
+    key probes at the xxhash64(lit(i)) positions (not the raw seed).
+    Harmless: NULL keys never equi-match downstream anyway."""
     num_bits = len(words) * 64
     arr = F.lit(words)
     pred = F.lit(True)

@@ -557,17 +557,25 @@ def strip_duplicate_spans(
     )
     base = df.select(id_col, F.col(text_col)).join(covered, id_col, "left")
     cov = F.coalesce(F.col("__cov"), F.array().cast("array<int>"))
-    # stage the token array and the filtered survivors as ALIASED columns:
-    # a bare python variable would inline the whole split+filter subtree
-    # into every consumer expression (computed 2-4x per row); a non-cheap
-    # multi-referenced alias is left staged by CollapseProject
+    # stage the token array, THEN the filtered survivors, as ALIASED
+    # columns in two separate projections: a bare python variable would
+    # inline the whole split+filter subtree into every consumer expression
+    # (computed 2-4x per row), and two tokens() calls inside ONE projection
+    # cannot be deduplicated by CollapseProject either — so __kept must
+    # reference the already-staged __toks column. Non-cheap
+    # multi-referenced aliases are left staged by CollapseProject.
     staged = base.select(
         F.col(id_col),
         F.col(text_col),
         tokens(F.col(text_col)).alias("__toks"),
+        cov.alias("__covarr"),
+    ).select(
+        F.col(id_col),
+        F.col(text_col),
+        F.col("__toks"),
         F.filter(
-            tokens(F.col(text_col)),
-            lambda t, i: ~F.array_contains(cov, i.cast("int")),
+            F.col("__toks"),
+            lambda t, i: ~F.array_contains(F.col("__covarr"), i.cast("int")),
         ).alias("__kept"),
     )
     return staged.select(

@@ -73,15 +73,29 @@ def _bad_records_split(df: DataFrame, bad_records_path: str) -> DataFrame:
     """Write ``{path, record}`` JSON audit rows for every corrupt-captured
     record, then return the clean rows with the capture column dropped.
 
-    The audit write is an eager action (one scan of the feed; the caller's
-    later action re-scans — the same two consumers Databricks' native
-    implementation pays). The transient ``cache()`` is required: Spark
-    refuses queries whose only referenced data column is the internal
-    corrupt-record column unless the parsed frame is cached, and it is
-    released as soon as the audit rows are on disk.
+    The audit write is an eager side-effect at DataFrame-construction time
+    (one scan of the feed; the caller's later action re-scans — the same
+    two consumers Databricks' native implementation pays). Each invocation
+    writes into its own ``<ts>-<nonce>/`` subdirectory of
+    ``bad_records_path`` — Databricks does the same (timestamped run dirs)
+    — so constructing the same read twice (a retry, a test re-run, a
+    pipeline building the frame in two places) produces two audit dirs
+    rather than silently appending duplicate rows into one. The transient
+    ``cache()`` is required: Spark refuses queries whose only referenced
+    data column is the internal corrupt-record column unless the parsed
+    frame is cached, and it is released as soon as the audit rows are on
+    disk.
     """
+    import time
+    import uuid
+
     from pyspark.sql import functions as F
 
+    run_dir = "{}/{}-{}".format(
+        bad_records_path.rstrip("/"),
+        time.strftime("%Y%m%dT%H%M%S"),
+        uuid.uuid4().hex[:8],
+    )
     df = df.cache()
     try:
         (
@@ -90,8 +104,8 @@ def _bad_records_split(df: DataFrame, bad_records_path: str) -> DataFrame:
                 F.input_file_name().alias("path"),
                 F.col(_AUDIT_COL).alias("record"),
             )
-            .write.mode("append")
-            .json(bad_records_path)
+            .write.mode("error")
+            .json(run_dir)
         )
     finally:
         df.unpersist()
@@ -111,7 +125,10 @@ def read_json(
     """JSON scan with a declared schema. ``recursive`` handles per-day /
     nested-dir fan-outs (reference R01/R02, /root/reference/etl.py:83-95).
     Malformed-record posture via ``mode`` / ``corrupt_record_col`` /
-    ``bad_records_path`` — see :func:`_malformed_options`."""
+    ``bad_records_path`` — see :func:`_malformed_options`. NOTE:
+    ``bad_records_path`` triggers an EAGER audit scan+write at call time
+    (into a per-invocation timestamped subdir) — see
+    :func:`_bad_records_split`."""
     reader = spark.read.option("recursiveFileLookup", str(recursive).lower())
     if multiline:
         reader = reader.option("multiLine", "true")
@@ -133,6 +150,9 @@ def read_csv(
     corrupt_record_col: str | None = None,
     bad_records_path: str | None = None,
 ) -> DataFrame:
+    """CSV scan with a declared schema. Same malformed-record posture as
+    :func:`read_json`; ``bad_records_path`` is an EAGER audit scan+write
+    at call time into a per-invocation subdir (:func:`_bad_records_split`)."""
     reader = spark.read.option("header", str(header).lower()).option("sep", sep)
     df = _malformed_options(
         reader, schema, mode, corrupt_record_col, bad_records_path
