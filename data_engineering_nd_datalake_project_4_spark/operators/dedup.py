@@ -19,7 +19,11 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from data_engineering_nd_datalake_project_4_spark.functions import cosine_similarity, tokens
+from data_engineering_nd_datalake_project_4_spark.functions import (
+    cosine_similarity,
+    portable_hash60,
+    tokens,
+)
 from data_engineering_nd_datalake_project_4_spark.operators import ensure_map_parallelism
 
 
@@ -111,6 +115,22 @@ def _shingles(text_col: Column, n: int) -> Column:
     )
 
 
+def minhash_coeffs(num_hashes: int) -> tuple[list[int], list[int]]:
+    """The universal-hash coefficient schedule (aᵢ, bᵢ) shared by the Spark
+    MinHash build and its DuckDB oracle twin: a fixed-seed LCG draws
+    aᵢ ∈ [1, M-1], bᵢ ∈ [0, M-1] in the Mersenne field M = 2³¹-1. Pure
+    Python ints — the oracle inlines them as SQL literals."""
+    M = (1 << 31) - 1
+    rng_a, rng_b = [], []
+    state = 0x9E3779B9
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        rng_a.append(state % (M - 1) + 1)
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        rng_b.append(state % M)
+    return rng_a, rng_b
+
+
 def minhash_lsh_candidate_pairs(
     df: DataFrame,
     text_col: str,
@@ -119,6 +139,7 @@ def minhash_lsh_candidate_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     max_bucket_size: int | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """LSH banding: docs sharing any band of the MinHash signature become a
     candidate pair ``(id_a, id_b)`` with ``id_a < id_b``.
@@ -130,6 +151,14 @@ def minhash_lsh_candidate_pairs(
     practice: a bucket with thousands of members is boilerplate, not
     near-duplication; route it to exact dedup instead). AQE skew-join splits
     what remains.
+
+    ``hash_fn``: ``"xxhash64"`` (default — fastest; engine-internal, so the
+    result is property-tested, not oracle-hashed) or ``"portable"``
+    (:func:`functions.portable_hash60` — MD5-derived, bit-identical in
+    DuckDB, making the ENTIRE candidate-pair set exactly oracle-checkable;
+    same banded plan shape, ~2-3× hashing cost). NULL text hashes to NULL
+    under portable (vs xxhash64's NULL→seed class) — filter NULLs upstream
+    when comparing modes.
     """
     if bands <= 0 or num_hashes % bands != 0:
         raise ValueError(
@@ -138,6 +167,9 @@ def minhash_lsh_candidate_pairs(
             "in one bucket (O(N^2) candidates); a ragged split silently drops "
             "trailing signature rows"
         )
+    if hash_fn not in ("xxhash64", "portable"):
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'portable', got {hash_fn!r}")
+    str_hash = F.xxhash64 if hash_fn == "xxhash64" else portable_hash60
     rows_per_band = num_hashes // bands
     # the signature build is the cost center — make sure it doesn't run on
     # a single unsplittable input partition (no-op at scale)
@@ -150,18 +182,12 @@ def minhash_lsh_candidate_pairs(
     # every consumer — without the staging, the shingle construction runs
     # num_hashes× per row.
     #
-    # Universal hashing: each shingle STRING is xxhash64'd exactly once;
+    # Universal hashing: each shingle STRING is hashed exactly once;
     # the per-seed values derive arithmetically as (aᵢ·h + bᵢ) mod M in a
     # 31-bit field (products stay < 2^62 — no ANSI overflow). This replaces
     # num_hashes string hashes per shingle with one hash + cheap mult-adds.
     M = (1 << 31) - 1  # Mersenne prime 2^31-1
-    rng_a, rng_b = [], []
-    state = 0x9E3779B9
-    for _ in range(num_hashes):
-        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
-        rng_a.append(state % (M - 1) + 1)
-        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
-        rng_b.append(state % M)
+    rng_a, rng_b = minhash_coeffs(num_hashes)
 
     shingled = df.select(
         F.col(id_col).alias("__id"),
@@ -169,7 +195,7 @@ def minhash_lsh_candidate_pairs(
     )
     hashed = shingled.select(
         "__id",
-        F.transform(F.col("__sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(M))).alias("__h"),
+        F.transform(F.col("__sh"), lambda s: F.pmod(str_hash(s), F.lit(M))).alias("__h"),
     )
     signed = hashed.select(
         "__id",
@@ -190,7 +216,7 @@ def minhash_lsh_candidate_pairs(
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(
+                    str_hash(
                         F.array_join(
                             F.transform(
                                 F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band),
@@ -333,22 +359,35 @@ def ngram_jaccard_pairs(
 
 
 def simhash_fingerprints(
-    df: DataFrame, text_col: str, id_col: str, shingle_n: int = 2
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int = 2,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash as a staged DataFrame transform: shingle-hash once into a
-    column, then fold the 64 bit-votes over that column. Prefer this over
+    column, then fold the per-bit votes over that column. Prefer this over
     the raw :func:`simhash64` expression on hot paths — the expression form
-    re-derives the shingle hashes for every one of the 64 bit sums.
-    Output: ``(id_col, fp)``."""
+    re-derives the shingle hashes for every one of the bit sums.
+    Output: ``(id_col, fp)``.
+
+    ``hash_fn="portable"`` swaps xxhash64 for
+    :func:`functions.portable_hash60` and emits a 60-bit fingerprint
+    (bits 0..59 — all positive, no sign-bit special case), making the
+    fingerprint — and any pairing built on it — exactly computable in a
+    DuckDB oracle. Hamming semantics are unchanged; banding over 60 bits
+    still pigeonholes correctly (``simhash_near_dup_pairs`` splits
+    whatever width rides in the BIGINT)."""
+    if hash_fn not in ("xxhash64", "portable"):
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'portable', got {hash_fn!r}")
     df = ensure_map_parallelism(df)
+    str_hash = F.xxhash64 if hash_fn == "xxhash64" else portable_hash60
+    bits = 64 if hash_fn == "xxhash64" else 60
     hashed = df.select(
         F.col(id_col),
-        F.transform(_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)).alias("__h"),
+        F.transform(_shingles(F.col(text_col), shingle_n), lambda s: str_hash(s)).alias("__h"),
     )
-    return hashed.select(id_col, _simhash_from_hashes(F.col("__h")).alias("fp"))
+    return hashed.select(id_col, _simhash_from_hashes(F.col("__h"), bits).alias("fp"))
 
 
-def _simhash_from_hashes(hashes: Column) -> Column:
+def _simhash_from_hashes(hashes: Column, bits: int = 64) -> Column:
     def bit_sum(j: int) -> Column:
         return F.aggregate(
             hashes,
@@ -357,7 +396,7 @@ def _simhash_from_hashes(hashes: Column) -> Column:
         )
 
     fp = F.lit(0).cast("long")
-    for j in range(64):
+    for j in range(bits):
         fp = fp + F.when(bit_sum(j) > 0, F.lit(1).cast("long") * F.lit(2 ** j if j < 63 else -(2 ** 63)).cast("long")).otherwise(F.lit(0).cast("long"))
     return fp
 

@@ -12,7 +12,7 @@ import re
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from data_engineering_nd_datalake_project_4_spark.functions import tokens
+from data_engineering_nd_datalake_project_4_spark.functions import portable_hash60, tokens
 from data_engineering_nd_datalake_project_4_spark.operators import ensure_map_parallelism
 
 #: Tiny per-language marker-token lists for the n-gram/stopword heuristic
@@ -105,11 +105,17 @@ def lang_id(text_col: Column | str) -> Column:
     return out
 
 
-def doc_fingerprint(text_col: Column | str) -> Column:
-    """64-bit content fingerprint: xxhash64 of the raw text. For a
+def doc_fingerprint(text_col: Column | str, hash_fn: str = "xxhash64") -> Column:
+    """Content fingerprint of the raw text: 64-bit xxhash64 (default) or
+    the 60-bit cross-engine :func:`functions.portable_hash60`
+    (``hash_fn="portable"`` — exactly computable in a DuckDB oracle). For a
     shift-robust variant combine with rolling-window shingles (see
     operators.dedup.simhash64)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
+    if hash_fn == "portable":
+        return portable_hash60(c)
+    if hash_fn != "xxhash64":
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'portable', got {hash_fn!r}")
     return F.xxhash64(c)
 
 
@@ -133,24 +139,48 @@ def rolling_hash_fingerprints(text_col: Column | str, window: int = 5, keep_mod:
 
 
 def winnowing_fingerprints(
-    df, text_col: str, id_col: str, window: int = 5, keep_mod: int = 8, extra=None
+    df, text_col: str, id_col: str, window: int = 5, keep_mod: int = 8,
+    extra=None, hash_fn: str = "xxhash64",
 ):
     """Staged winnowing fingerprints: ``(id_col, *extra, fingerprints
     array<bigint>, n_selected)``. ``extra`` is an optional ``{alias:
     Column}`` dict of passthrough expressions evaluated in the first
     projection (e.g. a whole-document hash) so callers don't need a join.
 
-    Two projections: (1) hash each token ONCE (``xxhash64`` per token);
-    (2) per window position, chain the pre-hashed longs with
-    ``xxhash64(acc, x)`` — fixed-width work per window element instead of
-    re-joining and re-hashing strings, and the staging stops CollapseProject
-    from re-inlining the token hashing into every window.
+    Two projections: (1) hash each token ONCE; (2) per window position,
+    chain the pre-hashed longs with a fixed-width combine — fixed work per
+    window element instead of re-joining and re-hashing strings, and the
+    staging stops CollapseProject from re-inlining the token hashing into
+    every window.
+
+    ``hash_fn``: ``"xxhash64"`` (default) hashes tokens with xxhash64 and
+    chains with ``xxhash64(acc, x)``. ``"portable"`` hashes tokens with
+    :func:`functions.portable_hash60` folded into the 31-bit field and
+    chains with the multiply-mod round ``(acc·MUL1 + x) mod 2³¹`` (the
+    ``packing.epoch_shuffle_key`` constants; every product < 2^63 in both
+    engines) — the whole fingerprint set becomes exactly computable by a
+    DuckDB oracle (``list_reduce(list_prepend(0, slice), ...)`` twin).
     """
+    from data_engineering_nd_datalake_project_4_spark.operators.packing import (
+        SHUFFLE_MOD,
+        _SHUFFLE_MUL1,
+    )
+
+    if hash_fn not in ("xxhash64", "portable"):
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'portable', got {hash_fn!r}")
     extra = extra or {}
+    if hash_fn == "portable":
+        tok_hash = lambda t: F.pmod(portable_hash60(t), F.lit(SHUFFLE_MOD))  # noqa: E731
+        combine = lambda acc, x: (acc * F.lit(_SHUFFLE_MUL1) + x) % F.lit(SHUFFLE_MOD)  # noqa: E731
+    else:
+        # wrapped: the variadic F.xxhash64 itself is rejected as a
+        # higher-order-function lambda (non-positional *cols signature)
+        tok_hash = lambda t: F.xxhash64(t)  # noqa: E731
+        combine = lambda acc, x: F.xxhash64(acc, x)  # noqa: E731
     hashed = df.select(
         F.col(id_col),
         *[c.alias(a) for a, c in extra.items()],
-        F.transform(tokens(text_col), lambda t: F.xxhash64(t)).alias("__th"),
+        F.transform(tokens(text_col), tok_hash).alias("__th"),
     )
     th = F.col("__th")
     k = F.size(th) - F.lit(window - 1)
@@ -158,11 +188,11 @@ def winnowing_fingerprints(
 
     def window_hash(i):
         return F.aggregate(
-            F.slice(th, i + 1, window), F.lit(0).cast("long"), lambda acc, x: F.xxhash64(acc, x)
+            F.slice(th, i + 1, window), F.lit(0).cast("long"), combine
         )
 
     all_fps = F.when(F.size(th) >= window, F.transform(idx, window_hash)).otherwise(
-        F.array(F.aggregate(th, F.lit(0).cast("long"), lambda acc, x: F.xxhash64(acc, x)))
+        F.array(F.aggregate(th, F.lit(0).cast("long"), combine))
     )
     selected = F.array_sort(F.filter(all_fps, lambda h: h % keep_mod == 0))
     return hashed.select(

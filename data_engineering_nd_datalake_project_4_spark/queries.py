@@ -9,9 +9,14 @@ sorts columns by name). Determinism policy per SURVEY.md §2.3: DECIMAL(18,2)
 for money sums, ROUND with stated scale for unavoidable floats, total
 ordering with unique tie-breaks, µs timestamps, ISO week / Monday=1 weekday.
 
-Queries marked ``oracle=None`` are genuinely non-SQL-expressible or
-probabilistic (MinHashLSH, SimHash, IVF) — the driver records a weaker
-rows-only check; they are property-tested in tests/ instead.
+Queries marked ``oracle=None`` are genuinely engine-internal sketches or
+RNG-dependent (HLL/approx_percentile/CMS internals, sampleBy, k-means
+float iteration) — the driver records a weaker rows-only check; they are
+property-tested in tests/ instead. The former no-oracle sketch queries
+(q35 MinHash-LSH, q36 SimHash, q40 winnowing, q42 IVF) are now exactly
+oracle-hashed via the portable MD5-60bit hash family
+(``functions.portable_hash60`` — the string companion to
+``packing.epoch_shuffle_key``).
 """
 
 from __future__ import annotations
@@ -25,6 +30,7 @@ from pyspark.sql import functions as F
 from data_engineering_nd_datalake_project_4_spark.catalog import load_table
 from data_engineering_nd_datalake_project_4_spark.functions import (
     DEC18_4,
+    PORTABLE_HASH60_SQL,
     cosine_similarity,
     dec,
     dec4,
@@ -34,6 +40,11 @@ from data_engineering_nd_datalake_project_4_spark.functions import (
     tokens,
     weekday_monday,
 )
+
+
+def _ph60(x: str) -> str:
+    """DuckDB twin of functions.portable_hash60 for oracle strings."""
+    return PORTABLE_HASH60_SQL.format(x=x)
 from data_engineering_nd_datalake_project_4_spark.operators import (
     aggregates,
     dedup,
@@ -863,34 +874,93 @@ def q34_unigram_jaccard(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+# MinHash universal-hash coefficients shared verbatim with the oracle twin.
+_MH_A, _MH_B = dedup.minhash_coeffs(32)
+_MH_SIG_SQL = ", ".join(
+    f"list_min(list_transform(hs, x -> (x*{a} + {b}) % 2147483647))"
+    for a, b in zip(_MH_A, _MH_B)
+)
+
+
 @q(
     "q35_minhash_lsh",
-    None,
-    "MinHash+LSH candidate pairs (probabilistic — rows-only check; recall "
-    "against planted near-dup groups is property-tested in tests/)",
+    f"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents WHERE text IS NOT NULL),
+         sh AS (SELECT doc_id,
+                  list_distinct(CASE WHEN len(toks) >= 3
+                    THEN list_transform(range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                    ELSE [array_to_string(toks, ' ')] END) AS shs
+                FROM d),
+         h AS (SELECT doc_id,
+                 list_transform(shs, s -> {_ph60('s')} % 2147483647) AS hs
+               FROM sh),
+         sig AS (SELECT doc_id, [{_MH_SIG_SQL}] AS sg FROM h),
+         banded AS (
+           SELECT doc_id, bb.band,
+                  {_ph60("array_to_string(list_transform("
+                         "list_slice(sg, bb.band*4 + 1, bb.band*4 + 4), "
+                         "x -> CAST(x AS VARCHAR)), ',')")} AS bucket
+           FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS band) bb),
+         capped AS (SELECT doc_id, band, bucket FROM (
+             SELECT *, COUNT(*) OVER (PARTITION BY band, bucket) AS bsz
+             FROM banded)
+           WHERE bsz <= 100)
+       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       FROM capped a JOIN capped b
+         ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       ORDER BY id_a, id_b""",
+    "MinHash+LSH candidate pairs on the portable MD5-60bit hash family "
+    "(functions.portable_hash60) — the full pipeline (shingles, universal-"
+    "hash signature, band buckets, bucket cap, pair join) is exactly "
+    "replicated by the DuckDB oracle; recall vs planted near-dup groups "
+    "stays property-tested in tests/",
 )
 def q35_minhash_lsh(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    # NULL text filtered on both sides: the portable hash maps NULL→NULL
+    # (no xxhash64 NULL→seed class), so NULL docs have no signature.
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     # trigram shingles: the synthetic docs draw from a small token vocabulary,
     # so unigram shingles collapse into a handful of giant LSH buckets
     # (O(bucket²) pair blowup); 3-gram shingles restore diversity. The
     # bucket cap guards the residual skew — the boilerplate defense at 100TB.
     return dedup.minhash_lsh_candidate_pairs(
-        d, "text", "doc_id", num_hashes=32, bands=8, shingle_n=3, max_bucket_size=100
+        d, "text", "doc_id", num_hashes=32, bands=8, shingle_n=3,
+        max_bucket_size=100, hash_fn="portable",
     ).orderBy("id_a", "id_b")
 
 
 @q(
     "q36_simhash",
-    None,
+    f"""WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS shs
+                   FROM documents WHERE doc_id < 300 AND text IS NOT NULL),
+         hh AS (SELECT doc_id, {_ph60('s')} AS h
+                FROM (SELECT doc_id, unnest(shs) AS s FROM d)),
+         bits AS (SELECT doc_id, j,
+                    SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                  FROM hh CROSS JOIN (SELECT unnest(range(0, 60)) AS j) js
+                  GROUP BY doc_id, j),
+         fp AS (SELECT doc_id,
+                  CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j)
+                           ELSE 0 END) AS BIGINT) AS f
+                FROM bits GROUP BY doc_id)
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
+       FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.f, b.f)) <= 8
+       ORDER BY id_a, id_b""",
     "SimHash near-dup pairs at hamming ≤ 8 among doc_id<300, paired via "
-    "pigeonhole banding (9 bands: any pair within 8 bits shares a band — "
-    "an exact candidate superset, so the result is identical to all-pairs; "
-    "property-tested). xxhash64-based fingerprint — not oracle-expressible",
+    "pigeonhole banding (any pair within 8 bits shares a whole band — an "
+    "exact candidate superset, so the banded result is identical to "
+    "all-pairs, which is exactly what the oracle computes). Portable "
+    "MD5-60bit fingerprint: bit-votes over bits 0..59 of "
+    "functions.portable_hash60, exactly replicated in DuckDB",
 )
 def q36_simhash(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    fp = dedup.simhash_fingerprints(d, "text", "doc_id", shingle_n=1)
+    d = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 300) & F.col("text").isNotNull()
+    )
+    fp = dedup.simhash_fingerprints(d, "text", "doc_id", shingle_n=1, hash_fn="portable")
     return dedup.simhash_near_dup_pairs(fp, "doc_id", "fp", max_hamming=8).orderBy(
         "id_a", "id_b"
     )
@@ -988,17 +1058,39 @@ def q39_token_counts(spark, sf_dir):
 
 @q(
     "q40_fingerprints",
-    None,
-    "winnowing rolling-hash fingerprints (xxhash64 — rows-only check)",
+    f"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+                   FROM documents WHERE text IS NOT NULL),
+         th AS (SELECT doc_id, text,
+                  list_transform(toks, t -> {_ph60('t')} % 2147483648) AS h
+                FROM d),
+         fps AS (SELECT doc_id, text,
+                   CASE WHEN len(h) >= 5 THEN
+                     list_transform(range(1, len(h) - 3),
+                       i -> list_reduce(
+                              list_prepend(CAST(0 AS BIGINT), list_slice(h, i, i + 4)),
+                              (a, x) -> (a * 2654435761 + x) % 2147483648))
+                   ELSE [list_reduce(
+                           list_prepend(CAST(0 AS BIGINT), h),
+                           (a, x) -> (a * 2654435761 + x) % 2147483648)] END AS f
+                 FROM th)
+       SELECT doc_id, {_ph60('text')} AS fp64,
+              CAST(len(list_filter(f, x -> x % 8 = 0)) AS INT) AS n_selected
+       FROM fps ORDER BY doc_id""",
+    "winnowing rolling-hash fingerprints on the portable hash family: "
+    "tokens hashed once with portable_hash60 folded into the 31-bit field, "
+    "5-token windows chained with the epoch-shuffle multiply-mod round, "
+    "keep-mod selection — count and whole-doc fingerprint exactly "
+    "replicated by the DuckDB oracle (list_reduce fold twin)",
 )
 def q40_fingerprints(spark, sf_dir):
     # staged chain-hash winnowing (2.5x the string-join expression form:
-    # tokens hashed once, windows combined as fixed-width xxhash64 chains);
+    # tokens hashed once, windows combined as fixed-width chains);
     # fp64 rides along as a passthrough so no join is needed
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     return text.winnowing_fingerprints(
         d, "text", "doc_id", window=5, keep_mod=8,
-        extra={"fp64": text.doc_fingerprint("text")},
+        extra={"fp64": text.doc_fingerprint("text", hash_fn="portable")},
+        hash_fn="portable",
     ).select("doc_id", "fp64", "n_selected").orderBy("doc_id")
 
 
@@ -1028,19 +1120,67 @@ def q41_embedding_near_dup(spark, sf_dir):
 
 @q(
     "q42_ivf_topk",
-    None,
-    "IVF approximate top-k (centroids = per-label mean vectors); recall vs "
-    "brute force is property-tested, not oracle-hashed",
+    """WITH u AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
+                    CAST(unnest(embedding) AS DOUBLE) AS v
+                  FROM embeddings),
+         cm AS (SELECT label, pos,
+                  CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS m
+                FROM u GROUP BY label, pos),
+         cent AS (SELECT label AS cid, list(m ORDER BY pos) AS cv
+                  FROM cm GROUP BY label),
+         q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings WHERE vec_id IN (0, 1, 2)),
+         qc AS (SELECT q.vec_id AS query_id, q.emb AS qemb, c.cid,
+                  list_dot_product(q.emb, c.cv)
+                  / (sqrt(list_dot_product(q.emb, q.emb))
+                     * sqrt(list_dot_product(c.cv, c.cv))) AS csim
+                FROM q CROSS JOIN cent c),
+         probes AS (SELECT query_id, qemb, cid FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY csim DESC NULLS LAST, cid) AS rn FROM qc)
+           WHERE rn <= 3),
+         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         vc AS (SELECT v.vec_id, v.emb, c.cid,
+                  list_dot_product(v.emb, c.cv)
+                  / (sqrt(list_dot_product(v.emb, v.emb))
+                     * sqrt(list_dot_product(c.cv, c.cv))) AS csim
+                FROM v CROSS JOIN cent c),
+         buckets AS (SELECT vec_id, emb, cid FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY csim DESC NULLS LAST, cid) AS rn FROM vc)
+           WHERE rn = 1),
+         scored AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+                      list_dot_product(p.qemb, c.emb)
+                      / (sqrt(list_dot_product(p.qemb, p.qemb))
+                         * sqrt(list_dot_product(c.emb, c.emb))) AS sim_raw
+                    FROM probes p JOIN buckets c
+                      ON p.cid = c.cid AND c.vec_id <> p.query_id)
+       SELECT query_id, neighbor_id, ROUND(sim_raw, 3) AS sim FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY sim_raw DESC NULLS LAST, neighbor_id) AS rn
+         FROM scored) WHERE rn <= 5
+       ORDER BY query_id, sim DESC NULLS LAST, neighbor_id""",
+    "IVF approximate top-k, exactly oracle-replicated: centroids are "
+    "per-label mean vectors with DECIMAL(18,9)-quantized exact sums (one "
+    "double division — order-independent cross-engine, the q136 pattern), "
+    "bucket assignment / nprobe probing / per-bucket scoring all mirror "
+    "the q30 cosine oracle idiom; recall vs brute force stays "
+    "property-tested",
 )
 def q42_ivf_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    # centroids: mean vector per label — computed as a DataFrame agg (posexplode
-    # → avg per (label, pos) → collect back to array via array_agg sorted by pos)
-    dim = 64
+    # centroids: mean vector per label — posexplode → per-(label,pos) exact
+    # decimal-quantized mean (deterministic under any partition/sum order,
+    # hence oracle-hashable) → collect back to array ordered by pos
     exploded = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
     cent = (
         exploded.groupBy("label", "pos")
-        .agg(F.avg("v").alias("m"))
+        .agg(
+            (
+                F.sum(F.col("v").cast("double").cast("decimal(18,9)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
         .groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
         .select(
