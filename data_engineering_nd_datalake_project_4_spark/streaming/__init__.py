@@ -197,7 +197,22 @@ def stream_stream_interval_join(
     Column naming: both inputs keep their own columns; alias the ts/key
     columns distinctly before calling if they collide (the self-join
     shared-attribute trap, CLAUDE.md).
+
+    ``how``: ``"inner"`` (default), ``"left_outer"``, ``"right_outer"``
+    or ``"full_outer"``. Outer semantics are WATERMARK-DRIVEN: an
+    unmatched left row is NOT emitted the moment its micro-batch ends —
+    Spark cannot know a match won't still arrive — but only once the
+    watermark passes the end of that row's join window
+    (``left_ts + upper``) and its buffered state is evicted; the
+    NULL-completed row comes out in a LATER micro-batch (see
+    test_stream_stream_left_outer_null_completion). This is why Spark
+    refuses outer variants without both watermarks and two-sided time
+    bounds: null-completion would otherwise never be decidable.
     """
+    if how not in ("inner", "left_outer", "right_outer", "full_outer"):
+        raise ValueError(
+            f"how must be inner/left_outer/right_outer/full_outer, got {how!r}"
+        )
     # watermark=None means the caller already applied one (Spark refuses a
     # second withWatermark on the same stream: "Redefining watermark")
     lw = left.withWatermark(left_ts, watermark) if (watermark and left.isStreaming) else left

@@ -255,6 +255,130 @@ def test_stream_stream_join_matches_across_microbatches(spark, tmp_path_factory)
     ], rows
 
 
+def test_stream_stream_left_outer_null_completion(spark, tmp_path_factory):
+    """LEFT OUTER stream-stream interval join: an unmatched left row is
+    emitted with a NULL right side ONLY after the watermark passes the end
+    of its join window (left_ts + upper) — never eagerly at the end of its
+    own micro-batch (a match could still arrive). Two checkpointed
+    availableNow phases prove both directions:
+
+    - phase A: left imp@00:00 (never matched) + right clicks up to 02:00.
+      The 02:00 event only RAISES the watermark after its batch; no later
+      batch runs, so state is not yet evicted -> NO output rows.
+    - phase B: late files on BOTH sides (the GLOBAL watermark is the MIN
+      across watermarked inputs — a silent left source pins it at epoch
+      forever, the first thing this test caught) raise the watermark past
+      01:50, and the following batch evicts ad 1's state and emits exactly
+      (1, imp_ts, NULL). Matched pairs for ad 2 flow normally.
+    Finally the closed-window rows equal the batch left join's.
+    """
+    imp_dir = str(tmp_path_factory.mktemp("imp_lo"))
+    clk_dir = str(tmp_path_factory.mktemp("clk_lo"))
+    out_dir = str(tmp_path_factory.mktemp("out_lo")) + "/rows"
+    ckpt = str(tmp_path_factory.mktemp("ckpt_lo"))
+
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-01 00:01:00")],
+        "ad_id INT, ts STRING",
+    ).select("ad_id", F.to_timestamp("ts").alias("imp_ts")).coalesce(1).write.parquet(
+        imp_dir + "/b1"
+    )
+    # b1: the match for ad 2; b2: a far-future click that advances the
+    # watermark past ad 1's window end once ITS batch completes
+    spark.createDataFrame(
+        [(2, "2024-01-01 00:05:00")], "ad_id INT, ts STRING"
+    ).select("ad_id", F.to_timestamp("ts").alias("clk_ts")).coalesce(1).write.parquet(
+        clk_dir + "/b1"
+    )
+    spark.createDataFrame(
+        [(98, "2024-01-01 02:00:00")], "ad_id INT, ts STRING"
+    ).select("ad_id", F.to_timestamp("ts").alias("clk_ts")).coalesce(1).write.parquet(
+        clk_dir + "/b2"
+    )
+
+    def _joined():
+        imp_s = spark.readStream.schema("ad_id INT, imp_ts TIMESTAMP").parquet(
+            imp_dir + "/*"
+        )
+        clk_s = (
+            spark.readStream.schema("ad_id INT, clk_ts TIMESTAMP")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(clk_dir + "/*")
+        )
+        return stream_stream_interval_join(
+            imp_s, clk_s, "ad_id", "imp_ts", "clk_ts",
+            lower="0 seconds", upper="10 minutes", watermark="10 minutes",
+            how="left_outer",
+        ).select(imp_s["ad_id"].alias("ad_id"), "imp_ts", "clk_ts")
+
+    def _drain():
+        q = (
+            _joined().writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        spark.catalog.refreshByPath(out_dir)
+        try:
+            return spark.read.parquet(out_dir).collect()
+        except Exception:
+            return []  # sink dir may hold no files yet (phase A)
+
+    rows_a = _drain()
+    # phase A: ad 2's match emits as soon as both sides are in state; ad 1
+    # must NOT have null-completed yet (watermark raised by 02:00 click
+    # only takes effect in a subsequent batch, which hasn't run)
+    assert [(r["ad_id"], r["clk_ts"] is None) for r in rows_a] == [(2, False)], rows_a
+
+    # late data on BOTH sides: the join's watermark is min(left, right), so
+    # the left source must advance too (ad 99's own window stays open past
+    # the end of the test — it must NOT null-complete)
+    spark.createDataFrame(
+        [(99, "2024-01-01 03:00:00")], "ad_id INT, ts STRING"
+    ).select("ad_id", F.to_timestamp("ts").alias("imp_ts")).coalesce(1).write.parquet(
+        imp_dir + "/b2"
+    )
+    # two right files -> two more micro-batches: the first runs BEFORE the
+    # raised watermark applies (watermark advances take effect in the NEXT
+    # batch), the second runs under wm=02:50 and flushes the eviction
+    spark.createDataFrame(
+        [(97, "2024-01-01 03:00:00")], "ad_id INT, ts STRING"
+    ).select("ad_id", F.to_timestamp("ts").alias("clk_ts")).coalesce(1).write.parquet(
+        clk_dir + "/b3"
+    )
+    spark.createDataFrame(
+        [(96, "2024-01-01 03:01:00")], "ad_id INT, ts STRING"
+    ).select("ad_id", F.to_timestamp("ts").alias("clk_ts")).coalesce(1).write.parquet(
+        clk_dir + "/b4"
+    )
+    spark.catalog.refreshByPath(clk_dir)
+    spark.catalog.refreshByPath(imp_dir)
+    rows_b = _drain()
+    got = {(r["ad_id"], str(r["clk_ts"])) for r in rows_b}
+    assert got == {
+        (2, "2024-01-01 00:05:00"),  # matched pair (phase A)
+        (1, "None"),  # null-completed ONLY after watermark passed 00:10
+    }, rows_b
+
+    # batch equivalence on closed windows: same inputs, same call, batch
+    # plans. Ad 99's join window ([03:00, 03:10]) never closed before the
+    # final stream watermark, so the stream rightly hasn't emitted it yet;
+    # the batch plan (which sees the complete input) does — compare on the
+    # windows the stream has decided.
+    imp_b = spark.read.parquet(imp_dir + "/*")
+    clk_b = spark.read.parquet(clk_dir + "/*")
+    batch = stream_stream_interval_join(
+        imp_b, clk_b, "ad_id", "imp_ts", "clk_ts",
+        lower="0 seconds", upper="10 minutes", watermark="10 minutes",
+        how="left_outer",
+    ).select(imp_b["ad_id"].alias("ad_id"), "imp_ts", "clk_ts")
+    closed = batch.filter(F.col("imp_ts") < F.lit("2024-01-01 02:40:00").cast("timestamp"))
+    assert got == {(r["ad_id"], str(r["clk_ts"])) for r in closed.collect()}
+
+
 def _slide(df):
     agg = sliding_agg(
         df,
