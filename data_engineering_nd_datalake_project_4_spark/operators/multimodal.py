@@ -365,3 +365,168 @@ def media_stats(df: DataFrame) -> DataFrame:
             F.max(F.length("content")).alias("max_bytes"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (aHash / dHash) + near-dup pairing
+# ---------------------------------------------------------------------------
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("phash", LongType(), True),
+    ]
+)
+
+
+def _luminance_grid(arr, rows: int, cols: int):
+    """Block-mean luminance grid (rows×cols, float64). Block boundaries are
+    ``linspace`` cuts — when the image IS rows×cols, each block is exactly
+    one pixel (the property the q146 oracle twin relies on)."""
+    import numpy as np
+
+    lum = arr.astype("float64").mean(axis=2)
+    hs = np.linspace(0, lum.shape[0], rows + 1).astype(int)
+    ws = np.linspace(0, lum.shape[1], cols + 1).astype(int)
+    g = np.empty((rows, cols), dtype="float64")
+    for i in range(rows):
+        for j in range(cols):
+            block = lum[
+                hs[i] : max(hs[i + 1], hs[i] + 1), ws[j] : max(ws[j + 1], ws[j] + 1)
+            ]
+            g[i, j] = block.mean()
+    return g
+
+
+def perceptual_hash_bits(arr, method: str = "ahash", hash_size: int = 8) -> int:
+    """Perceptual hash of a decoded (H, W, C) uint8 image as a SIGNED 64-bit
+    int (bit i may be the sign bit — same wrap as Spark's ``1L << 63``).
+
+    - ``ahash`` (average hash): ``hash_size²`` block-mean luminance grid;
+      bit k = grid cell k > grid mean. Robust to resize/brightness noise.
+    - ``dhash`` (difference hash): ``hash_size×(hash_size+1)`` grid; bit
+      k = cell[i, j+1] > cell[i, j] (horizontal gradient sign). Robust to
+      global brightness/contrast shifts (any monotone per-pixel map).
+
+    ``hash_size`` must satisfy ``hash_size² <= 64`` (the hash rides a
+    single BIGINT so the pair join shuffles 8-byte keys).
+    """
+    if hash_size * hash_size > 64:
+        raise ValueError(f"hash_size^2 ({hash_size}^2) must fit in 64 bits")
+    if method == "ahash":
+        g = _luminance_grid(arr, hash_size, hash_size)
+        bits = (g > g.mean()).flatten()
+    elif method == "dhash":
+        g = _luminance_grid(arr, hash_size, hash_size + 1)
+        bits = (g[:, 1:] > g[:, :-1]).flatten()
+    else:
+        raise ValueError(f"method must be 'ahash' or 'dhash', got {method!r}")
+    v = 0
+    for k, b in enumerate(bits):
+        if b:
+            v |= 1 << k
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def image_perceptual_hashes(
+    df: DataFrame,
+    method: str = "ahash",
+    hash_size: int = 8,
+    strict: bool = False,
+) -> DataFrame:
+    """Per-image perceptual hash via mapInPandas: MEDIA_SCHEMA in,
+    ``(media_id, phash)`` out. netpbm payloads decode for REAL; other
+    codecs raise (``strict=True``) or hash to a deterministic
+    sha256-derived fake (the container has no JPEG/PNG libs — the
+    plumbing and the pair join are what is exercised either way).
+    NULL content → NULL phash (drops out of the pair join, mirroring the
+    portable-hash NULL policy)."""
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = pdf[pdf["kind"] == "image"]
+            out = []
+            for c in rows["content"]:
+                if c is None:
+                    out.append(None)
+                    continue
+                arr = decode_netpbm(bytes(c))
+                if arr is not None:
+                    out.append(perceptual_hash_bits(arr, method, hash_size))
+                elif strict:
+                    raise NotImplementedError(
+                        "only netpbm (P5/P6) decodes natively; JPEG/PNG need "
+                        "PIL/opencv (not in this container)"
+                    )
+                else:
+                    fake = int.from_bytes(
+                        hashlib.sha256(bytes(c)).digest()[:8], "little", signed=True
+                    )
+                    out.append(fake)
+            yield pd.DataFrame({"media_id": rows["media_id"], "phash": out})
+
+    return df.mapInPandas(batches, PHASH_SCHEMA)
+
+
+def image_near_dup_pairs(
+    hash_df: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """EXACT perceptual near-dup pairs (``hamming <= max_hamming``) via the
+    same pigeonhole banding as SimHash text dedup
+    (:func:`operators.dedup.simhash_near_dup_pairs` — two 64-bit hashes
+    within h bits must agree on one of h+1 contiguous bands, so the
+    band-bucket equi-join is a guaranteed candidate superset and the
+    result equals all-pairs). Ties the multimodal surface into the dedup
+    family: per-image work is the narrow decode stage; the pair join
+    shuffles only (id, 8-byte band value) rows."""
+    from data_engineering_nd_datalake_project_4_spark.operators.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(
+        hash_df.filter(F.col(hash_col).isNotNull()), id_col, hash_col, max_hamming
+    )
+
+
+def images_from_pixel_arrays(
+    df: DataFrame,
+    id_col: str = "media_id",
+    px_col: str = "px",
+    width: int = 8,
+    height: int = 8,
+) -> DataFrame:
+    """Render precomputed grayscale pixel arrays (``array<int>`` 0..255,
+    row-major, len = width*height) into REAL P5 netpbm blobs in
+    MEDIA_SCHEMA shape — the bridge that lets tabular queries exercise
+    the full binary decode path end-to-end (q146: embeddings → image →
+    decode → perceptual hash). Narrow mapInPandas; rows with NULL or
+    wrong-length arrays get NULL content."""
+    import numpy as np
+    import pandas as pd
+
+    need = width * height
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            content = []
+            for p in pdf[px_col]:
+                if p is None or len(p) != need:
+                    content.append(None)
+                    continue
+                arr = np.asarray(p, dtype="uint8").reshape(height, width, 1)
+                content.append(encode_netpbm(arr))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "kind": "image",
+                    "content": content,
+                    "mime": "image/x-portable-graymap",
+                    "width": width,
+                    "height": height,
+                    "duration_ms": None,
+                }
+            )
+
+    return df.mapInPandas(batches, MEDIA_SCHEMA)

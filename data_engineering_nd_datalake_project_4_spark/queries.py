@@ -49,6 +49,7 @@ from data_engineering_nd_datalake_project_4_spark.operators import (
     aggregates,
     dedup,
     joins,
+    multimodal,
     setops,
     similarity,
     sort,
@@ -4918,3 +4919,57 @@ def q145_interval_overlap_join(spark, sf_dir):
         "id_b",
         (F.least("a_e", "b_e") - F.greatest("a_s", "b_s")).cast("long").alias("overlap_days"),
     ).orderBy("id_a", "id_b")
+
+
+@q(
+    "q146_image_phash",
+    """WITH px AS (
+         SELECT vec_id,
+                list_transform(embedding[1:64],
+                  e -> GREATEST(0, LEAST(255,
+                         CAST(floor((CAST(e AS DOUBLE) + 1) * 127.5) AS BIGINT)))) AS p
+         FROM embeddings WHERE vec_id < 500),
+       cells AS (SELECT vec_id, generate_subscripts(p, 1) - 1 AS k,
+                        CAST(unnest(p) AS DOUBLE) AS v
+                 FROM px),
+       m AS (SELECT vec_id, SUM(v) / 64.0 AS mean FROM cells GROUP BY vec_id),
+       bits AS (SELECT c.vec_id, c.k,
+                       CASE WHEN c.v > m.mean THEN 1 ELSE 0 END AS b
+                FROM cells c JOIN m USING (vec_id)),
+       ph AS (SELECT vec_id,
+                CAST(SUM(CASE WHEN b = 1 AND k < 63
+                              THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT)
+                + CASE WHEN MAX(CASE WHEN k = 63 AND b = 1 THEN 1 ELSE 0 END) = 1
+                       THEN -9223372036854775807 - 1 ELSE 0 END AS phash
+              FROM bits GROUP BY vec_id)
+       SELECT vec_id AS media_id, phash FROM ph ORDER BY media_id""",
+    "perceptual image hash (aHash), exercised END-TO-END through real "
+    "binary media: embeddings render to genuine P5 netpbm blobs (pixel = "
+    "clip(floor((e+1)*127.5)) — a LOCALITY-PRESERVING map computed in "
+    "Catalyst so both engines share the exact integer image), mapInPandas "
+    "decodes the bytes back and aHashes the 8x8 luminance grid (integer "
+    "pixel sums are exact in float64, so grid mean and bits are "
+    "bit-deterministic). The oracle recomputes every 64-bit hash "
+    "arithmetically — exact equality over all 500 signed BIGINTs gates "
+    "the whole render->decode->hash pipeline. The near-dup PAIR join "
+    "(image_near_dup_pairs = SimHash pigeonhole banding) is covered by "
+    "planted-duplicate tests; this synthetic corpus has no image "
+    "near-dups (min pairwise hamming 15), so a pair query would gate "
+    "nothing",
+)
+def q146_image_phash(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    px = emb.select(
+        F.col("vec_id").alias("media_id"),
+        F.transform(
+            F.slice("embedding", 1, 64),
+            lambda e: F.greatest(
+                F.lit(0),
+                F.least(F.lit(255), F.floor((e.cast("double") + 1) * 127.5)),
+            ).cast("int"),
+        ).alias("px"),
+    )
+    media = multimodal.images_from_pixel_arrays(px, "media_id", "px", width=8, height=8)
+    return multimodal.image_perceptual_hashes(media, method="ahash", hash_size=8).orderBy(
+        "media_id"
+    )

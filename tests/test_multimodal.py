@@ -165,3 +165,102 @@ def test_wav_decode_rejects_non_pcm(spark):
         multimodal.audio_features(df, strict=True).collect()
     fallback = multimodal.audio_features(df).collect()[0]
     assert fallback["sample_rate"] == 0 and len(fallback["features"]) == 16
+
+
+# ---------------------------------------------------------------------------
+# perceptual hashing (aHash/dHash) + near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def _p5(arr):
+    return multimodal.encode_netpbm(arr.reshape(arr.shape[0], arr.shape[1], 1))
+
+
+@pytest.fixture(scope="module")
+def planted_media(spark):
+    """Real P5 images: a base gradient, a near-duplicate (small noise), a
+    brightness-shifted copy, and two unrelated textures."""
+    import numpy as np
+
+    # gradient max 10*15+3*15=195, so +40 brightness never saturates (a
+    # clipped corner flattens the gradient and breaks dHash invariance)
+    base = np.add.outer(np.arange(16) * 10, np.arange(16) * 3).astype("uint8")
+    noisy = base.copy()
+    noisy[3, 5] = min(255, int(noisy[3, 5]) + 9)  # one-pixel blip
+    bright = (base.astype(int) + 40).astype("uint8")
+    rng = [(i * 37 + j * 101) % 251 for i in range(16) for j in range(16)]
+    tex1 = np.array(rng, dtype="uint8").reshape(16, 16)
+    tex2 = np.array(rng[::-1], dtype="uint8").reshape(16, 16)
+    rows = [
+        (1, "image", _p5(base), "image/x-portable-graymap", 16, 16, None),
+        (2, "image", _p5(noisy), "image/x-portable-graymap", 16, 16, None),
+        (3, "image", _p5(bright), "image/x-portable-graymap", 16, 16, None),
+        (4, "image", _p5(tex1), "image/x-portable-graymap", 16, 16, None),
+        (5, "image", _p5(tex2), "image/x-portable-graymap", 16, 16, None),
+        (6, "image", None, "image/x-portable-graymap", None, None, None),
+    ]
+    return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA).repartition(2)
+
+
+def test_ahash_planted_duplicates_pair(planted_media):
+    hashes = multimodal.image_perceptual_hashes(planted_media, method="ahash")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal.image_near_dup_pairs(hashes, max_hamming=8).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 2  # one-pixel blip
+    assert (1, 3) in pairs  # aHash is brightness-robust (mean shifts along)
+    # unrelated textures never pair with the gradient family
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_dhash_brightness_invariant_exact(planted_media):
+    """dHash compares neighboring cells, so a GLOBAL +40 brightness shift
+    (monotone map) leaves the gradient-sign bits byte-identical."""
+    hashes = {
+        r["media_id"]: r["phash"]
+        for r in multimodal.image_perceptual_hashes(
+            planted_media, method="dhash"
+        ).collect()
+    }
+    assert hashes[1] == hashes[3]
+    assert hashes[1] != hashes[4]
+    assert hashes[6] is None  # NULL content -> NULL phash
+
+
+def test_phash_banding_equals_all_pairs(planted_media):
+    """The pigeonhole banding join must return EXACTLY the all-pairs
+    hamming result (same guarantee as text SimHash)."""
+    hashes = multimodal.image_perceptual_hashes(planted_media).collect()
+    hv = {r["media_id"]: r["phash"] for r in hashes if r["phash"] is not None}
+    want = {
+        (a, b): bin((hv[a] ^ hv[b]) & ((1 << 64) - 1)).count("1")
+        for a in hv
+        for b in hv
+        if a < b and bin((hv[a] ^ hv[b]) & ((1 << 64) - 1)).count("1") <= 8
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal.image_near_dup_pairs(
+            multimodal.image_perceptual_hashes(planted_media), max_hamming=8
+        ).collect()
+    }
+    assert got == want
+
+
+def test_phash_strict_rejects_compressed(media):
+    with pytest.raises(Exception, match="NotImplementedError|netpbm"):
+        multimodal.image_perceptual_hashes(media, strict=True).collect()
+
+
+def test_phash_hash_size_validation(planted_media):
+    import numpy as np
+
+    with pytest.raises(ValueError, match="fit in 64 bits"):
+        multimodal.perceptual_hash_bits(
+            np.zeros((8, 8, 1), dtype="uint8"), "ahash", hash_size=9
+        )
+    with pytest.raises(ValueError, match="ahash.*dhash|method"):
+        multimodal.perceptual_hash_bits(
+            np.zeros((8, 8, 1), dtype="uint8"), "md5", hash_size=8
+        )
