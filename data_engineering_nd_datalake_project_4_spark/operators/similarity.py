@@ -464,40 +464,70 @@ def semantic_dedup(
     threshold: float = 0.45,
     bands: int = 4,
     band_bits: int = 4,
+    blocking: str = "lsh",
+    clusters: int = 8,
+    kmeans_iters: int = 3,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): a vector
     is REMOVED when some candidate with a SMALLER id has cosine similarity
     ≥ ``threshold`` — keep-earliest, so the kept set is deterministic and
-    order-free. Candidates come from :func:`banded_sign_lsh_keys` blocking
-    (pairs sharing any band key), the same shape SemDeDup gets from
-    k-means clusters but deterministic and oracle-checkable; pairs the
-    banding misses are the documented approximation, tunable via
-    bands/band_bits (use :func:`blocked_all_pairs_cosine` for the exact
-    variant at oracle scale).
+    order-free.
+
+    ``blocking`` picks the candidate generator; the rescore/threshold/
+    keep-earliest semantics are identical either way:
+
+    - ``"lsh"`` (default): :func:`banded_sign_lsh_keys` — pairs sharing
+      any band key. Deterministic and oracle-checkable (q142); pairs the
+      banding misses are the documented approximation, tunable via
+      bands/band_bits.
+    - ``"kmeans"``: the published SemDeDup shape — vectors block by
+      their k-means cluster (``clusters``/``kmeans_iters``;
+      :func:`kmeans`'s assignment step folds the centroids into the plan
+      as literals, so assignment is MAP-SIDE — the broadcast-centroid
+      pattern) and only same-cluster pairs rescore. Right for trained
+      embeddings where clusters capture semantics; iterative → not
+      oracle-expressible (property-tested equality vs the exact variant
+      on planted duplicates instead).
+
+    Use :func:`blocked_all_pairs_cosine` for the exact variant at oracle
+    scale.
 
     Returns the input plus a ``sem_removed`` boolean — every row is
     accounted for (quarantine-style observability, q140 pattern).
 
-    Scale shape: the candidate self-join shuffles only (id, band, key)
-    16-byte rows; vectors are re-joined by id ONCE per pair side for the
-    cosine rescore (not bands× — the pair set is distinct'd first);
-    zero-norm vectors get NULL cosine (try_divide) and are never removed,
-    matching DuckDB. Real deployments run threshold 0.9+ on trained
-    embeddings; the default is calibrated to this repo's synthetic
-    near-uniform vectors.
+    Scale shape: the candidate self-join shuffles only (id, band, key) /
+    (id, cluster) 16-byte rows; vectors are re-joined by id ONCE per pair
+    side for the cosine rescore (not bands× — the LSH pair set is
+    distinct'd first); zero-norm vectors get NULL cosine (try_divide) and
+    are never removed, matching DuckDB. Real deployments run threshold
+    0.9+ on trained embeddings; the default is calibrated to this repo's
+    synthetic near-uniform vectors.
     """
-    # the key frame is consumed by both self-join sides; the projection is
-    # cheap once spread (see kernel note above), so re-evaluating it per
-    # side costs less than an eager materialization job would
-    keys = banded_sign_lsh_keys(vectors, id_col, vec_col, bands, band_bits)
-    a = keys.select(F.col(id_col).alias("__ida"), "band", "band_key")
-    b = keys.select(F.col(id_col).alias("__idb"), "band", "band_key")
-    cand = (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("__ida") < F.col("__idb"))
-        .select("__ida", "__idb")
-        .distinct()
-    )
+    if blocking == "lsh":
+        # the key frame is consumed by both self-join sides; the projection
+        # is cheap once spread (see kernel note above), so re-evaluating it
+        # per side costs less than an eager materialization job would
+        keys = banded_sign_lsh_keys(vectors, id_col, vec_col, bands, band_bits)
+        a = keys.select(F.col(id_col).alias("__ida"), "band", "band_key")
+        b = keys.select(F.col(id_col).alias("__idb"), "band", "band_key")
+        cand = (
+            a.join(b, ["band", "band_key"])
+            .filter(F.col("__ida") < F.col("__idb"))
+            .select("__ida", "__idb")
+            .distinct()
+        )
+    elif blocking == "kmeans":
+        assignments, _ = kmeans(vectors, id_col, vec_col, k=clusters, iters=kmeans_iters)
+        a = assignments.select(F.col("id").alias("__ida"), "cluster")
+        b = assignments.select(F.col("id").alias("__idb"), "cluster")
+        # one cluster per id -> pair set is already distinct
+        cand = (
+            a.join(b, "cluster")
+            .filter(F.col("__ida") < F.col("__idb"))
+            .select("__ida", "__idb")
+        )
+    else:
+        raise ValueError(f"blocking must be 'lsh' or 'kmeans', got {blocking!r}")
     # Precompute each vector's L2 norm ONCE (per vector, not per pair):
     # the rescore then costs one interpreted HOF aggregate per pair (the
     # dot) instead of three. try_divide(dot, na*nb) is the exact same

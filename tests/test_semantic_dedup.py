@@ -68,3 +68,57 @@ def test_parameter_validation(spark):
         S.banded_sign_lsh_keys(df, bands=0)
     with pytest.raises(ValueError, match="band_bits"):
         S.banded_sign_lsh_keys(df, band_bits=-1)
+
+
+def test_kmeans_blocking_equals_exact_on_planted(spark):
+    """The published SemDeDup shape: block by k-means cluster. On three
+    well-separated vector families with planted near-duplicates inside
+    each, the cluster blocking must produce EXACTLY the removal set of
+    the brute-force all-pairs rescore (duplicates always co-cluster:
+    the argmin assignment is deterministic and near-identical vectors
+    share it)."""
+    import itertools
+    import math
+
+    fams = {
+        0: [10.0, 0.0, 0.0, 1.0],
+        1: [0.0, 10.0, 0.0, -1.0],
+        2: [0.0, 0.0, 10.0, 0.5],
+    }
+    # ids interleave across families so kmeans' deterministic init (the k
+    # smallest ids) seeds one centroid per family — with all three seeds
+    # from one family Lloyd's can split that family across clusters and
+    # the blocking would miss pairs (standard k-means init sensitivity,
+    # not a blocking defect)
+    rows = []
+    vid = 0
+    for j in range(4):
+        for f, base in fams.items():
+            v = list(base)
+            v[3] += j * 1e-3  # near-dups within the family
+            rows.append((vid, v))
+            vid += 1
+    df = _vecs(spark, rows)
+    out = _status(
+        S.semantic_dedup(df, threshold=0.999, blocking="kmeans", clusters=3)
+    )
+
+    # exact removal set via brute force
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    vec = dict(rows)
+    exact_removed = {
+        j for i, j in itertools.combinations(sorted(vec), 2) if cos(vec[i], vec[j]) >= 0.999
+    }
+    assert out == {i: (i in exact_removed) for i in vec}
+    # sanity: something actually got removed, and the earliest of each
+    # family survived
+    assert exact_removed and all(out[f] is False for f in fams)
+
+
+def test_blocking_validation(spark):
+    df = _vecs(spark, [(1, [1.0, 2.0])])
+    with pytest.raises(ValueError, match="blocking"):
+        S.semantic_dedup(df, blocking="ann")
