@@ -575,13 +575,43 @@ def connected_components(
 
 
 def stratified_sample(
-    df: DataFrame, stratum_col: str, fractions: dict, seed: int = 42
+    df: DataFrame,
+    stratum_col: str,
+    fractions: dict,
+    seed: int = 42,
+    id_col: str | None = None,
 ) -> DataFrame:
-    """Per-stratum Bernoulli sampling (``sampleBy``): the corpus-mixing
-    primitive — downweight overrepresented sources/languages by fraction.
-    Deterministic for a fixed seed+partitioning, but engine-specific RNG →
-    never oracle-hashed; per-stratum rates are property-tested."""
-    return df.sampleBy(stratum_col, fractions, seed)
+    """Per-stratum Bernoulli sampling: the corpus-mixing primitive —
+    downweight overrepresented sources/languages by fraction. Strata not
+    in ``fractions`` (including NULL) are dropped, matching ``sampleBy``.
+
+    Two methods:
+    - ``id_col=None`` (default): ``sampleBy`` — engine-specific RNG,
+      deterministic for a fixed seed+partitioning but never oracle-hashed;
+      per-stratum rates are property-tested.
+    - ``id_col=...``: hash-threshold sampling on the portable
+      ``packing.epoch_shuffle_key`` of the id — keep a row iff its key
+      falls below ``fraction`` of the 2³¹ key space (the q138/q139
+      epoch-sample construction, per stratum). Fully deterministic ACROSS
+      ENGINES, so the sample — not just its rate — is exactly
+      oracle-checkable; also replay-identical across cluster sizes and
+      partitionings, which sampleBy is not. The per-row cost is two
+      multiply-mod rounds; no RNG state, no shuffle.
+    """
+    if id_col is None:
+        return df.sampleBy(stratum_col, fractions, seed)
+    from data_engineering_nd_datalake_project_4_spark.operators.packing import (
+        SHUFFLE_MOD,
+        epoch_shuffle_key,
+    )
+
+    key = epoch_shuffle_key(id_col, seed)
+    thresh = F.lit(None).cast("long")
+    for stratum, frac in sorted(fractions.items()):
+        thresh = F.when(
+            F.col(stratum_col) == F.lit(stratum), F.lit(int(frac * SHUFFLE_MOD))
+        ).otherwise(thresh)
+    return df.filter(key < thresh)
 
 
 def weighted_corpus_mix(

@@ -22,25 +22,42 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from data_engineering_nd_datalake_project_4_spark.functions import portable_hash60
+
+
+def _cms_bucket(value: Column, row: Column, width: int, hash_fn: str) -> Column:
+    """Seeded bucket hash for one CMS row. ``xxhash64`` seeds via the
+    extra argument; ``portable`` (functions.portable_hash60 — exactly
+    computable in DuckDB) seeds by appending chr(0) + row index to the
+    value string: ``v || chr(0) || row``, the same construction the
+    oracle writes."""
+    if hash_fn == "portable":
+        seeded = F.concat(value.cast("string"), F.lit("\x00"), row.cast("string"))
+        return F.pmod(portable_hash60(seeded), F.lit(width))
+    if hash_fn != "xxhash64":
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'portable', got {hash_fn!r}")
+    return F.pmod(F.xxhash64(value, row), F.lit(width))
+
 
 def build_cms(
     df: DataFrame,
     col: str,
     width: int = 2048,
     depth: int = 5,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """One-scan Count-Min sketch: DataFrame[row, bucket, cnt] with
     ``depth`` hash rows of ``width`` buckets. Error: overestimate only,
-    ≤ e/width · N with probability 1 - e^-depth."""
+    ≤ e/width · N with probability 1 - e^-depth. ``hash_fn='portable'``
+    makes the whole sketch (and every estimate from it) bit-identical in
+    a DuckDB oracle at ~2-3× hashing cost — default stays xxhash64."""
     rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
     return (
         df.select(F.col(col).alias("__v"))
         .select("__v", rows)
         .select(
             "row",
-            F.pmod(F.xxhash64(F.col("__v"), F.col("row")), F.lit(width)).alias(
-                "bucket"
-            ),
+            _cms_bucket(F.col("__v"), F.col("row"), width, hash_fn).alias("bucket"),
         )
         .groupBy("row", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -64,10 +81,12 @@ def cms_estimate(
     col: str,
     width: int = 2048,
     depth: int = 5,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Estimated frequency for each distinct value in ``items[col]``:
     min over the depth hash rows of the matching bucket counters. The
-    sketch side is broadcast (it is depth × width rows at most)."""
+    sketch side is broadcast (it is depth × width rows at most).
+    ``hash_fn`` must match the sketch's build."""
     rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
     probes = (
         items.select(F.col(col).alias("item"))
@@ -76,9 +95,7 @@ def cms_estimate(
         .select(
             "item",
             "row",
-            F.pmod(F.xxhash64(F.col("item"), F.col("row")), F.lit(width)).alias(
-                "bucket"
-            ),
+            _cms_bucket(F.col("item"), F.col("row"), width, hash_fn).alias("bucket"),
         )
     )
     return (
@@ -87,3 +104,79 @@ def cms_estimate(
         .groupBy("item")
         .agg(F.min("cnt").alias("est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Explicit HyperLogLog on the portable hash (oracle-checkable distinct count)
+# ---------------------------------------------------------------------------
+
+def _hll_alpha(m: int) -> float:
+    """Flajolet et al. 2007 bias-correction constant for m >= 128."""
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_registers(df: DataFrame, col: str, p: int = 12) -> DataFrame:
+    """HyperLogLog registers as a DataFrame[bucket, reg] — the classic
+    algorithm implemented as ONE partial-aggregating groupBy over the
+    portable 60-bit hash, so (unlike ``approx_count_distinct`` /
+    ``hll_sketch_agg``, whose register layout is engine-internal) the
+    sketch is exactly computable by a DuckDB oracle:
+
+    - bucket = low ``p`` hash bits; w = the remaining ``60 - p`` bits;
+    - rho(w) = trailing-zero count of w + 1, computed EXACTLY in integer
+      arithmetic as ``bit_count((w & -w) - 1) + 1`` (w = 0 → 60 - p + 1)
+      — no float log2, whose rounding at exact powers of two differs
+      between libm implementations;
+    - reg = MAX(rho) per bucket. Empty buckets are NOT materialized —
+      estimators recover them as ``m - count(buckets)``.
+
+    The register table is ≤ 2^p rows of two ints: mergeable across
+    shards/days by MAX, broadcastable, and the only state at 100 TB.
+    NULLs are excluded (COUNT DISTINCT semantics)."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    m = 1 << p
+    maxrho = 60 - p + 1
+    h = portable_hash60(F.col(col).cast("string"))
+    w = F.shiftright(h, p)
+    lsb = w.bitwiseAND(-w)
+    rho = F.when(w == 0, F.lit(maxrho)).otherwise(F.bit_count(lsb - 1) + 1)
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(F.pmod(h, F.lit(m)).alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = 12) -> DataFrame:
+    """Distinct-count estimate from :func:`hll_registers` output — one
+    row, ``est`` (double, rounded to 3).
+
+    Determinism across engines: the indicator sum Z = Σ 2^-reg is scaled
+    by 2^(60-p+1) so every term is an INTEGER (exact, order-independent —
+    a float Σ2^-reg loses associativity once exponents spread past the
+    53-bit significand) and only the final alpha·m²/Z division happens in
+    doubles (single correctly-rounded op). The small-range branch uses
+    linear counting m·ln(m/V) — ln is the one transcendental: 1-ulp
+    libm divergence can flip a ROUND(·,3) boundary with probability
+    ~measure-zero per CLAUDE.md's accepted class."""
+    m = 1 << p
+    scale = 60 - p + 1
+    # exact integer indicator: empty buckets (m - n) contribute 2^scale
+    num = float(_hll_alpha(m) * m * m * (1 << scale))
+    agg = registers.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.lit(scale) - F.col("reg")).cast("int")
+            )
+        ).alias("__z"),
+    )
+    v = F.lit(m) - F.col("__n")
+    z = F.coalesce(F.col("__z"), F.lit(0)) + v * F.lit(1 << scale).cast("long")
+    raw = F.lit(num) / z.cast("double")
+    est = F.when(
+        (raw <= 2.5 * m) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double"))
+    ).otherwise(raw)
+    return agg.select(F.round(est, 3).alias("est"))

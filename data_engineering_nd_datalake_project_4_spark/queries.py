@@ -1350,17 +1350,56 @@ def q44_pandas_udf(spark, sf_dir):
 
 @q(
     "q45_approx_distinct",
-    None,
-    "HLL sketch distinct counts — the 100TB path for q03's exact counts "
-    "(fixed-size mergeable state, no key-universe shuffle). Probabilistic "
-    "by design → rows-only check; accuracy asserted in tests vs exact",
+    """WITH ph AS (SELECT CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+                 FROM lineitem WHERE l_partkey IS NOT NULL),
+       pr AS (SELECT h % 4096 AS bucket,
+                  MAX(CASE WHEN (h >> 12) = 0 THEN 49
+                      ELSE bit_count(((h >> 12) & (-(h >> 12))) - 1) + 1 END) AS reg
+                FROM ph GROUP BY bucket),
+       pa AS (SELECT COUNT(*) AS n,
+                  CAST(COALESCE(SUM(CAST(1 AS BIGINT) << (49 - reg)), 0)
+                       + (4096 - COUNT(*)) * (CAST(1 AS BIGINT) << 49) AS DOUBLE) AS zz,
+                  4096 - COUNT(*) AS v
+                FROM pr),
+       sh AS (SELECT CAST('0x' || substr(md5(CAST(l_suppkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+                 FROM lineitem WHERE l_suppkey IS NOT NULL),
+       sr AS (SELECT h % 4096 AS bucket,
+                  MAX(CASE WHEN (h >> 12) = 0 THEN 49
+                      ELSE bit_count(((h >> 12) & (-(h >> 12))) - 1) + 1 END) AS reg
+                FROM sh GROUP BY bucket),
+       sa AS (SELECT COUNT(*) AS n,
+                  CAST(COALESCE(SUM(CAST(1 AS BIGINT) << (49 - reg)), 0)
+                       + (4096 - COUNT(*)) * (CAST(1 AS BIGINT) << 49) AS DOUBLE) AS zz,
+                  4096 - COUNT(*) AS v
+                FROM sr)
+       SELECT (SELECT CASE WHEN 6.810691763087074e+21 / zz <= 10240.0 AND v > 0
+                      THEN round(4096.0 * ln(4096.0 / CAST(v AS DOUBLE)), 3)
+                      ELSE round(6.810691763087074e+21 / zz, 3) END FROM pa) AS n_part_approx,
+              (SELECT CASE WHEN 6.810691763087074e+21 / zz <= 10240.0 AND v > 0
+                      THEN round(4096.0 * ln(4096.0 / CAST(v AS DOUBLE)), 3)
+                      ELSE round(6.810691763087074e+21 / zz, 3) END FROM sa) AS n_supp_approx""",
+    "HLL distinct counts — the 100TB path for q03's exact counts (<=4096 "
+    "rows of mergeable register state, no key-universe shuffle) — as an "
+    "EXPLICIT HyperLogLog on the portable MD5-60bit hash "
+    "(sketches.hll_registers/hll_estimate), so the registers and the "
+    "estimate are exactly computable by the DuckDB oracle: integer-exact "
+    "trailing-zero rho (bit_count((w & -w) - 1) + 1, no float log2), "
+    "integer-scaled indicator sum (order-independent), one double "
+    "division; linear-counting small-range branch (m ln(m/V) — the ln is "
+    "the accepted 1-ulp transcendental class). Native "
+    "approx_count_distinct stays accuracy-tested in tests/",
 )
 def q45_approx_distinct(spark, sf_dir):
+    from data_engineering_nd_datalake_project_4_spark.operators import sketches
+
     li = _t(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("n_part_approx"),
-        F.approx_count_distinct("l_suppkey", 0.02).alias("n_supp_approx"),
+    ep = sketches.hll_estimate(sketches.hll_registers(li, "l_partkey")).select(
+        F.col("est").alias("n_part_approx")
     )
+    es = sketches.hll_estimate(sketches.hll_registers(li, "l_suppkey")).select(
+        F.col("est").alias("n_supp_approx")
+    )
+    return ep.crossJoin(es)
 
 
 @q(
@@ -1751,14 +1790,25 @@ def q61_normalize(spark, sf_dir):
 
 @q(
     "q62_stratified_sample",
-    None,
-    "per-language Bernoulli sampling (sampleBy) — the corpus-mixing "
-    "primitive; engine-specific RNG -> rows-only, rates property-tested",
+    """WITH k AS (SELECT lang,
+              ((((((doc_id % 2147483648) + 42000126) % 2147483648)
+                 * 2654435761) % 2147483648) * 2246822519 + 42000126)
+              % 2147483648 AS key
+            FROM documents),
+       s AS (SELECT lang FROM k
+             WHERE key < CASE lang WHEN 'de' THEN 536870912 WHEN 'en' THEN 2147483648 WHEN 'es' THEN 1073741824 WHEN 'fr' THEN 1073741824 WHEN 'zh' THEN 536870912 ELSE NULL END)
+       SELECT lang, COUNT(*) AS n_sampled FROM s GROUP BY lang ORDER BY lang""",
+    "per-language Bernoulli sampling via the portable hash-threshold "
+    "method (epoch_shuffle_key < frac * 2^31, per stratum — the q138/q139 "
+    "construction): the SAMPLE itself, not just its rate, is exactly "
+    "oracle-checkable, and the selection is replay-identical across "
+    "engines, cluster sizes and partitionings (sampleBy's RNG is not). "
+    "Unlisted/NULL strata drop, matching sampleBy",
 )
 def q62_stratified_sample(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     frac = {"en": 1.0, "fr": 0.5, "es": 0.5, "de": 0.25, "zh": 0.25}
-    s = dedup.stratified_sample(d, "lang", frac, seed=42)
+    s = dedup.stratified_sample(d, "lang", frac, seed=42, id_col="doc_id")
     return (
         s.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled")).orderBy("lang")
     )
@@ -2894,10 +2944,26 @@ def q93_correlated_scalar_subquery(spark, sf_dir):
 
 @q(
     "q94_cms_heavy_hitters",
-    None,
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+                    FROM documents WHERE text IS NOT NULL),
+       cms AS (SELECT j, bucket, COUNT(*) AS cnt FROM (
+                 SELECT r.j,
+                        (CAST('0x' || substr(md5(token || chr(0) || CAST(r.j AS VARCHAR)), 1, 15) AS BIGINT)) % 2048 AS bucket
+                 FROM tok CROSS JOIN (SELECT unnest(range(0, 5)) AS j) r)
+               GROUP BY j, bucket),
+       probes AS (SELECT item, r.j,
+                         (CAST('0x' || substr(md5(item || chr(0) || CAST(r.j AS VARCHAR)), 1, 15) AS BIGINT)) % 2048 AS bucket
+                  FROM (SELECT DISTINCT token AS item FROM tok)
+                  CROSS JOIN (SELECT unnest(range(0, 5)) AS j) r),
+       est AS (SELECT item, MIN(COALESCE(c.cnt, 0)) AS est
+               FROM probes p LEFT JOIN cms c USING (j, bucket)
+               GROUP BY item)
+       SELECT item, est FROM est ORDER BY est DESC, item LIMIT 10""",
     "Count-Min-sketch heavy hitters: one-scan fixed-size (5x2048) sketch, "
-    "broadcast probe join, top-10 by estimated frequency. Hash-dependent "
-    "=> rows-only; over/merge bounds property-tested in test_properties",
+    "broadcast probe join, top-10 by estimated frequency — on the "
+    "portable MD5-60bit hash family, so sketch registers AND estimates "
+    "are bit-identical in the DuckDB oracle (seeded hash = "
+    "value||chr(0)||row). Over/merge bounds stay property-tested",
 )
 def q94_cms_heavy_hitters(spark, sf_dir):
     from data_engineering_nd_datalake_project_4_spark.operators import sketches
@@ -2906,8 +2972,8 @@ def q94_cms_heavy_hitters(spark, sf_dir):
         _t(spark, sf_dir, "documents")
         .select(F.explode(tokens("text")).alias("token"))
     )
-    cms = sketches.build_cms(tok, "token")
-    est = sketches.cms_estimate(cms, tok, "token")
+    cms = sketches.build_cms(tok, "token", hash_fn="portable")
+    est = sketches.cms_estimate(cms, tok, "token", hash_fn="portable")
     return est.orderBy(F.desc("est"), F.asc("item")).limit(10)
 
 

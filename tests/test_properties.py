@@ -727,3 +727,39 @@ def test_q129_contamination_hash_boundary(spark, tmp_path):
         for r in REGISTRY["q129_contamination"].spark_fn(spark, str(tmp_path)).collect()
     }
     assert out == {60: 1, 62: 2}
+
+
+def test_hll_explicit_accuracy_and_merge(spark, sf_dir):
+    """The explicit portable-hash HLL (q45's engine): estimate within the
+    ~1.04/sqrt(m) rsd envelope of the exact count at several
+    cardinalities, and registers merge by MAX exactly (shard sketches ==
+    whole-corpus sketch)."""
+    from data_engineering_nd_datalake_project_4_spark.operators import sketches
+
+    for n in (50, 1000, 20000):
+        df = spark.range(n).select((F.col("id") * 7 + 3).alias("k"))
+        est = sketches.hll_estimate(sketches.hll_registers(df, "k")).collect()[0]["est"]
+        assert abs(est - n) / n < 0.05, (n, est)
+
+    # merge: two disjoint shards, MAX-combined registers == one-shot build
+    a = spark.range(0, 5000).select(F.col("id").alias("k"))
+    b = spark.range(3000, 9000).select(F.col("id").alias("k"))
+    whole = a.unionByName(b)
+    merged = (
+        sketches.hll_registers(a, "k")
+        .unionByName(sketches.hll_registers(b, "k"))
+        .groupBy("bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+    got = {(r["bucket"], r["reg"]) for r in merged.collect()}
+    want = {(r["bucket"], r["reg"]) for r in sketches.hll_registers(whole, "k").collect()}
+    assert got == want
+
+    # NULLs excluded, p validated
+    import pytest
+
+    withnull = spark.createDataFrame([(1,), (None,), (2,)], "k int")
+    regs = sketches.hll_registers(withnull, "k")
+    assert regs.count() <= 2
+    with pytest.raises(ValueError, match="p must be"):
+        sketches.hll_registers(withnull, "k", p=2)

@@ -34,13 +34,15 @@ GRADED_WINDOW = [
 ]
 
 #: graded entries deliberately without an oracle — the driver records
-#: rows-only for these. Round 6 converted q35/q36/q40 (portable MD5-60bit
-#: hash family) and q42 (decimal-quantized centroids + q30 cosine idiom)
-#: to exact oracle-hashed queries; only HLL's engine-internal estimate
-#: remains declared-probabilistic (SURVEY.md §2.3).
-NO_ORACLE = {
-    "q45_approx_distinct",
-}
+#: rows-only for these. Round 6 emptied the set: q35/q36/q40 moved to the
+#: portable MD5-60bit hash family, q42 to decimal-quantized centroids +
+#: the q30 cosine idiom, and q45 to an EXPLICIT HyperLogLog
+#: (sketches.hll_registers/hll_estimate) whose registers and estimate are
+#: exact integer arithmetic — all 50 graded rows now carry full DuckDB
+#: oracles. (Outside the window, q60/q91/q115 stay rows-only: they
+#: deliberately showcase engine-native approx_percentile / iterative
+#: k-means / DataSketches HLL.)
+NO_ORACLE: set[str] = set()
 
 
 def _entry_module():
