@@ -692,3 +692,92 @@ def fuzzy_string_pairs(
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sub-document (paragraph/line-granular) exact dedup — the C4 line-dedup shape
+# ---------------------------------------------------------------------------
+
+def subdoc_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 16,
+) -> DataFrame:
+    """C4-style sub-document exact dedup: split each document into
+    non-overlapping ``size``-token paragraphs, keep only the globally FIRST
+    occurrence of each distinct paragraph (smallest ``(id, paragraph_idx)``),
+    and reassemble the survivors in document order. This is the
+    sub-document-granularity member of the dedup family: :func:`exact_dedup`
+    drops whole duplicate documents, :func:`strip_duplicate_spans` scrubs
+    repeated n-gram windows, this one removes repeated paragraphs while
+    keeping each document's unique remainder (C4 removed duplicate three-
+    sentence spans the same way; here the paragraph unit is a fixed token
+    window because the synthetic corpus has no sentence boundaries).
+
+    Returns one row per input document:
+    ``(id_col, n_paragraphs, n_kept, deduped_text)``. NULL-text documents
+    pass through with ``n_paragraphs = 0`` and NULL ``deduped_text``; a
+    document whose every paragraph already appeared earlier comes back as
+    ``''`` (scrubbed-empty, the C4 action) — distinguishable from NULL.
+
+    Scale shape (the q141/q143 discipline): paragraph text NEVER enters a
+    shuffle. The dedup decision shuffles ``(hash, id, idx)`` rows (~24
+    bytes/paragraph) for one window over the 8-byte hash; winners collapse
+    to one small ``array<int>`` of kept indices per document; reassembly
+    re-chunks the original text MAP-SIDE and keeps chunks by index with a
+    position-aware ``F.filter`` lambda. Total: two narrow shuffles plus the
+    id-equi-join back to the corpus.
+    """
+    if size <= 0:
+        raise ValueError(f"size must be positive, got {size}")
+    base = df.filter(F.col(text_col).isNotNull())
+    # paragraph hashes computed INSIDE the fan-out projection (chunk text is
+    # a transient expression, never a shuffled column)
+    toks = base.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("__toks") - 1, F.lit(0)), F.lit(size)
+    )
+    h_rows = toks.select(
+        F.col(id_col),
+        F.posexplode(starts).alias("__idx", "__start"),
+        F.col("__toks"),
+    ).select(
+        F.col(id_col),
+        F.col("__idx"),
+        F.xxhash64(F.array_join(F.slice("__toks", F.col("__start") + 1, size), " ")).alias(
+            "__h"
+        ),
+    )
+    w = Window.partitionBy("__h").orderBy(F.col(id_col), F.col("__idx"))
+    kept = (
+        h_rows.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("__idx")).alias("__kept_idx"))
+    )
+    # reassembly: re-chunk map-side, keep chunks by index ((element, index)
+    # 2-arg lambda), join only the tiny kept-index arrays back to the corpus
+    staged = (
+        df.join(kept, id_col, "left")
+        .select("*", tokens(F.col(text_col)).alias("__toks2"))
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size("__toks2") - 1, F.lit(0)), F.lit(size)),
+        lambda s: F.array_join(F.slice("__toks2", s + 1, size), " "),
+    )
+    staged = staged.select("*", chunks.alias("__chunks"))
+    # array_contains(NULL, i) is NULL and a NULL lambda result drops the
+    # element — docs with no kept paragraphs reassemble to '' without a guard
+    kept_chunks = F.filter("__chunks", lambda c, i: F.array_contains("__kept_idx", i))
+    n_paras = F.when(
+        F.col(text_col).isNull(), F.lit(0)
+    ).otherwise(F.floor((F.size("__toks2") - 1) / size).cast("int") + 1)
+    return staged.select(
+        F.col(id_col),
+        n_paras.alias("n_paragraphs"),
+        F.coalesce(F.size("__kept_idx"), F.lit(0)).alias("n_kept"),
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+        .otherwise(F.array_join(kept_chunks, " "))
+        .alias("deduped_text"),
+    )

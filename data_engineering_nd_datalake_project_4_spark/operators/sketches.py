@@ -19,6 +19,8 @@ The reference has no sketches (it has no aggregates beyond MAX —
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -115,7 +117,9 @@ def _hll_alpha(m: int) -> float:
     return 0.7213 / (1 + 1.079 / m)
 
 
-def hll_registers(df: DataFrame, col: str, p: int = 12) -> DataFrame:
+def hll_registers(
+    df: DataFrame, col: str, p: int = 12, group_cols: Sequence[str] = ()
+) -> DataFrame:
     """HyperLogLog registers as a DataFrame[bucket, reg] — the classic
     algorithm implemented as ONE partial-aggregating groupBy over the
     portable 60-bit hash, so (unlike ``approx_count_distinct`` /
@@ -132,7 +136,11 @@ def hll_registers(df: DataFrame, col: str, p: int = 12) -> DataFrame:
 
     The register table is ≤ 2^p rows of two ints: mergeable across
     shards/days by MAX, broadcastable, and the only state at 100 TB.
-    NULLs are excluded (COUNT DISTINCT semantics)."""
+    NULLs are excluded (COUNT DISTINCT semantics).
+
+    ``group_cols`` builds one independent sketch per group (≤ 2^p rows
+    EACH) in the same single pass — the "distinct per tag/day/shard"
+    shape without per-group scans."""
     if not 4 <= p <= 16:
         raise ValueError(f"p must be in [4, 16], got {p}")
     m = 1 << p
@@ -141,15 +149,18 @@ def hll_registers(df: DataFrame, col: str, p: int = 12) -> DataFrame:
     w = F.shiftright(h, p)
     lsb = w.bitwiseAND(-w)
     rho = F.when(w == 0, F.lit(maxrho)).otherwise(F.bit_count(lsb - 1) + 1)
+    gcols = list(group_cols)
     return (
         df.filter(F.col(col).isNotNull())
-        .select(F.pmod(h, F.lit(m)).alias("bucket"), rho.alias("rho"))
-        .groupBy("bucket")
+        .select(*gcols, F.pmod(h, F.lit(m)).alias("bucket"), rho.alias("rho"))
+        .groupBy(*gcols, "bucket")
         .agg(F.max("rho").alias("reg"))
     )
 
 
-def hll_estimate(registers: DataFrame, p: int = 12) -> DataFrame:
+def hll_estimate(
+    registers: DataFrame, p: int = 12, group_cols: Sequence[str] = ()
+) -> DataFrame:
     """Distinct-count estimate from :func:`hll_registers` output — one
     row, ``est`` (double, rounded to 3).
 
@@ -165,7 +176,8 @@ def hll_estimate(registers: DataFrame, p: int = 12) -> DataFrame:
     scale = 60 - p + 1
     # exact integer indicator: empty buckets (m - n) contribute 2^scale
     num = float(_hll_alpha(m) * m * m * (1 << scale))
-    agg = registers.agg(
+    gcols = list(group_cols)
+    agg = registers.groupBy(*gcols).agg(
         F.count(F.lit(1)).alias("__n"),
         F.sum(
             F.call_function(
@@ -179,4 +191,4 @@ def hll_estimate(registers: DataFrame, p: int = 12) -> DataFrame:
     est = F.when(
         (raw <= 2.5 * m) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double"))
     ).otherwise(raw)
-    return agg.select(F.round(est, 3).alias("est"))
+    return agg.select(*gcols, F.round(est, 3).alias("est"))

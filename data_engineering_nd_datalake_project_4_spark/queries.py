@@ -1393,13 +1393,20 @@ def q45_approx_distinct(spark, sf_dir):
     from data_engineering_nd_datalake_project_4_spark.operators import sketches
 
     li = _t(spark, sf_dir, "lineitem")
-    ep = sketches.hll_estimate(sketches.hll_registers(li, "l_partkey")).select(
-        F.col("est").alias("n_part_approx")
+    # One tagged union -> grouped sketch -> conditional-agg pivot: no join
+    # at all (a crossJoin of the two 1-row estimates is harmless but trips
+    # the no-nested-loop plan guard, and the union shape is what you'd
+    # ship for N columns anyway: one shuffle of (tag, bucket) rows).
+    tagged = li.select(F.lit("part").alias("tag"), F.col("l_partkey").alias("k")).unionAll(
+        li.select(F.lit("supp").alias("tag"), F.col("l_suppkey").alias("k"))
     )
-    es = sketches.hll_estimate(sketches.hll_registers(li, "l_suppkey")).select(
-        F.col("est").alias("n_supp_approx")
+    est = sketches.hll_estimate(
+        sketches.hll_registers(tagged, "k", group_cols=["tag"]), group_cols=["tag"]
     )
-    return ep.crossJoin(es)
+    return est.groupBy().agg(
+        F.max(F.when(F.col("tag") == "part", F.col("est"))).alias("n_part_approx"),
+        F.max(F.when(F.col("tag") == "supp", F.col("est"))).alias("n_supp_approx"),
+    )
 
 
 @q(
@@ -5039,3 +5046,45 @@ def q146_image_phash(spark, sf_dir):
     return multimodal.image_perceptual_hashes(media, method="ahash", hash_size=8).orderBy(
         "media_id"
     )
+
+
+@q(
+    "q147_paragraph_dedup",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents WHERE text IS NOT NULL),
+            e AS (SELECT doc_id,
+                         CAST(start / 16 AS INT) AS idx,
+                         array_to_string(toks[start + 1 : start + 16], ' ') AS chunk
+                  FROM (SELECT doc_id, toks,
+                               unnest(range(0, GREATEST(len(toks), 1), 16)) AS start
+                        FROM d)),
+            w AS (SELECT doc_id, idx, chunk,
+                         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+                  FROM e),
+            k AS (SELECT doc_id,
+                         CAST(COUNT(*) AS INT) AS n_kept,
+                         array_to_string(list(chunk ORDER BY idx), ' ') AS kept_text
+                  FROM w WHERE rn = 1 GROUP BY doc_id)
+       SELECT doc.doc_id,
+              CASE WHEN doc.text IS NULL THEN 0
+                   ELSE CAST((len(string_split(doc.text, ' ')) - 1) // 16 AS INT) + 1
+              END AS n_paragraphs,
+              COALESCE(k.n_kept, 0) AS n_kept,
+              CASE WHEN doc.text IS NULL THEN NULL
+                   ELSE COALESCE(k.kept_text, '') END AS deduped_text
+       FROM documents doc LEFT JOIN k USING (doc_id)
+       ORDER BY doc_id""",
+    "C4-style sub-document dedup (dedup.subdoc_dedup): non-overlapping "
+    "16-token paragraphs, keep the globally-first occurrence of each "
+    "distinct paragraph, reassemble survivors in document order. The "
+    "dedup decision shuffles (hash, id, idx) rows only (~24 B/paragraph); "
+    "reassembly re-chunks map-side and keeps chunks with a position-aware "
+    "F.filter lambda — paragraph text never enters a shuffle (q141/q143 "
+    "discipline). Oracle groups by paragraph TEXT (same classes as the "
+    "xxhash64 key modulo 64-bit collisions — the q28/q33 policy). "
+    "NULL-text docs keep NULL deduped_text; fully-duplicate docs come "
+    "back '' (the C4 scrub action), distinguishable from NULL",
+)
+def q147_paragraph_dedup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.subdoc_dedup(d, "text", "doc_id", size=16).orderBy("doc_id")

@@ -292,3 +292,16 @@ def test_q145_overlap_join_is_cell_hash_join(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q147_paragraph_dedup_never_shuffles_paragraph_text(spark, sf_dir):
+    """subdoc_dedup hashes each paragraph INSIDE the fan-out projection and
+    reassembles map-side from kept indices — the window exchange keys on
+    the 8-byte hash and no exchange may carry a chunk/text column (a
+    paragraph-string exchange would move the whole corpus at 100 TB)."""
+    plan = plans.explain_str(REGISTRY["q147_paragraph_dedup"].spark_fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    offenders = [
+        l for l in _exchange_key_lines(plan) if "__chunks#" in l or "text#" in l
+    ]
+    assert not offenders, offenders
