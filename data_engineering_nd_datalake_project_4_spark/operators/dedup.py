@@ -781,3 +781,41 @@ def subdoc_dedup(
         .otherwise(F.array_join(kept_chunks, " "))
         .alias("deduped_text"),
     )
+
+
+def domain_quota_sample(
+    df: DataFrame,
+    domain_col: str,
+    quota: int,
+    id_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Cap every domain/source at ``quota`` documents, chosen by a
+    deterministic pseudo-random per-document rank — the C4/RefinedWeb
+    corpus-balancing idiom ("no single host dominates the corpus"). Unlike
+    :func:`stratified_sample` (Bernoulli per-row rates, approximate counts)
+    this yields EXACTLY min(quota, |domain|) survivors per domain, stable
+    across runs and row order.
+
+    Rank = :func:`~...functions.portable_hash60` of ``seed || ':' || id``:
+    cross-engine exact (DuckDB twin via ``PORTABLE_HASH60_SQL``), so the
+    selection is oracle-checkable; the id tie-breaks hash collisions.
+    Different seeds draw decorrelated samples (epoch resampling).
+
+    Scale shape: one shuffle on the domain key + a row_number window —
+    exact per-group top-k has no partial-agg shortcut, but the window
+    carries only (domain, id, hash); payload columns ride the same single
+    exchange. NULL domains form their own capped group (Spark and SQL
+    GROUP BY agree NULL is one class). At 100 TB a pathological mega-domain
+    makes one fat partition: pre-filtering with an approximate per-domain
+    hash-threshold (CMS-estimated count -> keep hash < quota/count
+    percentile) bounds it; not applied by default because it trades
+    exactness for balance.
+    """
+    h = portable_hash60(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+    w = Window.partitionBy(domain_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__qr", F.row_number().over(w))
+        .filter(F.col("__qr") <= quota)
+        .drop("__qr")
+    )

@@ -30,6 +30,8 @@ the raw text and the driver gate would surface any collision as a mismatch.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -217,3 +219,92 @@ def corpus_diff(
             .alias("status"),
         )
     )
+
+
+def compact_changelog(
+    changes: DataFrame,
+    key: str,
+    seq_cols: Sequence[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Collapse a CDC changelog to its net effect: one row per key — the
+    change with the highest ``seq_cols`` value (lexicographic). This is the
+    standard log-compaction step Delta/Hudi/Kafka-compacted-topics apply
+    before merging a change feed into a snapshot.
+
+    Physical: ONE ``max_by(struct(payload), struct(seq))`` hash aggregate —
+    partial map-side combine reduces each partition to its per-key winner
+    before the shuffle, so shuffle volume is ~|distinct keys|, not
+    |changelog|. (A row_number window would shuffle the full changelog.)
+
+    ``seq_cols`` must totally order each key's changes (add a unique
+    tie-break column — the reference's `latest_per_key` lesson,
+    /root/reference/etl.py:142-146); equal-seq winners are otherwise
+    nondeterministic. NULL seq values sort first in Spark's struct
+    comparison (asc NULLS FIRST) — give real changes non-NULL seqs.
+    """
+    payload = [c for c in changes.columns if c != key]
+    return changes.groupBy(key).agg(
+        F.max_by(
+            F.struct(*[F.col(c) for c in payload]),
+            F.struct(*[F.col(c) for c in seq_cols]),
+        ).alias("__last")
+    ).select(key, *[F.col(f"__last.{c}").alias(c) for c in payload if c not in seq_cols])
+
+
+def apply_changelog(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key: str,
+    seq_cols: Sequence[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC change feed (insert / update / delete rows) to a base
+    snapshot and return the new snapshot — the batch half of a Delta/Hudi
+    `MERGE`-from-changelog, composed from public DataFrame ops.
+
+    ``changes`` carries ``key``, ``op_col`` (``'I'`` insert, ``'U'``
+    update, ``'D'`` delete — I and U are both upserts here, the usual
+    changelog-relaxation), ``seq_cols`` (change ordering within a key,
+    must be total — see :func:`compact_changelog`) and payload columns
+    named like snapshot columns. Payload columns REPLACE the snapshot
+    value on upsert; snapshot columns with no payload twin are kept on
+    update and NULL on fresh insert. Net-``D`` keys are dropped (a delete
+    of an absent key is a no-op). Unknown op codes fail the job loudly
+    (``assert_true``) rather than silently keeping or dropping rows.
+
+    Scale shape: changelog compaction is one partial-aggregating shuffle
+    on ~|distinct keys| (see :func:`compact_changelog`); the apply is one
+    full-outer hash join snapshot-vs-compacted on the key. Snapshot rows
+    never move twice and nothing collects. With the snapshot bucketed on
+    the key (``sinks.write_bucketed_table``) its shuffle disappears.
+    """
+    last = compact_changelog(changes, key, seq_cols, op_col)
+    payload = [c for c in last.columns if c not in (key, op_col)]
+    src = last.select(
+        F.col(key).alias("__chg_key"),
+        F.col(op_col).alias("__chg_op"),
+        *[F.col(c).alias(f"__chg_{c}") for c in payload],
+    )
+    j = snapshot.join(src, F.col(key) == F.col("__chg_key"), "full_outer")
+    op = F.col("__chg_op")
+    known = op.isNull() | op.isin("I", "U", "D")
+    guard = F.assert_true(known, F.concat(F.lit("apply_changelog: unknown op "), op))
+    has_chg = F.col("__chg_key").isNotNull()
+    src_only = F.col(key).isNull() & has_chg
+    upsert = has_chg & op.isin("I", "U")
+    out = []
+    for c in snapshot.columns:
+        if c == key:
+            col = F.coalesce(F.col(key), F.col("__chg_key"))
+        elif c in payload:
+            col = F.when(upsert, F.col(f"__chg_{c}")).otherwise(F.col(c))
+        else:
+            # no payload twin: kept on update, NULL on fresh insert
+            col = F.when(src_only, F.lit(None)).otherwise(F.col(c))
+        out.append(col.alias(c))
+    # assert_true is NULL when it passes; filtering on its coalesced TRUE
+    # keeps the guard alive in the plan without dropping rows
+    return j.filter(~(has_chg & (op == "D"))).filter(
+        F.coalesce(guard.cast("boolean"), F.lit(True))
+    ).select(*out)

@@ -112,3 +112,80 @@ def time_weighted_avg(
             F.col("__tot").alias("total_duration_us"),
         )
     )
+
+
+def _floordiv(a: Column, b: int) -> Column:
+    # exact floor division on longs: (a - pmod) is an exact multiple of b,
+    # so the double divide is exact (µs epochs < 2^53) and the cast is safe
+    return ((a - F.pmod(a, F.lit(b))) / F.lit(b)).cast("long")
+
+
+def _ceildiv(a: Column, b: int) -> Column:
+    return -_floordiv(-a, b)
+
+
+def resample_locf(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int,
+    tie_break: str | None = None,
+) -> DataFrame:
+    """Resample an irregular series onto a regular per-key time grid with
+    LOCF (last-observation-carried-forward) — the hypertable
+    ``time_bucket_gapfill + locf`` idiom. Grid instants are multiples of
+    ``step_seconds`` from the first to the last observation of each key
+    (inclusive, ceiling-aligned); the value at instant t is the latest
+    observation with ``ts <= t``, so every grid row is populated (the
+    first grid instant is >= the key's first observation).
+
+    Same-timestamp collisions are resolved by ``tie_break`` (max wins)
+    BEFORE filling — without it equal-ts winners are nondeterministic
+    (the `latest_per_key` lesson). NULL values (and NULL timestamps) are
+    treated as NO observation and dropped up front — otherwise a NULL
+    observation would win its bucket and the ignorenulls fill would
+    carry an OLDER value past it, which is neither "carry the NULL" nor
+    "skip it" (the nulls-soak divergence class).
+
+    Scale shape: per-key bounds are one partial-aggregating groupBy; the
+    grid fans out map-side from ``sequence()`` over BUCKET INDICES (longs,
+    never one row per raw observation); observations reduce to one winner
+    per (key, bucket) via ``max_by`` (partial combine) before the single
+    grid-vs-buckets shuffle join; the fill is one window over the same
+    key partitioning. Grid size = span/step per key — a key with a year
+    of span at 1s steps fans out 31M rows; pick ``step_seconds``
+    accordingly (the fan-out is the POINT of gap-fill, not a leak).
+    """
+    step = step_seconds * 1_000_000
+    t = F.unix_micros(F.col(ts_col))
+    order = F.struct(t, F.col(tie_break)) if tie_break else F.struct(t)
+    obs = df.filter(
+        F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(key, t.alias("__t"), F.col(value_col).alias("__v"), order.alias("__o"))
+    buckets = obs.groupBy(key, _ceildiv(F.col("__t"), step).alias("__i")).agg(
+        F.max_by("__v", "__o").alias("__v")
+    )
+    grid = (
+        obs.groupBy(key)
+        .agg(F.min("__t").alias("__mn"), F.max("__t").alias("__mx"))
+        .select(
+            key,
+            F.explode(
+                F.sequence(_ceildiv(F.col("__mn"), step), _ceildiv(F.col("__mx"), step))
+            ).alias("__i"),
+        )
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("__i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(buckets, [key, "__i"], "left")
+        .select(
+            key,
+            F.timestamp_micros(F.col("__i") * step).alias(ts_col),
+            F.last("__v", ignorenulls=True).over(w).alias(value_col),
+        )
+    )

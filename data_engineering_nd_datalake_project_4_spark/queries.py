@@ -5088,3 +5088,140 @@ def q146_image_phash(spark, sf_dir):
 def q147_paragraph_dedup(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dedup.subdoc_dedup(d, "text", "doc_id", size=16).orderBy("doc_id")
+
+
+@q(
+    "q148_cdc_apply",
+    """WITH ch AS (
+         SELECT o_custkey AS k,
+                CASE WHEN o_orderstatus = 'P' THEN 'D' ELSE 'U' END AS op,
+                COALESCE(o_orderdate, TIMESTAMP '1970-01-01') AS s1,
+                o_orderkey AS s2,
+                'cdc:' || CAST(o_orderkey AS VARCHAR) AS c_name,
+                o_totalprice AS c_acctbal
+         FROM orders
+         UNION ALL
+         SELECT o_custkey + 1000000, 'I',
+                COALESCE(o_orderdate, TIMESTAMP '1970-01-01'), o_orderkey,
+                'cdc:' || CAST(o_orderkey AS VARCHAR), o_totalprice
+         FROM orders WHERE o_orderkey % 97 = 0),
+       last AS (
+         SELECT k, op, c_name, c_acctbal
+         FROM (SELECT ch.*, row_number() OVER (PARTITION BY k
+                                               ORDER BY s1 DESC, s2 DESC) AS rn
+               FROM ch)
+         WHERE rn = 1),
+       m AS (
+         SELECT COALESCE(c.c_custkey, l.k) AS c_custkey,
+                CASE WHEN l.k IS NOT NULL AND l.op IN ('I', 'U')
+                     THEN l.c_name ELSE c.c_name END AS c_name,
+                c.c_mktsegment AS c_mktsegment,
+                CASE WHEN l.k IS NOT NULL AND l.op IN ('I', 'U')
+                     THEN l.c_acctbal ELSE c.c_acctbal END AS c_acctbal,
+                l.op AS lop
+         FROM customer c FULL OUTER JOIN last l ON c.c_custkey = l.k)
+       SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+       FROM m WHERE lop IS NULL OR lop <> 'D'
+       ORDER BY c_custkey""",
+    "CDC changelog apply (incremental.apply_changelog): a change feed "
+    "derived from orders (last net change per customer wins; 'P' status = "
+    "delete, else upsert; a %97 slice re-keyed +1e6 exercises fresh "
+    "inserts) merged into the customer snapshot. Compaction is ONE "
+    "max_by(payload, seq) hash aggregate — partial map-side combine "
+    "shuffles ~|keys|, not |changelog| (a window would shuffle every "
+    "change); apply is one full-outer join. Non-payload columns "
+    "(c_mktsegment) survive updates and are NULL on fresh inserts; the "
+    "seq timestamp is COALESCEd on both sides so NULL order dates cannot "
+    "hit the Spark-NULLS-FIRST/DuckDB-NULLS-LAST struct-ordering trap. "
+    "Oracle compacts via row_number DESC — same winner, both orders "
+    "total (o_orderkey unique per key group)",
+)
+def q148_cdc_apply(spark, sf_dir):
+    from data_engineering_nd_datalake_project_4_spark.operators.incremental import apply_changelog
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    o = _t(spark, sf_dir, "orders")
+    seq_ts = F.coalesce(F.col("o_orderdate"), F.lit("1970-01-01").cast("timestamp"))
+    payload = [
+        seq_ts.alias("seq_ts"),
+        F.col("o_orderkey").alias("seq_id"),
+        F.concat(F.lit("cdc:"), F.col("o_orderkey").cast("string")).alias("c_name"),
+        F.col("o_totalprice").alias("c_acctbal"),
+    ]
+    base = o.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.when(F.col("o_orderstatus") == "P", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        *payload,
+    )
+    ins = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_custkey") + 1000000).alias("c_custkey"),
+        F.lit("I").alias("op"),
+        *payload,
+    )
+    merged = apply_changelog(
+        cust, base.unionByName(ins), "c_custkey", ["seq_ts", "seq_id"], "op"
+    )
+    return merged.orderBy("c_custkey")
+
+
+@q(
+    "q149_domain_quota",
+    f"""SELECT doc_id, source, n_chars
+       FROM (SELECT doc_id, source, n_chars,
+                    row_number() OVER (
+                      PARTITION BY source
+                      ORDER BY {_ph60("'0:' || CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+             FROM documents)
+       WHERE rn <= 7 ORDER BY doc_id""",
+    "domain-quota subsampling (dedup.domain_quota_sample): cap every "
+    "source at 7 docs chosen by deterministic portable-hash rank — the "
+    "C4/RefinedWeb anti-host-domination cap, EXACT per-domain counts "
+    "(vs stratified_sample's Bernoulli rates) and oracle-checkable "
+    "because the rank hash is the cross-engine portable_hash60. One "
+    "shuffle on the domain key; NULL sources form their own capped "
+    "class in both engines",
+)
+def q149_domain_quota(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.domain_quota_sample(docs, "source", 7, "doc_id", seed=0)
+    return out.select("doc_id", "source", "n_chars").orderBy("doc_id")
+
+
+@q(
+    "q150_resample_locf",
+    """WITH o AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+                         value, event_id
+                  FROM events
+                  WHERE user_id < 8 AND value IS NOT NULL AND ts IS NOT NULL),
+            d AS (SELECT user_id, t, arg_max(value, event_id) AS v
+                  FROM o GROUP BY user_id, t),
+            b AS (SELECT user_id, MIN(t) AS mn, MAX(t) AS mx
+                  FROM o GROUP BY user_id),
+            g AS (SELECT user_id,
+                         unnest(generate_series((mn + 3599999999) // 3600000000,
+                                                (mx + 3599999999) // 3600000000)) AS i
+                  FROM b),
+            gi AS (SELECT user_id, i * 3600000000 AS gt FROM g)
+       SELECT gi.user_id, make_timestamp(gi.gt) AS ts, d.v AS value
+       FROM gi ASOF LEFT JOIN d ON gi.user_id = d.user_id AND gi.gt >= d.t
+       ORDER BY gi.user_id, ts""",
+    "regular-grid resample + LOCF gap-fill (timeseries.resample_locf): "
+    "hourly grid per user from first to last observation "
+    "(ceiling-aligned), value = latest observation at-or-before each "
+    "grid instant; same-µs collisions resolved by event_id before "
+    "filling. Spark plan: bucket winners via partial-combining max_by, "
+    "grid fan-out from sequence() over bucket INDICES (map-side), one "
+    "grid-vs-buckets join + one fill window ↔ DuckDB native ASOF LEFT "
+    "JOIN against the per-µs-deduped series — two different physical "
+    "strategies, same rows. Values are selection-only doubles (exact "
+    "cross-engine); NULL values/timestamps are no-observations on both "
+    "sides",
+)
+def q150_resample_locf(spark, sf_dir):
+    from data_engineering_nd_datalake_project_4_spark.operators.timeseries import resample_locf
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 8)
+    out = resample_locf(e, "user_id", "ts", "value", 3600, tie_break="event_id")
+    return out.orderBy("user_id", "ts")

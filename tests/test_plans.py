@@ -305,3 +305,24 @@ def test_q147_paragraph_dedup_never_shuffles_paragraph_text(spark, sf_dir):
         l for l in _exchange_key_lines(plan) if "__chunks#" in l or "text#" in l
     ]
     assert not offenders, offenders
+
+
+def test_q148_cdc_compaction_partial_combines_before_shuffle(spark, sf_dir):
+    """Changelog compaction must be a partial+final max_by aggregate (one
+    ~|keys| shuffle) and NOT a row_number window, which would shuffle the
+    full changelog; the apply itself is the single full-outer join."""
+    plan = plans.explain_str(REGISTRY["q148_cdc_apply"].spark_fn(spark, sf_dir))
+    assert "partial_max_by" in plan, plan
+    assert "row_number" not in plan.lower()
+    assert "CartesianProduct" not in plan
+
+
+def test_q150_resample_grid_fans_out_from_indices(spark, sf_dir):
+    """The grid must be generated from sequence() over bucket indices after
+    the per-key bounds aggregate — the explode feeds from an aggregate,
+    never one grid row per raw observation; bucket winners partial-combine
+    before their one exchange."""
+    plan = plans.explain_str(REGISTRY["q150_resample_locf"].spark_fn(spark, sf_dir))
+    assert "partial_max_by" in plan, plan
+    assert "sequence(" in plan
+    assert "CartesianProduct" not in plan
