@@ -560,3 +560,156 @@ def semantic_dedup(
         .withColumn("sem_removed", F.coalesce(F.col("__rm"), F.lit(False)))
         .drop("__rm")
     )
+
+
+def _pq_subspace(v: Column, s: int, sub_dim: int) -> Column:
+    return F.slice(v, s * sub_dim + 1, sub_dim)
+
+
+def pq_train(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 16,
+    iters: int = 5,
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): split each
+    vector into ``m`` contiguous subspaces and run :func:`kmeans`
+    independently in each. Returns ``codebooks[s] = k`` centroids of
+    ``dim/m`` floats — the ANN compression path: ``m`` bytes/vector (for
+    k<=256) instead of ``4*dim``, a 32x storage cut at dim=64/m=8.
+
+    Model state is m*k*(dim/m) = k*dim driver-side floats (same footprint
+    as one k-means model); the training scans are the m per-subspace
+    k-means passes — each iteration's only shuffle is the tiny centroid
+    recompute. dim must divide evenly by ``m``.
+    """
+    dim = len(df.select(as_double_array(F.col(vec_col)).alias("v")).first()["v"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    codebooks = []
+    for s in range(m):
+        sliced = df.select(
+            F.col(id_col).alias("id"),
+            _pq_subspace(as_double_array(F.col(vec_col)), s, sub).alias("v"),
+        )
+        _, centroids = kmeans(sliced, "id", "v", k=k, iters=iters)
+        codebooks.append(centroids)
+    return codebooks
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Encode vectors against trained codebooks: per subspace the argmin
+    squared-distance centroid index, as ``array<int>`` of length m.
+
+    Entirely map-side: the m*k centroids fold into the plan as literal
+    arrays, each row evaluates m*k codegen'd squared distances — no
+    shuffle, no UDF, no model broadcast round-trip. Ties break to the
+    lowest index (array_position finds the first match), matching
+    :func:`kmeans` assignment.
+    """
+    m, sub = len(codebooks), len(codebooks[0][0])
+    v = as_double_array(F.col(vec_col))
+    codes = []
+    for s in range(m):
+        dists = F.array(
+            *[_sq_dist_to_literal(_pq_subspace(v, s, sub), c) for c in codebooks[s]]
+        )
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    return df.withColumn(out_col, F.array(*codes))
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    k: int = 5,
+    max_queries: int = 1024,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: approximate squared
+    L2 from each query to each database vector as the sum of m lookup-table
+    entries ``LUT[s][code[s]]``, where ``LUT[s][c] = ||q_s - codebook[s][c]||²``
+    is precomputed per query (the PQ paper's ADC estimator — queries stay
+    exact, database vectors are quantized).
+
+    Scale shape: the LUTs are m*k doubles per query, folded into the plan
+    as ONE literal array of (query_id, luts) structs exploded against each
+    code row — a single scan of the codes table fans out map-side to all
+    Q queries (no per-query re-scan, no join); the query set is the small,
+    driver-known probe side — same contract as :func:`brute_force_topk`'s
+    broadcast, enforced by ``max_queries``. The scan reads ONLY the m-byte
+    code column — the O(N·Q) kernel is m array lookups + adds per pair
+    instead of dim multiplies, and the full-precision vector column never
+    loads. Ranking is the same per-query top-k window.
+
+    Output: ``query_id, neighbor_id, adc_dist`` (ascending = nearer).
+    """
+    from data_engineering_nd_datalake_project_4_spark.operators import ensure_map_parallelism
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    qrows = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        as_double_array(F.col(query_vec_col)).alias("v"),
+    ).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"{len(qrows)} queries > max_queries={max_queries}: ADC folds one "
+            "m*k LUT per query into the plan — chunk the probe set"
+        )
+    qlits = []
+    for r in qrows:
+        luts = []
+        for s in range(m):
+            qs = r["v"][s * sub : (s + 1) * sub]
+            luts.append(
+                F.array(
+                    *[
+                        F.lit(sum((a - b) * (a - b) for a, b in zip(qs, c)))
+                        for c in codebooks[s]
+                    ]
+                )
+            )
+        qlits.append(
+            F.struct(F.lit(r["query_id"]).alias("query_id"), F.array(*luts).alias("luts"))
+        )
+    codes_df = ensure_map_parallelism(codes_df)
+    fanned = codes_df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(codes_col).alias("__codes"),
+        F.explode(F.array(*qlits)).alias("__q"),
+    )
+    dist = sum(
+        (
+            F.element_at(
+                F.element_at("__q.luts", s + 1),
+                F.element_at(F.col("__codes"), s + 1) + 1,
+            )
+            for s in range(m)
+        ),
+        start=F.lit(0.0),
+    )
+    scored = fanned.select(
+        F.col("__q.query_id").alias("query_id"),
+        "neighbor_id",
+        dist.alias("adc_dist"),
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

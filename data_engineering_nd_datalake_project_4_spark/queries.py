@@ -5225,3 +5225,31 @@ def q150_resample_locf(spark, sf_dir):
     e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 8)
     out = resample_locf(e, "user_id", "ts", "value", 3600, tie_break="event_id")
     return out.orderBy("user_id", "ts")
+
+
+@q(
+    "q151_pq_adc_topk",
+    None,
+    "product-quantization ANN (similarity.pq_train/pq_encode/pq_adc_topk, "
+    "Jégou et al. 2011): per-subspace k-means codebooks, m-byte codes, "
+    "asymmetric-distance top-k via per-query lookup tables folded into "
+    "ONE exploded literal (single scan of the code column — the "
+    "full-precision vectors never load at query time). Iterative k-means "
+    "training is not SQL-expressible — declared rows-only (the q91 "
+    "class); exactness on in-codebook vectors + recall-vs-exact-L2 + "
+    "code-range invariants are property-tested in tests/test_pq.py",
+)
+def q151_pq_adc_topk(spark, sf_dir):
+    from data_engineering_nd_datalake_project_4_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500).select(
+        "vec_id", "embedding"
+    )
+    cbs = pq_train(emb, m=4, k=8, iters=3)
+    codes = pq_encode(emb, cbs)
+    out = pq_adc_topk(codes, emb.filter(F.col("vec_id") < 3), cbs, k=5)
+    return out.orderBy("query_id", "adc_dist", "neighbor_id")

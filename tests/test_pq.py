@@ -1,0 +1,103 @@
+"""Product quantization (pq_train / pq_encode / pq_adc_topk): exactness on
+in-codebook vectors, code-range invariants, and recall against exact L2 —
+the PQ estimator is approximate by construction (declared rows-only, like
+IVF/kmeans), so the gates are properties, not a DuckDB twin."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_nd_datalake_project_4_spark.catalog import load_table
+from data_engineering_nd_datalake_project_4_spark.operators.similarity import (
+    pq_adc_topk,
+    pq_encode,
+    pq_train,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+
+@pytest.fixture(scope="module")
+def codebooks(emb):
+    return pq_train(emb, m=4, k=8, iters=3)
+
+
+def test_pq_train_shape(codebooks):
+    assert len(codebooks) == 4
+    assert all(len(cb) == 8 for cb in codebooks)
+    assert all(len(c) == 16 for cb in codebooks for c in cb)
+
+
+def test_pq_encode_codes_in_range(emb, codebooks):
+    codes = pq_encode(emb, codebooks).select("pq_codes").collect()
+    for r in codes:
+        assert len(r.pq_codes) == 4
+        assert all(0 <= c < 8 for c in r.pq_codes)
+
+
+def test_pq_train_rejects_indivisible_dim(emb):
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(emb, m=5)
+
+
+def test_pq_adc_exact_on_in_codebook_vectors(spark, codebooks):
+    # vectors assembled FROM codebook centroids quantize losslessly, so the
+    # ADC estimate equals the true squared L2 and top-k matches numpy exactly
+    rng = np.random.default_rng(7)
+    vecs = {}
+    for vid in range(20):
+        picks = [int(rng.integers(0, len(codebooks[s]))) for s in range(4)]
+        vecs[vid] = np.concatenate([np.asarray(codebooks[s][p]) for s, p in enumerate(picks)])
+    df = spark.createDataFrame(
+        [(vid, [float(x) for x in v]) for vid, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    codes = pq_encode(df, codebooks)
+    got = pq_adc_topk(codes, df.filter(F.col("vec_id") < 3), codebooks, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.neighbor_id, r.adc_dist))
+    for qid in range(3):
+        q = vecs[qid]
+        exact = sorted(
+            ((nid, float(((q - v) ** 2).sum())) for nid, v in vecs.items() if nid != qid),
+            key=lambda t: (t[1], t[0]),
+        )[:5]
+        assert [n for n, _ in by_q[qid]] == [n for n, _ in exact]
+        for (gn, gd), (_, ed) in zip(by_q[qid], exact):
+            assert gd == pytest.approx(ed, abs=1e-9)
+
+
+def test_pq_adc_recall_vs_exact_l2(emb, codebooks):
+    rows = emb.collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+    queries = emb.filter(F.col("vec_id") < 5)
+    codes = pq_encode(emb, codebooks)
+    got = pq_adc_topk(codes, queries, codebooks, k=10).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = []
+    for qid in range(5):
+        q = vecs[qid]
+        exact = sorted(
+            ((float(((q - v) ** 2).sum()), nid) for nid, v in vecs.items() if nid != qid)
+        )[:10]
+        exact_ids = {nid for _, nid in exact}
+        recalls.append(len(by_q[qid] & exact_ids) / 10)
+    # synthetic near-uniform vectors are PQ's worst case (observed ~0.28
+    # at m=4/k=8; 0.44 at m=16/k=16); the gate is a regression floor far
+    # above chance (10/499 ~= 0.02), robust to testdata regeneration —
+    # not a quality claim
+    assert sum(recalls) / len(recalls) >= 0.15, recalls
+
+
+def test_pq_adc_caps_query_fanout(emb, codebooks):
+    codes = pq_encode(emb, codebooks)
+    with pytest.raises(ValueError, match="max_queries"):
+        pq_adc_topk(codes, emb, codebooks, k=3, max_queries=10)
