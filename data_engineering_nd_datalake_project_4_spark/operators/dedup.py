@@ -819,3 +819,81 @@ def domain_quota_sample(
         .filter(F.col("__qr") <= quota)
         .drop("__qr")
     )
+
+
+def lsh_near_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = 100,
+    hash_fn: str = "xxhash64",
+    verify_jaccard: float | None = 0.5,
+    max_iter: int = 20,
+) -> DataFrame:
+    """END-TO-END MinHash near-dedup — the operation an LLM-corpus user
+    actually runs (the SlimPajama / Lee et al. 2022 pipeline): LSH
+    candidate pairs → exact-Jaccard verification → connected components →
+    keep the min-id document per duplicate cluster. Returns the SURVIVING
+    input rows (all columns).
+
+    Composition of :func:`minhash_lsh_candidate_pairs` (banded signature
+    join), the verification re-join, and :func:`connected_components`
+    (min-label propagation). ``verify_jaccard`` filters LSH candidates by
+    TRUE shingle-set Jaccard before clustering (``None`` skips — clusters
+    then chain on banding collisions alone, the recall-over-precision
+    mode); the ratio is one exact IEEE division of set-size integers, so
+    the gate is cross-engine exact. Rows whose ``text_col`` is NULL carry
+    nothing to compare and always survive.
+
+    Scale shape: the expensive stages keep their audited plans — signature
+    build map-side, band join on 8-byte bucket hashes, verification joins
+    shingle ARRAYS only for candidate pairs (a vanishing fraction of the
+    corpus), label propagation shuffles (node, label) longs for
+    diameter-many rounds. The final survivor filter is a left-anti join on
+    the id — full document payloads move through exactly one anti-join and
+    no window. With ``hash_fn="portable"`` the ENTIRE pipeline (pairs,
+    verification, closure, survivors) is exactly replicated by a DuckDB
+    recursive-CTE oracle (q152).
+    """
+    docs = df.filter(F.col(text_col).isNotNull())
+    pairs = minhash_lsh_candidate_pairs(
+        docs,
+        text_col,
+        id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        max_bucket_size=max_bucket_size,
+        hash_fn=hash_fn,
+    )
+    if verify_jaccard is not None:
+        sh = docs.select(
+            F.col(id_col).alias("__vid"),
+            _shingles(F.col(text_col), shingle_n).alias("__vsh"),
+        )
+        inter = F.size(F.array_intersect("__sha", "__shb"))
+        pairs = (
+            pairs.join(
+                sh.select(F.col("__vid").alias("id_a"), F.col("__vsh").alias("__sha")),
+                "id_a",
+            )
+            .join(
+                sh.select(F.col("__vid").alias("id_b"), F.col("__vsh").alias("__shb")),
+                "id_b",
+            )
+            .withColumn("__int", inter)
+            .filter(
+                F.col("__int").cast("double")
+                / (F.size("__sha") + F.size("__shb") - F.col("__int"))
+                >= F.lit(verify_jaccard)
+            )
+            .select("id_a", "id_b")
+        )
+    labels = connected_components(pairs, max_iter=max_iter)
+    removed = labels.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(removed, id_col, "left_anti")

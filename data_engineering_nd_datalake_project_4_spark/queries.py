@@ -5253,3 +5253,69 @@ def q151_pq_adc_topk(spark, sf_dir):
     codes = pq_encode(emb, cbs)
     out = pq_adc_topk(codes, emb.filter(F.col("vec_id") < 3), cbs, k=5)
     return out.orderBy("query_id", "adc_dist", "neighbor_id")
+
+
+@q(
+    "q152_lsh_near_dedup",
+    f"""WITH RECURSIVE
+         d AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents WHERE text IS NOT NULL),
+         sh AS (SELECT doc_id,
+                  list_distinct(CASE WHEN len(toks) >= 3
+                    THEN list_transform(range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                    ELSE [array_to_string(toks, ' ')] END) AS shs
+                FROM d),
+         h AS (SELECT doc_id,
+                 list_transform(shs, s -> {_ph60('s')} % 2147483647) AS hs
+               FROM sh),
+         sig AS (SELECT doc_id, [{_MH_SIG_SQL}] AS sg FROM h),
+         banded AS (
+           SELECT doc_id, bb.band,
+                  {_ph60("array_to_string(list_transform("
+                         "list_slice(sg, bb.band*4 + 1, bb.band*4 + 4), "
+                         "x -> CAST(x AS VARCHAR)), ',')")} AS bucket
+           FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS band) bb),
+         capped AS (SELECT doc_id, band, bucket FROM (
+             SELECT *, COUNT(*) OVER (PARTITION BY band, bucket) AS bsz
+             FROM banded)
+           WHERE bsz <= 100),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM capped a JOIN capped b
+                    ON a.band = b.band AND a.bucket = b.bucket
+                       AND a.doc_id < b.doc_id),
+         verified AS (
+           SELECT p.id_a, p.id_b
+           FROM cand p
+           JOIN sh sa ON sa.doc_id = p.id_a
+           JOIN sh sb ON sb.doc_id = p.id_b
+           WHERE CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+                 / (len(sa.shs) + len(sb.shs)
+                    - len(list_intersect(sa.shs, sb.shs))) >= 0.8),
+         sym AS (SELECT id_a AS u, id_b AS v FROM verified
+                 UNION SELECT id_b AS u, id_a AS v FROM verified),
+         reach(u, v) AS (
+           SELECT u, v FROM sym
+           UNION
+           SELECT r.u, s2.v FROM reach r JOIN sym s2 ON r.v = s2.u
+           WHERE s2.v <> r.u),
+         removed AS (SELECT u FROM reach GROUP BY u
+                     HAVING LEAST(u, MIN(v)) < u)
+       SELECT doc_id, source, n_chars FROM documents
+       WHERE doc_id NOT IN (SELECT u FROM removed)
+       ORDER BY doc_id""",
+    "END-TO-END MinHash near-dedup (dedup.lsh_near_dedup): LSH banding -> "
+    "exact-Jaccard verification of candidates (one IEEE division of "
+    "shingle-set sizes) -> connected components -> keep min-id per "
+    "cluster; NULL-text docs always survive. The full pipeline on the "
+    "portable hash family is exactly replicated by the DuckDB "
+    "recursive-CTE twin (q35's CTE chain + verification join + "
+    "transitive closure + anti-filter)",
+)
+def q152_lsh_near_dedup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.lsh_near_dedup(
+        docs, "text", "doc_id", num_hashes=32, bands=8, shingle_n=3,
+        max_bucket_size=100, hash_fn="portable", verify_jaccard=0.8,
+    )
+    return out.select("doc_id", "source", "n_chars").orderBy("doc_id")

@@ -763,3 +763,68 @@ def test_hll_explicit_accuracy_and_merge(spark, sf_dir):
     assert regs.count() <= 2
     with pytest.raises(ValueError, match="p must be"):
         sketches.hll_registers(withnull, "k", p=2)
+
+
+class TestLshNearDedup:
+    """End-to-end MinHash dedup (dedup.lsh_near_dedup): planted-cluster
+    semantics, NULL survival, and survivors ≡ input − removed-components."""
+
+    def _toy(self, spark):
+        # two exact-duplicate families + two unique docs + one NULL doc
+        rows = [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "alpha beta gamma delta epsilon zeta"),
+            (4, "one two three four five six seven"),
+            (5, "red orange yellow green blue indigo violet"),
+            (6, "red orange yellow green blue indigo violet"),
+            (7, None),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_keeps_min_id_per_planted_cluster(self, spark):
+        from data_engineering_nd_datalake_project_4_spark.operators.dedup import lsh_near_dedup
+
+        out = lsh_near_dedup(
+            self._toy(spark), "text", "doc_id", num_hashes=32, bands=8,
+            shingle_n=1, verify_jaccard=0.5,
+        )
+        got = sorted(r.doc_id for r in out.collect())
+        # clusters {1,2,3} and {5,6} collapse to their min ids; 4 unique;
+        # NULL-text 7 always survives
+        assert got == [1, 4, 5, 7]
+
+    def test_no_verification_mode_still_exact_on_identical_docs(self, spark):
+        from data_engineering_nd_datalake_project_4_spark.operators.dedup import lsh_near_dedup
+
+        out = lsh_near_dedup(
+            self._toy(spark), "text", "doc_id", num_hashes=32, bands=8,
+            shingle_n=1, verify_jaccard=None,
+        )
+        got = sorted(r.doc_id for r in out.collect())
+        # identical token sets share every band — same clusters survive
+        assert 1 in got and 4 in got and 5 in got and 7 in got
+        assert 2 not in got and 3 not in got and 6 not in got
+
+    def test_survivors_equal_input_minus_removed_components(self, spark, sf_dir):
+        from data_engineering_nd_datalake_project_4_spark.operators.dedup import (
+            connected_components,
+            lsh_near_dedup,
+            minhash_lsh_candidate_pairs,
+        )
+
+        d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+        out = lsh_near_dedup(
+            d, "text", "doc_id", num_hashes=32, bands=8, shingle_n=3,
+            max_bucket_size=100, verify_jaccard=None,
+        )
+        pairs = minhash_lsh_candidate_pairs(
+            d.filter(F.col("text").isNotNull()), "text", "doc_id",
+            num_hashes=32, bands=8, shingle_n=3, max_bucket_size=100,
+        )
+        labels = connected_components(pairs)
+        removed = {
+            r.node for r in labels.filter(F.col("node") != F.col("component")).collect()
+        }
+        expect = sorted(r.doc_id for r in d.collect() if r.doc_id not in removed)
+        assert sorted(r.doc_id for r in out.collect()) == expect
