@@ -713,3 +713,154 @@ def pq_adc_topk(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def _coarse_assign(v: Column, coarse: list[list[float]]) -> Column:
+    """Argmin-squared-L2 coarse cell id as a map-side literal expression
+    (same argmin/tie-break as :func:`kmeans` assignment)."""
+    dists = F.array(*[_sq_dist_to_literal(v, c) for c in coarse])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def ivfpq_train(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 8,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 5,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Train the FAISS-canonical IVFADC index (Jégou et al. 2011 §V):
+    ``nlist`` coarse k-means centroids, then PQ codebooks over the
+    RESIDUALS ``v - coarse[cell(v)]`` — residual energy is much lower than
+    vector energy, so the same code budget quantizes finer than flat PQ.
+
+    Returns ``(coarse_centroids, residual_codebooks)``. Model state is
+    nlist*dim + k*dim driver-side floats. The residual projection is
+    map-side (coarse centroids fold in as literals); training cost is one
+    coarse k-means + one per-subspace k-means pass over residuals.
+    """
+    _, coarse = kmeans(df, id_col, vec_col, k=nlist, iters=iters)
+    v = as_double_array(F.col(vec_col))
+    cell = _coarse_assign(v, coarse)
+    clit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in coarse])
+    residuals = df.select(
+        F.col(id_col).alias(id_col),
+        F.zip_with(v, F.element_at(clit, cell + 1), lambda a, b: a - b).alias(
+            "__resid"
+        ),
+    )
+    codebooks = pq_train(residuals, id_col, "__resid", m=m, k=k, iters=iters)
+    return coarse, codebooks
+
+
+def ivfpq_encode(
+    df: DataFrame,
+    coarse: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors as (coarse cell, PQ codes of the residual). Entirely
+    map-side: both codebook levels fold into the plan as literals — no
+    shuffle, no UDF, no model broadcast. Output columns: ``ivf_cell int,
+    pq_codes array<int>`` appended to the input."""
+    v = as_double_array(F.col(vec_col))
+    cell = _coarse_assign(v, coarse)
+    clit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in coarse])
+    staged = df.withColumn("ivf_cell", cell).withColumn(
+        "__resid", F.zip_with(v, F.element_at(clit, F.col("ivf_cell") + 1), lambda a, b: a - b)
+    )
+    return pq_encode(staged, codebooks, id_col, "__resid").drop("__resid")
+
+
+def ivfpq_adc_topk(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    coarse: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+    max_queries: int = 1024,
+) -> DataFrame:
+    """IVFADC search: each query probes its ``nprobe`` nearest coarse
+    cells; within a probed cell the approximate squared L2 is the ADC sum
+    over the RESIDUAL lookup table ``LUT[s][c] = ||(q - coarse[cell])_s -
+    codebook[s][c]||²`` (the LUT is per (query, cell) — residuals are
+    cell-relative, exactly the IVFADC estimator).
+
+    Scale shape: the probe set (Q·nprobe rows of m·k doubles) is a
+    driver-built broadcast side joined on ``ivf_cell`` — only vectors in
+    probed cells are scored (the inverted-list pruning), the codes scan
+    reads just the cell+code columns, and the kernel per candidate is m
+    lookups + adds. Cell selection runs driver-side over the nlist coarse
+    centroids (model state, not data). Output: ``query_id, neighbor_id,
+    adc_dist``.
+    """
+    nlist = len(coarse)
+    if nprobe > nlist:
+        raise ValueError(f"nprobe {nprobe} > nlist {nlist}")
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    qrows = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        as_double_array(F.col(query_vec_col)).alias("v"),
+    ).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"{len(qrows)} queries > max_queries={max_queries}: IVFADC builds "
+            "one LUT per (query, probed cell) on the driver — chunk the probe set"
+        )
+    probe_rows = []
+    for r in qrows:
+        q = list(r["v"])
+        cd = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(q, c)), ci)
+            for ci, c in enumerate(coarse)
+        )[:nprobe]
+        for _, ci in cd:
+            resid = [a - b for a, b in zip(q, coarse[ci])]
+            luts = [
+                [
+                    sum(
+                        (a - b) * (a - b)
+                        for a, b in zip(resid[s * sub : (s + 1) * sub], c)
+                    )
+                    for c in codebooks[s]
+                ]
+                for s in range(m)
+            ]
+            probe_rows.append((r["query_id"], ci, luts))
+    spark = codes_df.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, ivf_cell int, luts array<array<double>>"
+    )
+    cand = F.broadcast(probes).join(
+        codes_df.select(
+            F.col(id_col).alias("neighbor_id"), "ivf_cell", "pq_codes"
+        ),
+        "ivf_cell",
+    )
+    dist = sum(
+        (
+            F.element_at(
+                F.element_at("luts", s + 1),
+                F.element_at(F.col("pq_codes"), s + 1) + 1,
+            )
+            for s in range(m)
+        ),
+        start=F.lit(0.0),
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", dist.alias("adc_dist")
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

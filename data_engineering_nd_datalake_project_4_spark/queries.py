@@ -5319,3 +5319,34 @@ def q152_lsh_near_dedup(spark, sf_dir):
         max_bucket_size=100, hash_fn="portable", verify_jaccard=0.8,
     )
     return out.select("doc_id", "source", "n_chars").orderBy("doc_id")
+
+
+@q(
+    "q153_ivfpq_adc_topk",
+    None,
+    "IVFADC ANN (similarity.ivfpq_train/ivfpq_encode/ivfpq_adc_topk, the "
+    "FAISS-canonical index, Jégou et al. 2011 §V): nlist coarse k-means "
+    "cells + PQ codebooks over cell residuals; queries probe nprobe "
+    "nearest cells and score candidates by residual-LUT ADC — the probe "
+    "set is a driver-built broadcast joined on ivf_cell, so only probed "
+    "cells' vectors are scanned. Iterative two-level k-means training is "
+    "not SQL-expressible — declared rows-only (q91/q151 class); "
+    "exact-on-constructible-vectors, probe-pruning-subset, recall-floor "
+    "and validation properties live in tests/test_pq.py::TestIvfPq",
+)
+def q153_ivfpq_adc_topk(spark, sf_dir):
+    from data_engineering_nd_datalake_project_4_spark.operators.similarity import (
+        ivfpq_adc_topk,
+        ivfpq_encode,
+        ivfpq_train,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500).select(
+        "vec_id", "embedding"
+    )
+    coarse, cbs = ivfpq_train(emb, nlist=4, m=4, k=8, iters=3)
+    codes = ivfpq_encode(emb, coarse, cbs)
+    out = ivfpq_adc_topk(
+        codes, emb.filter(F.col("vec_id") < 3), coarse, cbs, k=5, nprobe=2
+    )
+    return out.orderBy("query_id", "adc_dist", "neighbor_id")

@@ -101,3 +101,119 @@ def test_pq_adc_caps_query_fanout(emb, codebooks):
     codes = pq_encode(emb, codebooks)
     with pytest.raises(ValueError, match="max_queries"):
         pq_adc_topk(codes, emb, codebooks, k=3, max_queries=10)
+
+
+class TestIvfPq:
+    """IVFADC (coarse cells + residual PQ): exactness on constructible
+    vectors, probe pruning, recall floor vs exact L2."""
+
+    @pytest.fixture(scope="class")
+    def model(self, emb):
+        from data_engineering_nd_datalake_project_4_spark.operators.similarity import ivfpq_train
+
+        return ivfpq_train(emb, nlist=4, m=4, k=8, iters=3)
+
+    def test_encode_shape(self, emb, model):
+        from data_engineering_nd_datalake_project_4_spark.operators.similarity import ivfpq_encode
+
+        coarse, cbs = model
+        codes = ivfpq_encode(emb, coarse, cbs).select("ivf_cell", "pq_codes").collect()
+        for r in codes:
+            assert 0 <= r.ivf_cell < 4
+            assert len(r.pq_codes) == 4
+            assert all(0 <= c < 8 for c in r.pq_codes)
+
+    def test_adc_exact_on_constructible_vectors(self, spark, model):
+        # vector = coarse centroid + per-subspace residual codebook entries
+        # → residual quantizes losslessly → ADC distance == true squared L2
+        from data_engineering_nd_datalake_project_4_spark.operators.similarity import (
+            ivfpq_adc_topk,
+            ivfpq_encode,
+        )
+
+        coarse, cbs = model
+        rng = np.random.default_rng(11)
+        vecs = {}
+        for vid in range(16):
+            ci = int(rng.integers(0, len(coarse)))
+            resid = np.concatenate(
+                [np.asarray(cbs[s][int(rng.integers(0, len(cbs[s])))]) for s in range(4)]
+            )
+            vecs[vid] = np.asarray(coarse[ci]) + resid
+        df = spark.createDataFrame(
+            [(vid, [float(x) for x in v]) for vid, v in vecs.items()],
+            "vec_id long, embedding array<double>",
+        )
+        codes = ivfpq_encode(df, coarse, cbs)
+        got = ivfpq_adc_topk(
+            codes, df.filter(F.col("vec_id") < 2), coarse, cbs,
+            k=4, nprobe=len(coarse),
+        ).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r.query_id, []).append((r.neighbor_id, r.adc_dist))
+        for qid in range(2):
+            q = vecs[qid]
+            exact = sorted(
+                ((nid, float(((q - v) ** 2).sum())) for nid, v in vecs.items() if nid != qid),
+                key=lambda t: (t[1], t[0]),
+            )[:4]
+            # a constructible vector may still ENCODE into a different cell
+            # than the one it was built from (nearest coarse centroid wins),
+            # but with every cell probed the ADC estimate is exact
+            assert [n for n, _ in by_q[qid]] == [n for n, _ in exact]
+            for (gn, gd), (_, ed) in zip(by_q[qid], exact):
+                assert gd == pytest.approx(ed, abs=1e-9)
+
+    def test_probe_pruning_subsets_candidates(self, emb, model):
+        from data_engineering_nd_datalake_project_4_spark.operators.similarity import (
+            ivfpq_adc_topk,
+            ivfpq_encode,
+        )
+
+        coarse, cbs = model
+        codes = ivfpq_encode(emb, coarse, cbs)
+        qs = emb.filter(F.col("vec_id") < 3)
+        full = ivfpq_adc_topk(codes, qs, coarse, cbs, k=1000, nprobe=len(coarse))
+        pruned = ivfpq_adc_topk(codes, qs, coarse, cbs, k=1000, nprobe=1)
+        nf, np_ = full.count(), pruned.count()
+        assert 0 < np_ < nf  # nprobe=1 scores strictly fewer candidates
+
+    def test_recall_floor_vs_exact(self, emb, model):
+        from data_engineering_nd_datalake_project_4_spark.operators.similarity import (
+            ivfpq_adc_topk,
+            ivfpq_encode,
+        )
+
+        coarse, cbs = model
+        rows = emb.collect()
+        vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+        codes = ivfpq_encode(emb, coarse, cbs)
+        got = ivfpq_adc_topk(
+            codes, emb.filter(F.col("vec_id") < 5), coarse, cbs, k=10,
+            nprobe=len(coarse),
+        ).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+        recalls = []
+        for qid in range(5):
+            q = vecs[qid]
+            exact = sorted(
+                ((float(((q - v) ** 2).sum()), nid) for nid, v in vecs.items() if nid != qid)
+            )[:10]
+            recalls.append(len(by_q[qid] & {nid for _, nid in exact}) / 10)
+        # same regression-floor philosophy as the flat-PQ gate: far above
+        # the ~0.02 chance level on PQ-worst-case uniform vectors
+        assert sum(recalls) / len(recalls) >= 0.15, recalls
+
+    def test_nprobe_validation(self, emb, model):
+        from data_engineering_nd_datalake_project_4_spark.operators.similarity import (
+            ivfpq_adc_topk,
+            ivfpq_encode,
+        )
+
+        coarse, cbs = model
+        codes = ivfpq_encode(emb, coarse, cbs)
+        with pytest.raises(ValueError, match="nprobe"):
+            ivfpq_adc_topk(codes, emb.limit(1), coarse, cbs, nprobe=99)
