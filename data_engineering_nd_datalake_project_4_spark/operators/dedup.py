@@ -897,3 +897,71 @@ def lsh_near_dedup(
         F.col("node").alias(id_col)
     )
     return df.join(removed, id_col, "left_anti")
+
+
+def temperature_mix_sample(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    target_total: int,
+    temperature: float = 2.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature-scaled corpus rebalancing (the multilingual-LM sampling
+    rule, Conneau et al. 2020 / Lample & Conneau 2019): domain ``i`` gets a
+    quota ``n_i ∝ c_i^(1/T)`` of the ``target_total`` — T=1 preserves the
+    natural distribution, T→∞ approaches uniform, so low-resource domains
+    are upsampled relative to their share. Selection within a domain is the
+    deterministic portable-hash rank (same as :func:`domain_quota_sample`),
+    making the ENTIRE sample oracle-checkable.
+
+    Exactness: weights are quantized to integers ``qw_i =
+    floor(c_i^(1/T) · 10⁶)`` and quotas computed in pure BIGINT arithmetic
+    ``n_i = (target_total · qw_i) div Σqw`` — order-independent and
+    engine-exact. For T=2 the root is IEEE ``sqrt`` (correctly rounded —
+    bit-identical in Spark and DuckDB); other temperatures go through
+    ``pow`` (1-ulp JVM-vs-glibc divergence possible AT the floor boundary —
+    the documented transcendental caveat; T=2 is the oracle-gated path).
+    Overflow-safe: ``target_total·qw_i ≤ 1e6·√(1e12)·1e6 = 1e18 < 2⁶³``.
+
+    Scale shape: one tiny per-domain count aggregate (broadcast back), one
+    window rank over (domain, hash, id) — payloads ride a single exchange.
+    NULL domains form their own quota class (null-safe quota join).
+    ``Σ floor(...)`` ≤ target_total (never overshoots; undershoot < #domains
+    rows — the standard largest-remainder refinement is omitted to keep the
+    quota pure integer math).
+    """
+    if target_total > 1_000_000:
+        raise ValueError(
+            f"target_total {target_total} > 1e6: the BIGINT quota product "
+            "target_total*qw is only overflow-proof below 1e6·1e12"
+        )
+    root = (
+        F.sqrt(F.col("__c").cast("double"))
+        if temperature == 2.0
+        else F.pow(F.col("__c").cast("double"), F.lit(1.0 / temperature))
+    )
+    quotas = (
+        df.groupBy(F.col(domain_col).alias("__dom"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .withColumn("__qw", F.floor(root * F.lit(1_000_000.0)).cast("long"))
+    )
+    z = quotas.agg(F.sum("__qw").alias("__z"))
+    quotas = (
+        quotas.crossJoin(F.broadcast(z))
+        .withColumn("__num", F.lit(int(target_total)).cast("long") * F.col("__qw"))
+        .selectExpr("__dom", "__num div __z as __quota")
+    )
+    h = portable_hash60(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(domain_col).orderBy(h.asc(), F.col(id_col).asc())
+    ranked = df.withColumn("__tr", F.row_number().over(w))
+    return (
+        ranked.join(
+            F.broadcast(quotas),
+            ranked[domain_col].eqNullSafe(quotas["__dom"]),
+        )
+        .filter(F.col("__tr") <= F.col("__quota"))
+        .drop("__tr", "__dom", "__quota")
+    )

@@ -5350,3 +5350,37 @@ def q153_ivfpq_adc_topk(spark, sf_dir):
         codes, emb.filter(F.col("vec_id") < 3), coarse, cbs, k=5, nprobe=2
     )
     return out.orderBy("query_id", "adc_dist", "neighbor_id")
+
+
+@q(
+    "q154_temperature_mix",
+    f"""WITH c AS (SELECT source AS dom, COUNT(*) AS c
+                   FROM documents GROUP BY source),
+         w AS (SELECT dom,
+                 CAST(floor(sqrt(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT) AS qw
+               FROM c),
+         z AS (SELECT SUM(qw) AS z FROM w),
+         quo AS (SELECT dom, (CAST(2000 AS BIGINT) * qw) // z AS n FROM w, z),
+         r AS (SELECT doc_id, source, n_chars,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY {_ph60("'0:' || CAST(doc_id AS VARCHAR)")}, doc_id
+                 ) AS rn
+               FROM documents)
+       SELECT doc_id, source, n_chars
+       FROM r JOIN quo ON r.source IS NOT DISTINCT FROM quo.dom
+       WHERE rn <= n ORDER BY doc_id""",
+    "temperature-scaled corpus rebalancing (dedup.temperature_mix_sample, "
+    "the Conneau et al. multilingual sampling rule): per-domain quota "
+    "n_i = (target · floor(sqrt(c_i)·1e6)) div Σ — IEEE sqrt is correctly "
+    "rounded so the T=2 weight quantization is bit-identical cross-engine "
+    "and the quota math is pure BIGINT; docs picked by portable-hash rank "
+    "within domain; NULL domains are their own quota class (null-safe "
+    "join both sides)",
+)
+def q154_temperature_mix(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.temperature_mix_sample(
+        docs, "source", "doc_id", target_total=2000, temperature=2.0, seed=0
+    )
+    return out.select("doc_id", "source", "n_chars").orderBy("doc_id")

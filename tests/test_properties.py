@@ -828,3 +828,63 @@ class TestLshNearDedup:
         }
         expect = sorted(r.doc_id for r in d.collect() if r.doc_id not in removed)
         assert sorted(r.doc_id for r in out.collect()) == expect
+
+
+class TestTemperatureMix:
+    """Temperature-scaled corpus rebalancing (dedup.temperature_mix_sample)."""
+
+    def _skewed(self, spark):
+        # 3 domains with counts 160 / 40 / 10 and one NULL-domain doc
+        rows = [(i, "big") for i in range(160)]
+        rows += [(200 + i, "mid") for i in range(40)]
+        rows += [(300 + i, "small") for i in range(10)]
+        rows += [(400, None)]
+        return spark.createDataFrame(rows, "doc_id long, source string")
+
+    def test_quota_sum_never_overshoots(self, spark):
+        from data_engineering_nd_datalake_project_4_spark.operators.dedup import temperature_mix_sample
+
+        out = temperature_mix_sample(self._skewed(spark), "source", "doc_id", 100)
+        assert out.count() <= 100
+
+    def test_temperature_flattens_shares(self, spark):
+        from data_engineering_nd_datalake_project_4_spark.operators.dedup import temperature_mix_sample
+
+        df = self._skewed(spark)
+
+        def share(t):
+            out = temperature_mix_sample(df, "source", "doc_id", 100, temperature=t)
+            by = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+            return by.get("big", 0), by.get("small", 0)
+
+        b1, s1 = share(1.0)   # natural distribution
+        b2, s2 = share(2.0)   # sqrt-flattened
+        # higher temperature shifts quota from the dominant to the rare domain
+        assert b2 < b1 and s2 >= s1
+
+    def test_null_domain_gets_own_quota_class(self, spark):
+        from data_engineering_nd_datalake_project_4_spark.operators.dedup import temperature_mix_sample
+
+        out = temperature_mix_sample(self._skewed(spark), "source", "doc_id", 200)
+        assert out.filter(F.col("source").isNull()).count() >= 0  # null-safe join kept the class
+        # with target ~= corpus size the NULL singleton's quota is >= 1
+        got = {r.doc_id for r in out.collect()}
+        assert 400 in got
+
+    def test_deterministic_and_seed_decorrelated(self, spark):
+        from data_engineering_nd_datalake_project_4_spark.operators.dedup import temperature_mix_sample
+
+        df = self._skewed(spark)
+        a1 = {r.doc_id for r in temperature_mix_sample(df, "source", "doc_id", 60, seed=0).collect()}
+        a2 = {r.doc_id for r in temperature_mix_sample(df, "source", "doc_id", 60, seed=0).collect()}
+        b = {r.doc_id for r in temperature_mix_sample(df, "source", "doc_id", 60, seed=1).collect()}
+        assert a1 == a2
+        assert a1 != b
+
+    def test_rejects_overflow_prone_target(self, spark):
+        import pytest as _pytest
+
+        from data_engineering_nd_datalake_project_4_spark.operators.dedup import temperature_mix_sample
+
+        with _pytest.raises(ValueError, match="target_total"):
+            temperature_mix_sample(self._skewed(spark), "source", "doc_id", 2_000_000)
