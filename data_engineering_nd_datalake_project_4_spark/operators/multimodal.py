@@ -530,3 +530,29 @@ def images_from_pixel_arrays(
             )
 
     return df.mapInPandas(batches, MEDIA_SCHEMA)
+
+
+def binary_files_to_media(df: DataFrame, kind: str) -> DataFrame:
+    """Adapt a ``binaryFile``-source scan (``sources.read_binary_files``:
+    path/modificationTime/length/content) to the MEDIA_SCHEMA shape the
+    decode operators consume. ``media_id = xxhash64(path)`` (deterministic,
+    collision probability ~n²/2⁶⁴); the original ``path`` column is kept so
+    callers can join features back to files. Mime is inferred from the
+    extension for the formats this module actually decodes; everything else
+    is NULL (unknown until decode). Map-side only."""
+    ext = F.lower(F.regexp_extract("path", r"\.([A-Za-z0-9]+)$", 1))
+    mime = (
+        F.when(ext.isin("pgm", "ppm", "pbm"), F.lit("image/x-portable-anymap"))
+        .when(ext == "wav", F.lit("audio/wav"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return df.select(
+        F.xxhash64("path").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.col("content"),
+        mime.alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+        F.col("path"),
+    )

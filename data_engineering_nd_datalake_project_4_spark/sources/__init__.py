@@ -189,3 +189,32 @@ def read_text(spark: SparkSession, path: str, whole: bool = False) -> DataFrame:
     """Line-per-row (or whole-file-per-row) text scan into a single
     ``value`` string column — the raw-ingest entry for unstructured data."""
     return spark.read.text(path, wholetext=whole)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = False,
+) -> DataFrame:
+    """Raw media/file ingest via Spark's built-in ``binaryFile`` source:
+    one row per file with ``path string, modificationTime timestamp,
+    length long, content binary`` — the ingestion front door for the
+    multimodal operators (``operators.multimodal.image_features`` /
+    ``audio_features`` / ``image_perceptual_hashes`` consume the
+    ``content`` column directly).
+
+    ``glob`` maps to ``pathGlobFilter`` (pattern pruning happens at file
+    LISTING time — unmatched files are never opened), ``recursive`` to
+    ``recursiveFileLookup``. Scale notes: the source honors
+    ``spark.sql.files.maxPartitionBytes`` for task packing but never
+    splits a file, so one pathological multi-GB blob pins one task —
+    shard giant media upstream. Reading only metadata columns
+    (path/length) prunes ``content`` and reads no file bodies.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader.load(path)

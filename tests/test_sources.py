@@ -262,3 +262,77 @@ def test_malformed_option_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="PERMISSIVE"):
         read_csv(spark, str(tmp_path), "id INT", corrupt_record_col="_c",
                  bad_records_path=str(tmp_path / "bad"))
+
+
+class TestBinaryFileIngest:
+    """binaryFile source → multimodal decode: the raw-media ingestion path."""
+
+    def _write_images(self, root: Path) -> dict[str, bytes]:
+        import numpy as np
+
+        from data_engineering_nd_datalake_project_4_spark.operators.multimodal import encode_netpbm
+
+        root.mkdir(parents=True, exist_ok=True)
+        files = {}
+        rng = np.random.default_rng(3)
+        for i in range(4):
+            arr = rng.integers(0, 256, size=(8, 6, 1), dtype=np.uint8)
+            payload = encode_netpbm(arr)
+            (root / f"img_{i}.pgm").write_bytes(payload)
+            files[f"img_{i}.pgm"] = payload
+        (root / "notes.txt").write_text("not an image")
+        return files
+
+    def test_reads_content_and_metadata(self, spark, tmp_path):
+        from data_engineering_nd_datalake_project_4_spark.sources import read_binary_files
+
+        files = self._write_images(tmp_path / "media")
+        df = read_binary_files(spark, str(tmp_path / "media"))
+        rows = {Path(r.path).name: r for r in df.collect()}
+        assert set(rows) == set(files) | {"notes.txt"}
+        for name, payload in files.items():
+            assert bytes(rows[name].content) == payload
+            assert rows[name].length == len(payload)
+
+    def test_glob_prunes_at_listing(self, spark, tmp_path):
+        from data_engineering_nd_datalake_project_4_spark.sources import read_binary_files
+
+        self._write_images(tmp_path / "media")
+        df = read_binary_files(spark, str(tmp_path / "media"), glob="*.pgm")
+        names = {Path(r.path).name for r in df.select("path").collect()}
+        assert names == {f"img_{i}.pgm" for i in range(4)}
+
+    def test_recursive_lookup(self, spark, tmp_path):
+        from data_engineering_nd_datalake_project_4_spark.sources import read_binary_files
+
+        self._write_images(tmp_path / "nested" / "deep")
+        flat = read_binary_files(spark, str(tmp_path / "nested"), glob="*.pgm")
+        rec = read_binary_files(
+            spark, str(tmp_path / "nested"), glob="*.pgm", recursive=True
+        )
+        assert rec.count() == 4
+        # without recursiveFileLookup the scan reads direct children only
+        assert flat.count() == 0
+
+    def test_ingest_to_multimodal_features_end_to_end(self, spark, tmp_path):
+        import numpy as np
+
+        from data_engineering_nd_datalake_project_4_spark.operators.multimodal import (
+            _grid_features,
+            decode_netpbm,
+            image_features,
+        )
+        from data_engineering_nd_datalake_project_4_spark.sources import read_binary_files
+
+        from data_engineering_nd_datalake_project_4_spark.operators.multimodal import binary_files_to_media
+
+        files = self._write_images(tmp_path / "media")
+        df = read_binary_files(spark, str(tmp_path / "media"), glob="*.pgm")
+        media = binary_files_to_media(df, "image")
+        feats = image_features(media, dim=16, strict=True)
+        ids = {Path(r.path).name: r.media_id for r in media.select("path", "media_id").collect()}
+        got = {r.media_id: list(r.features) for r in feats.collect()}
+        assert len(got) == len(files)
+        for name, payload in files.items():
+            expect = _grid_features(decode_netpbm(payload), 16)
+            assert np.allclose(got[ids[name]], expect)
