@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_engineering_nd_datalake_project_4_spark.functions import portable_hash60, tokens
@@ -616,3 +616,75 @@ def strip_duplicate_spans(
         F.coalesce(F.size("__toks"), F.lit(0)).alias("n_tokens"),
         F.coalesce(F.size("__toks") - F.size("__kept"), F.lit(0)).alias("n_removed_tokens"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Spärck Jones; the Lucene-default
+    positive-IDF variant): score(d) = Σ_t idf(t) · tf·(k1+1) /
+    (tf + k1·(1−b+b·dl/avgdl)), idf = ln(1 + (N−df+0.5)/(df+0.5)) — the
+    lexical-retrieval complement to the embedding ANN family.
+
+    Scale shape: one doc scan explodes tokens WITH the doc length riding
+    each row (8 bytes) and filters to the query-term set BEFORE any
+    shuffle, so the tf aggregate sees only matching tokens; df and the
+    (N, Σdl) corpus stats are tiny broadcast sides. No vocabulary ever
+    reaches the driver.
+
+    Determinism (the q136 pattern): ln() is transcendental (1-ulp
+    JVM-vs-glibc divergence on ~5% of inputs) — the idf is quantized to
+    DECIMAL(18,6) before use, each per-term contribution is quantized to
+    DECIMAL(18,6), and the per-doc score is an EXACT decimal sum
+    (order-independent), cast to DOUBLE only in the final projection. dl
+    and avgdl = Σdl/N are exact integer-derived doubles. Docs with NULL
+    ``text_col`` have no tokens and never score.
+
+    Output: ``(id_col, score, rk)`` — top-``k`` docs, score desc, id asc.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    docs = df.filter(F.col(text_col).isNotNull())
+    stats = docs.select(F.size(tokens(text_col)).alias("__dl")).agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__dl").alias("__sumdl")
+    )
+    tok = docs.select(
+        F.col(id_col),
+        F.size(tokens(text_col)).alias("__dl"),
+        F.explode(tokens(text_col)).alias("__tok"),
+    ).filter(F.col("__tok").isin(list(query_terms)))
+    tf = tok.groupBy(id_col, "__tok", "__dl").agg(F.count(F.lit(1)).alias("__tf"))
+    dfreq = tf.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+    avgdl = F.col("__sumdl").cast("double") / F.col("__n").cast("double")
+    idf = (
+        F.log(
+            F.lit(1.0)
+            + (F.col("__n").cast("double") - F.col("__df") + F.lit(0.5))
+            / (F.col("__df") + F.lit(0.5))
+        )
+        .cast("decimal(18,6)")
+        .cast("double")
+    )
+    denom = F.col("__tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("__dl").cast("double") / avgdl
+    )
+    contrib = (idf * (F.col("__tf") * F.lit(k1 + 1.0)) / denom).cast("decimal(18,6)")
+    scored = (
+        tf.join(F.broadcast(dfreq), "__tok")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.sum(contrib).alias("__s"))
+        .select(F.col(id_col), F.col("__s").cast("double").alias("score"))
+    )
+    # top-k FIRST via sort+limit (TakeOrderedAndProject — per-partition
+    # heaps, no global sort), THEN rank: the unpartitioned row_number
+    # window only ever sees k rows, never the full scored set.
+    topk = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return topk.withColumn("rk", F.row_number().over(w))

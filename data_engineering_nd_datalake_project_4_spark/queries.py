@@ -5384,3 +5384,48 @@ def q154_temperature_mix(spark, sf_dir):
         docs, "source", "doc_id", target_total=2000, temperature=2.0, seed=0
     )
     return out.select("doc_id", "source", "n_chars").orderBy("doc_id")
+
+
+@q(
+    "q155_bm25_topk",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents WHERE text IS NOT NULL),
+         stats AS (SELECT COUNT(*) AS n, SUM(len(toks)) AS sumdl FROM d),
+         tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM d),
+         tf AS (SELECT doc_id, tok, dl, COUNT(*) AS tf
+                FROM tok WHERE tok IN ('spark', 'join', 'window')
+                GROUP BY doc_id, tok, dl),
+         dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+         contrib AS (
+           SELECT tf.doc_id,
+                  CAST(
+                    CAST(CAST(ln(1.0 + (CAST(stats.n AS DOUBLE) - dfreq.df + 0.5)
+                                       / (dfreq.df + 0.5)) AS DECIMAL(18,6))
+                         AS DOUBLE)
+                    * (tf.tf * 2.2)
+                    / (tf.tf + 1.2 * (0.25 + 0.75 * CAST(tf.dl AS DOUBLE)
+                                             / (CAST(stats.sumdl AS DOUBLE)
+                                                / CAST(stats.n AS DOUBLE))))
+                  AS DECIMAL(18,6)) AS c
+           FROM tf JOIN dfreq USING (tok) CROSS JOIN stats),
+         scored AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score
+                    FROM contrib GROUP BY doc_id),
+         topk AS (SELECT doc_id, score FROM scored
+                  ORDER BY score DESC, doc_id LIMIT 10)
+       SELECT doc_id, score,
+              row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+       FROM topk ORDER BY rk""",
+    "BM25 ranked retrieval (text.bm25_topk, Lucene-default positive-IDF "
+    "variant) for query {spark, join, window}: token explode carries the "
+    "doc length and filters to query terms BEFORE any shuffle; df and "
+    "corpus stats broadcast. Deterministic via the q136 pattern — idf and "
+    "each per-term contribution quantized to DECIMAL(18,6), per-doc score "
+    "an exact decimal SUM cast to DOUBLE at the end; top-k via "
+    "TakeOrderedAndProject (per-partition heaps), the rank window only "
+    "sees k rows. ln() carries the accepted 1-ulp transcendental caveat",
+)
+def q155_bm25_topk(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return text.bm25_topk(
+        docs, "text", "doc_id", ["spark", "join", "window"], k=10
+    ).orderBy("rk")

@@ -888,3 +888,55 @@ class TestTemperatureMix:
 
         with _pytest.raises(ValueError, match="target_total"):
             temperature_mix_sample(self._skewed(spark), "source", "doc_id", 2_000_000)
+
+
+class TestBm25:
+    """BM25 retrieval (text.bm25_topk) vs a direct numpy-free replication."""
+
+    def _corpus(self, spark):
+        rows = [
+            (1, "spark join spark spark"),        # tf(spark)=3, dl=4
+            (2, "spark window filter scan"),      # tf(spark)=1, dl=4
+            (3, "join join window window join"),  # no spark
+            (4, "scan filter sort"),              # no query terms
+            (5, None),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_matches_reference_formula(self, spark):
+        import math
+
+        from data_engineering_nd_datalake_project_4_spark.operators.text import bm25_topk
+
+        out = bm25_topk(self._corpus(spark), "text", "doc_id", ["spark"], k=10)
+        got = {r.doc_id: r.score for r in out.collect()}
+        # corpus: 4 non-null docs, dl = 4,4,5,3 → avgdl = 4.0; df(spark)=2
+        n, df, avgdl, k1, b = 4, 2, 4.0, 1.2, 0.75
+
+        def ref(tf, dl):
+            idf = round(math.log(1 + (n - df + 0.5) / (df + 0.5)), 6)
+            c = idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+            return round(c, 6)
+
+        assert set(got) == {1, 2}
+        assert got[1] == pytest.approx(ref(3, 4), abs=2e-6)
+        assert got[2] == pytest.approx(ref(1, 4), abs=2e-6)
+        assert got[1] > got[2]  # higher tf wins at equal dl
+
+    def test_rank_order_and_k(self, spark):
+        from data_engineering_nd_datalake_project_4_spark.operators.text import bm25_topk
+
+        out = bm25_topk(
+            self._corpus(spark), "text", "doc_id", ["spark", "join", "window"], k=2
+        ).collect()
+        assert [r.rk for r in out] == [1, 2]
+        scores = [r.score for r in out]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_rejects_empty_query(self, spark):
+        import pytest as _pytest
+
+        from data_engineering_nd_datalake_project_4_spark.operators.text import bm25_topk
+
+        with _pytest.raises(ValueError, match="query_terms"):
+            bm25_topk(self._corpus(spark), "text", "doc_id", [])
