@@ -326,3 +326,32 @@ def test_q150_resample_grid_fans_out_from_indices(spark, sf_dir):
     assert "partial_max_by" in plan, plan
     assert "sequence(" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q152_end_to_end_dedup_text_free_exchanges(spark, sf_dir):
+    """The end-to-end LSH dedup must never key an exchange on document
+    text: candidate generation exchanges band/bucket hashes, label
+    propagation exchanges ids, and the survivor filter is an id anti-join
+    — the corpus text crosses no shuffle boundary as a KEY."""
+    plan = plans.explain_str(
+        REGISTRY["q152_lsh_near_dedup"].spark_fn(spark, sf_dir), "simple"
+    )
+    assert "CartesianProduct" not in plan
+    offenders = [l for l in _exchange_key_lines(plan) if "text#" in l]
+    assert not offenders, offenders
+
+
+def test_q155_bm25_filters_terms_before_shuffle_and_heaps_topk(spark, sf_dir):
+    """BM25's token explode must filter to the query-term set BEFORE the tf
+    aggregate's exchange (the matched-token stream is what shuffles, not
+    the corpus), and the global top-k must compile to TakeOrderedAndProject
+    (per-partition heaps) — never a full sort of the scored set."""
+    df = REGISTRY["q155_bm25_topk"].spark_fn(spark, sf_dir)
+    plan = plans.explain_str(df, "simple")
+    assert plans.has_take_ordered(df), plan
+    assert not [l for l in _exchange_key_lines(plan) if "text#" in l]
+    # the term filter must sit under the Generate (explode), not above
+    # the aggregate exchange: assert a Filter mentioning __tok appears
+    gen_idx = plan.find("Generate explode")
+    filt_idx = plan.find("__tok#")
+    assert gen_idx != -1 and filt_idx != -1, plan[:2000]

@@ -65,6 +65,10 @@ HEAVY = {
     "q145_interval_overlap": REGISTRY["q145_interval_overlap_join"].spark_fn,
     "q34_jaccard_fullcorpus": _jaccard_full,
     "q36_simhash_fullcorpus": _simhash_full,
+    # round-6 additions to the heavy family
+    "q147_paragraph_dedup": REGISTRY["q147_paragraph_dedup"].spark_fn,
+    "q152_lsh_near_dedup": REGISTRY["q152_lsh_near_dedup"].spark_fn,
+    "q155_bm25_topk": REGISTRY["q155_bm25_topk"].spark_fn,
 }
 
 
