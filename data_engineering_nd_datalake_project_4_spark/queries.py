@@ -5429,3 +5429,57 @@ def q155_bm25_topk(spark, sf_dir):
     return text.bm25_topk(
         docs, "text", "doc_id", ["spark", "join", "window"], k=10
     ).orderBy("rk")
+
+
+@q(
+    "q156_quality_constraints",
+    """WITH s AS (SELECT COUNT(*) AS n,
+                  COUNT(o_custkey) AS nn_cust,
+                  COUNT(DISTINCT o_orderkey) AS d_ok,
+                  COUNT(o_orderkey) AS n_ok,
+                  COUNT(CASE WHEN o_totalprice BETWEEN 0 AND 1000000
+                        THEN 1 END) AS in_rng,
+                  COUNT(o_totalprice) AS n_tp,
+                  COUNT(CASE WHEN o_orderstatus IN ('F','O','P')
+                        THEN 1 END) AS in_acc,
+                  COUNT(o_orderstatus) AS n_st
+           FROM orders)
+       SELECT * FROM (
+         SELECT 'custkey_not_null' AS rule,
+                CAST(nn_cust AS DOUBLE)/n AS metric,
+                COALESCE(CAST(nn_cust AS DOUBLE)/n >= 1.0, TRUE) AS passed
+         FROM s
+         UNION ALL
+         SELECT 'orderkey_unique', CAST(d_ok AS DOUBLE)/n_ok,
+                COALESCE(CAST(d_ok AS DOUBLE)/n_ok >= 1.0, TRUE) FROM s
+         UNION ALL
+         SELECT 'price_in_range', CAST(in_rng AS DOUBLE)/n_tp,
+                COALESCE(CAST(in_rng AS DOUBLE)/n_tp >= 0.99, TRUE) FROM s
+         UNION ALL
+         SELECT 'status_accepted', CAST(in_acc AS DOUBLE)/n_st,
+                COALESCE(CAST(in_acc AS DOUBLE)/n_st >= 1.0, TRUE) FROM s
+         UNION ALL
+         SELECT 'min_rows', CAST(n AS DOUBLE), n >= 100 FROM s
+       ) ORDER BY rule""",
+    "Deequ-style declarative data-quality gate "
+    "(constraints.check_constraints): five rules (not_null / unique / "
+    "in_range / accepted_values / min_rows) compiled into ONE aggregate "
+    "pass — conditional counts + a distinct agg in a single scan, 1-row "
+    "result unpivoted map-side. Metrics are exact integer-count ratios "
+    "(one IEEE division each); 0/0 ratio rules pass vacuously "
+    "(COALESCE TRUE both engines)",
+)
+def q156_quality_constraints(spark, sf_dir):
+    from data_engineering_nd_datalake_project_4_spark.operators.constraints import check_constraints
+
+    orders = _t(spark, sf_dir, "orders")
+    rules = [
+        {"name": "custkey_not_null", "kind": "not_null", "col": "o_custkey"},
+        {"name": "orderkey_unique", "kind": "unique", "col": "o_orderkey"},
+        {"name": "price_in_range", "kind": "in_range", "col": "o_totalprice",
+         "lo": 0, "hi": 1000000, "threshold": 0.99},
+        {"name": "status_accepted", "kind": "accepted_values",
+         "col": "o_orderstatus", "values": ["F", "O", "P"]},
+        {"name": "min_rows", "kind": "min_rows", "lo": 100},
+    ]
+    return check_constraints(orders, rules).orderBy("rule")
