@@ -246,3 +246,41 @@ def pack_first_fit(
         .applyInPandas(pack, out_schema)
         .select(id_name, "shard_id", "pack_id", "n_tok")
     )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: tuple[float, float, float] = (0.8, 0.1, 0.1),
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic disjoint train/val/test assignment: the portable
+    :func:`epoch_shuffle_key` is threshold-partitioned into three key
+    ranges, so every row gets exactly one ``split`` label ('train' /
+    'val' / 'test'), the assignment is reproducible across engines,
+    sessions and cluster sizes (no RNG state, no ``randomSplit``
+    partition-dependence), and re-running on a grown corpus keeps every
+    previously-assigned row in its split (hash-stable — the property a
+    training pipeline needs so val examples never leak into train after
+    an append).
+
+    Map-side only: one arithmetic key + two comparisons per row; no
+    shuffle, no sample(). Thresholds are integers in the 2³¹ key space —
+    exactly replicable in the DuckDB oracle (q157). ``fractions`` must
+    sum to 1 (±1e-9); expected split sizes are fraction-proportional with
+    the usual hash-binomial variance.
+    """
+    f_train, f_val, f_test = fractions
+    if abs(f_train + f_val + f_test - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {fractions}")
+    if min(fractions) < 0:
+        raise ValueError(f"fractions must be non-negative, got {fractions}")
+    t1 = int(f_train * SHUFFLE_MOD)
+    t2 = int((f_train + f_val) * SHUFFLE_MOD)
+    key = epoch_shuffle_key(id_col, seed)
+    return df.withColumn(
+        "split",
+        F.when(key < F.lit(t1), F.lit("train"))
+        .when(key < F.lit(t2), F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

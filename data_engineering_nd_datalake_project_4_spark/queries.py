@@ -5483,3 +5483,29 @@ def q156_quality_constraints(spark, sf_dir):
         {"name": "min_rows", "kind": "min_rows", "lo": 100},
     ]
     return check_constraints(orders, rules).orderBy("rule")
+
+
+@q(
+    "q157_train_val_test_split",
+    """WITH k AS (SELECT doc_id, source,
+                    ((((doc_id % 2147483648) * 2654435761) % 2147483648)
+                     * 2246822519) % 2147483648 AS key
+                  FROM documents)
+       SELECT doc_id, source,
+              CASE WHEN key < 1717986918 THEN 'train'
+                   WHEN key < 1932735283 THEN 'val'
+                   ELSE 'test' END AS split
+       FROM k ORDER BY doc_id""",
+    "deterministic 80/10/10 train/val/test assignment "
+    "(packing.train_val_test_split): the portable two-round multiply-mod "
+    "key threshold-partitioned into three ranges — hash-stable (appends "
+    "never move an existing row between splits, unlike randomSplit), "
+    "map-side only, integer thresholds in the 2^31 key space exactly "
+    "replicated by the oracle",
+)
+def q157_train_val_test_split(spark, sf_dir):
+    from data_engineering_nd_datalake_project_4_spark.operators.packing import train_val_test_split
+
+    docs = _t(spark, sf_dir, "documents")
+    out = train_val_test_split(docs, "doc_id", (0.8, 0.1, 0.1), seed=0)
+    return out.select("doc_id", "source", "split").orderBy("doc_id")

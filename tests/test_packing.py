@@ -191,3 +191,47 @@ def test_epoch_sample_rate_determinism_and_decorrelation(spark, docs):
     assert packing.epoch_sample(docs, "doc_id", seed=7, fraction=0.0).count() == 0
     with pytest.raises(ValueError, match="fraction"):
         packing.epoch_sample(docs, "doc_id", seed=7, fraction=1.5)
+
+
+class TestTrainValTestSplit:
+    def test_partition_is_disjoint_and_exhaustive(self, spark, sf_dir):
+        from data_engineering_nd_datalake_project_4_spark.catalog import load_table
+        from data_engineering_nd_datalake_project_4_spark.operators.packing import train_val_test_split
+
+        d = load_table(spark, sf_dir, "documents")
+        out = train_val_test_split(d, "doc_id")
+        assert out.count() == d.count()  # every row labeled exactly once
+        by = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+        assert set(by) <= {"train", "val", "test"}
+        n = d.count()
+        # 80/10/10 within loose hash-binomial tolerance
+        assert abs(by.get("train", 0) / n - 0.8) < 0.1
+
+    def test_append_stability(self, spark):
+        from data_engineering_nd_datalake_project_4_spark.operators.packing import train_val_test_split
+
+        small = spark.range(100).withColumnRenamed("id", "doc_id")
+        grown = spark.range(200).withColumnRenamed("id", "doc_id")
+        a = {r.doc_id: r.split for r in train_val_test_split(small, "doc_id").collect()}
+        b = {r.doc_id: r.split for r in train_val_test_split(grown, "doc_id").collect()}
+        # appending rows never moves a previously-assigned row (no val->train leak)
+        assert all(b[k] == v for k, v in a.items())
+
+    def test_seed_changes_assignment(self, spark):
+        from data_engineering_nd_datalake_project_4_spark.operators.packing import train_val_test_split
+
+        d = spark.range(500).withColumnRenamed("id", "doc_id")
+        a = {r.doc_id: r.split for r in train_val_test_split(d, "doc_id", seed=0).collect()}
+        b = {r.doc_id: r.split for r in train_val_test_split(d, "doc_id", seed=1).collect()}
+        assert a != b
+
+    def test_fraction_validation(self, spark):
+        import pytest as _pytest
+
+        from data_engineering_nd_datalake_project_4_spark.operators.packing import train_val_test_split
+
+        d = spark.range(10).withColumnRenamed("id", "doc_id")
+        with _pytest.raises(ValueError, match="sum to 1"):
+            train_val_test_split(d, "doc_id", (0.5, 0.2, 0.2))
+        with _pytest.raises(ValueError, match="non-negative"):
+            train_val_test_split(d, "doc_id", (1.2, -0.1, -0.1))
