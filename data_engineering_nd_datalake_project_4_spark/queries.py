@@ -5509,3 +5509,63 @@ def q157_train_val_test_split(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     out = train_val_test_split(docs, "doc_id", (0.8, 0.1, 0.1), seed=0)
     return out.select("doc_id", "source", "split").orderBy("doc_id")
+
+
+@q(
+    "q158_pagerank",
+    """WITH e AS (SELECT DISTINCT l_suppkey AS src, 10000 + o_custkey AS dst
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         nn AS (SELECT COUNT(*) AS n FROM nodes),
+         od AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+         p0 AS (SELECT node, CAST(1.0 AS DOUBLE)/nn.n AS pr
+                FROM nodes CROSS JOIN nn),
+         s1 AS (SELECT e.dst AS node,
+                       SUM(CAST(p0.pr/od.deg AS DECIMAL(28,18))) AS s
+                FROM e JOIN p0 ON p0.node = e.src JOIN od ON od.src = e.src
+                GROUP BY e.dst),
+         p1 AS (SELECT nodes.node,
+                  (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))/nn.n
+                  + CAST(0.85 AS DOUBLE)*COALESCE(CAST(s1.s AS DOUBLE), 0.0) AS pr
+                FROM nodes CROSS JOIN nn LEFT JOIN s1 ON s1.node = nodes.node),
+         s2 AS (SELECT e.dst AS node,
+                       SUM(CAST(p1.pr/od.deg AS DECIMAL(28,18))) AS s
+                FROM e JOIN p1 ON p1.node = e.src JOIN od ON od.src = e.src
+                GROUP BY e.dst),
+         p2 AS (SELECT nodes.node,
+                  (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))/nn.n
+                  + CAST(0.85 AS DOUBLE)*COALESCE(CAST(s2.s AS DOUBLE), 0.0) AS pr
+                FROM nodes CROSS JOIN nn LEFT JOIN s2 ON s2.node = nodes.node),
+         s3 AS (SELECT e.dst AS node,
+                       SUM(CAST(p2.pr/od.deg AS DECIMAL(28,18))) AS s
+                FROM e JOIN p2 ON p2.node = e.src JOIN od ON od.src = e.src
+                GROUP BY e.dst),
+         p3 AS (SELECT nodes.node,
+                  (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))/nn.n
+                  + CAST(0.85 AS DOUBLE)*COALESCE(CAST(s3.s AS DOUBLE), 0.0) AS pr
+                FROM nodes CROSS JOIN nn LEFT JOIN s3 ON s3.node = nodes.node)
+       SELECT node, pr FROM p3 ORDER BY pr DESC, node LIMIT 20""",
+    "PageRank over the supplier->customer purchase graph (graph.pagerank, "
+    "3 iterations, damping 0.85; the Common-Crawl-host-ranking shape used "
+    "as a curation quality feature): per-edge contributions quantized to "
+    "DECIMAL(28,18) BEFORE each per-node SUM, so the floating-point "
+    "fixpoint is exact and order-independent cross-engine — the oracle "
+    "unrolls the three mass-passing rounds as CTEs (no transcendentals, "
+    "no ROUND; (1-d) subtracted in DOUBLE on both sides). Dedup'd edges, "
+    "dangling mass dropped (documented simple variant)",
+)
+def q158_pagerank(spark, sf_dir):
+    from data_engineering_nd_datalake_project_4_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("l_suppkey").alias("src"),
+        (F.lit(10000) + F.col("o_custkey")).alias("dst"),
+    )
+    pr = pagerank(edges, iters=3, damping=0.85)
+    return (
+        pr.select("node", F.col("rank").alias("pr"))
+        .orderBy(F.desc("pr"), F.asc("node"))
+        .limit(20)
+    )
