@@ -355,3 +355,39 @@ def test_q155_bm25_filters_terms_before_shuffle_and_heaps_topk(spark, sf_dir):
     gen_idx = plan.find("Generate explode")
     filt_idx = plan.find("__tok#")
     assert gen_idx != -1 and filt_idx != -1, plan[:2000]
+
+
+# BroadcastNestedLoopJoin is acceptable ONLY when one side is a bounded
+# broadcast (a 1-row stats/threshold frame or a capped query set) — these
+# are the audited sites. A BNLJ anywhere else (or ANY CartesianProduct)
+# is a scale killer and fails the sweep below.
+_BNLJ_ALLOWED = {
+    "q10",                        # the declared cross-join query itself
+    "q30",                        # brute-force top-k: capped broadcast query side
+    "q42_ivf_topk",               # broadcast probe set vs bucketed candidates
+    "q86_rich_inactive",          # TPC-H Q22 scalar-subquery threshold (1-row)
+    "q88_tfidf",                  # corpus-N 1-row cross join
+    "q96_global_threshold",       # fraction-of-total 1-row cross join
+    "q132_boilerplate_strip",     # broadcast frequent-line set
+    "q136_unigram_lm_quality",    # corpus-stats 1-row cross join
+    "q137_token_budget_subsample",  # per-stratum budget shares (1-row totals)
+    "q154_temperature_mix",       # Σqw normalizer 1-row cross join
+    "q155_bm25_topk",             # (N, Σdl) corpus stats 1-row cross join
+}
+
+
+def test_no_query_plans_a_cartesian_product(spark, sf_dir):
+    """Repo-wide scale guard: NO registry query may plan a CartesianProduct,
+    and BroadcastNestedLoopJoin may appear only at the audited
+    bounded-broadcast sites above. Catches any future query or operator
+    change that silently degrades a hash/broadcast join into an all-pairs
+    plan (the single worst 100-TB regression class)."""
+    offenders_cart, offenders_bnlj = [], []
+    for name, entry in REGISTRY.items():
+        plan = plans.explain_str(entry.spark_fn(spark, sf_dir), "simple")
+        if "CartesianProduct" in plan:
+            offenders_cart.append(name)
+        if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_ALLOWED:
+            offenders_bnlj.append(name)
+    assert not offenders_cart, f"cartesian plans: {offenders_cart}"
+    assert not offenders_bnlj, f"unaudited BNLJ plans: {offenders_bnlj}"
