@@ -65,27 +65,42 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_cols: Sequence[str],
+    direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
-    """As-of join: for every left row, the right row with the greatest
-    ``right_ts <= left_ts`` within the same ``key`` (inclusive, LEFT
-    semantics — unmatched left rows keep NULLs).
+    """As-of join with the pandas ``merge_asof`` surface. Per left row:
+
+    - ``direction="backward"`` (default): the right row with the greatest
+      ``right_ts <= left_ts`` within the same ``key``;
+    - ``direction="forward"``: the right row with the smallest
+      ``right_ts >= left_ts``.
+
+    Both inclusive, LEFT semantics — unmatched left rows keep NULLs.
+    ``tolerance`` bounds the match gap ``|left_ts - right_ts|``: in the ts
+    column's own units for numeric columns, in SECONDS for timestamp
+    columns (may be fractional). A match outside tolerance becomes NULLs,
+    exactly like pandas.
 
     Spark-first plan (Spark has no native ASOF): tag and union both sides,
-    sort per key by (ts, side) with right rows first at equal ts, and fill
-    ``right_cols`` forward with ``last(ignorenulls)`` over a running frame —
-    ONE shuffle on the key, no range nested-loop, state bounded by the
+    sort per key by (ts, side) — right rows first at equal ts for
+    backward, left rows first for forward — and fill ``right_cols`` with
+    ``last``/``first(ignorenulls)`` over a running/reversed frame — ONE
+    shuffle on the key, no range nested-loop, state bounded by the
     window. The classic alternative (range-condition theta join) degrades
-    to BNLJ and O(L·R) comparisons.
+    to BNLJ and O(L·R) comparisons. The tolerance check is a map-side
+    post-filter on the matched ts carried inside the fill struct.
 
     Ties on ``right_ts`` within a key are the caller's to resolve (dedupe
     the right side first); matches DuckDB ``ASOF LEFT JOIN`` semantics —
     including NULLs: right rows with NULL ``right_ts`` never match, and a
     matched right row's NULL column value stays NULL (the right columns are
-    forward-filled as ONE struct, so a non-null older row can't bleed into
+    filled as ONE struct, so a non-null older row can't bleed into
     individual fields).
     """
     from pyspark.sql import Window
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     lcols = [c for c in left.columns]
     clashes = set(right_cols) & set(lcols)
     if clashes:
@@ -94,35 +109,69 @@ def asof_join(
             "alias them on the right side before the asof join"
         )
     rtypes = dict(right.dtypes)
-    struct_t = "struct<" + ",".join(f"{c}:{rtypes[c]}" for c in right_cols) + ">"
+    struct_fields = ",".join(f"{c}:{rtypes[c]}" for c in right_cols)
+    tol_num = None
+    if tolerance is not None:
+        if tolerance < 0:
+            raise ValueError(f"tolerance must be >= 0, got {tolerance}")
+        is_ts = rtypes[right_ts].startswith("timestamp")
+
+        def _num(c):
+            return F.unix_micros(c) if is_ts else c.cast("double")
+
+        tol_num = tolerance * 1_000_000 if is_ts else tolerance
+        struct_fields += ",__rtsn:" + ("bigint" if is_ts else "double")
+    struct_t = f"struct<{struct_fields}>"
+    # backward: right (0) sorts before left (1) at equal ts so the running
+    # frame sees the same-ts right row; forward: right (1) sorts AFTER
+    # left (0) so the following frame includes it.
+    l_ord, r_ord = (1, 0) if direction == "backward" else (0, 1)
     l_tagged = left.select(
         *lcols,
         F.col(left_ts).alias("__ts"),
+        F.lit(l_ord).alias("__side"),
         F.lit(1).alias("__is_l"),
         F.lit(None).cast(struct_t).alias("__r"),
     )
+    r_struct = [F.col(c) for c in right_cols]
+    if tolerance is not None:
+        r_struct.append(_num(F.col(right_ts)).alias("__rtsn"))
     r_tagged = (
         right.filter(F.col(right_ts).isNotNull())  # NULL ts never matches
         .select(
             *[F.lit(None).cast(dict(left.dtypes).get(c, "string")).alias(c) for c in lcols if c != key],
             F.col(key),
             F.col(right_ts).alias("__ts"),
+            F.lit(r_ord).alias("__side"),
             F.lit(0).alias("__is_l"),
-            F.struct(*[F.col(c) for c in right_cols]).alias("__r"),
+            F.struct(*r_struct).alias("__r"),
         )
-        .select(*lcols, "__ts", "__is_l", "__r")
+        .select(*lcols, "__ts", "__side", "__is_l", "__r")
     )
     unioned = l_tagged.unionByName(r_tagged)
-    w = (
-        Window.partitionBy(key)
-        .orderBy(F.asc("__ts"), F.asc("__is_l"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    base = Window.partitionBy(key).orderBy(F.asc("__ts"), F.asc("__side"))
+    if direction == "backward":
+        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        fill = F.last("__r", ignorenulls=True).over(w)
+    else:
+        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        fill = F.first("__r", ignorenulls=True).over(w)
     filled = unioned.select(
         *lcols,
+        "__ts",
         "__is_l",
-        F.last("__r", ignorenulls=True).over(w).alias("__rf"),
+        fill.alias("__rf"),
     )
+    if tolerance is not None:
+        lnum = _num(F.col("__ts"))
+        gap = (
+            (lnum - F.col("__rf.__rtsn"))
+            if direction == "backward"
+            else (F.col("__rf.__rtsn") - lnum)
+        )
+        filled = filled.withColumn(
+            "__rf", F.when(gap <= F.lit(tol_num), F.col("__rf"))
+        )
     return (
         filled.filter(F.col("__is_l") == 1)
         .select(*lcols, *[F.col("__rf")[c].alias(c) for c in right_cols])

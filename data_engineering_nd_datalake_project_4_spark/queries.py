@@ -5569,3 +5569,47 @@ def q158_pagerank(spark, sf_dir):
         .orderBy(F.desc("pr"), F.asc("node"))
         .limit(20)
     )
+
+
+@q(
+    "q159_asof_forward_tolerance",
+    """WITH l AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS lts
+                  FROM events WHERE user_id < 6 AND ts IS NOT NULL),
+         r0 AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS rtn,
+                       arg_max(value, event_id) AS val
+                FROM events
+                WHERE user_id < 6 AND ts IS NOT NULL AND value IS NOT NULL
+                GROUP BY user_id, epoch_us(CAST(ts AS TIMESTAMP))),
+         m AS (SELECT l.event_id AS eid, r0.val,
+                      ROW_NUMBER() OVER (PARTITION BY l.event_id
+                                         ORDER BY r0.rtn) AS rn
+               FROM l JOIN r0 ON l.user_id = r0.user_id
+                    AND r0.rtn >= epoch_us(l.lts)
+                    AND r0.rtn - epoch_us(l.lts) <= 7200000000)
+       SELECT l.user_id, l.event_id, l.lts AS ts, m.val
+       FROM l LEFT JOIN m ON m.eid = l.event_id AND m.rn = 1
+       ORDER BY l.event_id""",
+    "FORWARD as-of join with tolerance (joins.asof_join, the pandas "
+    "merge_asof surface): each event matched to the NEXT same-user "
+    "observation (value IS NOT NULL) within 2 hours; same-µs right "
+    "collisions resolved by event_id before matching. Spark plan: "
+    "union+window fill over ONE key shuffle (first ignorenulls over the "
+    "following frame), tolerance as a map-side post-filter on the "
+    "matched-ts struct field ↔ oracle: windowed nearest-following join. "
+    "Values selection-only (exact)",
+)
+def q159_asof_forward_tolerance(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 6) & F.col("ts").isNotNull()
+    )
+    left = e.select("user_id", "event_id", "ts", F.unix_micros("ts").alias("lts_us"))
+    right = (
+        e.filter(F.col("value").isNotNull())
+        .groupBy("user_id", F.unix_micros("ts").alias("rts_us"))
+        .agg(F.max_by("value", "event_id").alias("val"))
+    )
+    out = joins.asof_join(
+        left, right, "user_id", "lts_us", "rts_us", ["val"],
+        direction="forward", tolerance=7_200_000_000,
+    )
+    return out.select("user_id", "event_id", "ts", "val").orderBy("event_id")
