@@ -864,3 +864,37 @@ def ivfpq_adc_topk(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rk",
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack/Clarke/Büttcher 2009) — the
+    standard hybrid-retrieval combiner (lexical BM25 + embedding cosine,
+    the RAG-stack default): ``rrf(d) = Σ_systems 1/(k + rank_system(d))``,
+    with a system contributing 0 for documents outside its list. ``k=60``
+    is the published constant.
+
+    Determinism: each term is one exact IEEE division of integers and the
+    terms are added in FIXED list order (a chained expression, not a SUM
+    aggregate), so the fused score is bit-identical cross-engine. Scale
+    shape: the ranking lists are top-k outputs (tiny); the fusion is
+    full-outer joins on the id — at most |lists|·k rows ever move.
+
+    Returns ``(id_col, rrf_score)`` — unsorted; callers order/limit.
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    out = None
+    for i, r in enumerate(rankings):
+        ri = r.select(F.col(id_col), F.col(rank_col).alias(f"__rk{i}"))
+        out = ri if out is None else out.join(ri, id_col, "full_outer")
+    score = F.lit(0.0)
+    for i in range(len(rankings)):
+        score = score + F.coalesce(
+            F.lit(1.0) / (F.lit(k) + F.col(f"__rk{i}")), F.lit(0.0)
+        )
+    return out.select(F.col(id_col), score.alias("rrf_score"))

@@ -5613,3 +5613,89 @@ def q159_asof_forward_tolerance(spark, sf_dir):
         direction="forward", tolerance=7_200_000_000,
     )
     return out.select("user_id", "event_id", "ts", "val").orderBy("event_id")
+
+
+@q(
+    "q160_hybrid_rrf",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents WHERE text IS NOT NULL),
+         stats AS (SELECT COUNT(*) AS n, SUM(len(toks)) AS sumdl FROM d),
+         tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM d),
+         tf AS (SELECT doc_id, tok, dl, COUNT(*) AS tf
+                FROM tok WHERE tok IN ('spark', 'join', 'window')
+                GROUP BY doc_id, tok, dl),
+         dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+         contrib AS (
+           SELECT tf.doc_id,
+                  CAST(
+                    CAST(CAST(ln(1.0 + (CAST(stats.n AS DOUBLE) - dfreq.df + 0.5)
+                                       / (dfreq.df + 0.5)) AS DECIMAL(18,6))
+                         AS DOUBLE)
+                    * (tf.tf * 2.2)
+                    / (tf.tf + 1.2 * (0.25 + 0.75 * CAST(tf.dl AS DOUBLE)
+                                             / (CAST(stats.sumdl AS DOUBLE)
+                                                / CAST(stats.n AS DOUBLE))))
+                  AS DECIMAL(18,6)) AS c
+           FROM tf JOIN dfreq USING (tok) CROSS JOIN stats),
+         lexsc AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score
+                   FROM contrib GROUP BY doc_id),
+         lexr AS (SELECT doc_id, rk FROM (
+                    SELECT doc_id,
+                           row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+                    FROM lexsc) WHERE rk <= 50),
+         qv AS (SELECT CAST(embedding AS DOUBLE[]) AS emb
+                FROM embeddings WHERE vec_id = 0),
+         semsc AS (SELECT e.vec_id AS doc_id,
+                          list_dot_product(qv.emb, CAST(e.embedding AS DOUBLE[]))
+                          / (sqrt(list_dot_product(qv.emb, qv.emb))
+                             * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                     CAST(e.embedding AS DOUBLE[])))) AS sim
+                   FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> 0),
+         semr AS (SELECT doc_id, rk FROM (
+                    SELECT doc_id,
+                           row_number() OVER (ORDER BY ROUND(sim, 6) DESC NULLS LAST,
+                                              doc_id) AS rk
+                    FROM semsc) WHERE rk <= 50),
+         fused AS (SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+                          COALESCE(CAST(1.0 AS DOUBLE)/(60 + l.rk), 0.0)
+                          + COALESCE(CAST(1.0 AS DOUBLE)/(60 + s.rk), 0.0) AS rrf_score
+                   FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id)
+       SELECT doc_id, rrf_score FROM fused
+       ORDER BY rrf_score DESC, doc_id LIMIT 15""",
+    "hybrid retrieval via Reciprocal Rank Fusion (similarity.rrf_fuse, "
+    "Cormack et al. 2009, the RAG-stack default): BM25 top-50 (exact "
+    "decimal scores -> exact ranks) fused with embedding-cosine top-50 "
+    "for query doc 0 (ranks on ROUND(sim,6), the q88 collapse idiom); "
+    "rrf = fixed-order chained 1/(60+rk) terms — every term one exact "
+    "IEEE division, bit-identical cross-engine. The semantic rank window "
+    "is global but over an already-bounded candidate set",
+)
+def q160_hybrid_rrf(spark, sf_dir):
+    from data_engineering_nd_datalake_project_4_spark.functions import cosine_similarity
+    from data_engineering_nd_datalake_project_4_spark.operators.similarity import rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents")
+    lex = text.bm25_topk(
+        docs, "text", "doc_id", ["spark", "join", "window"], k=50
+    ).select("doc_id", "rk")
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q0 = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("__q"))
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(q0)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_similarity(F.col("__q"), F.col("embedding")).alias("sim"),
+        )
+    )
+    wsem = Window.orderBy(F.desc_nulls_last(F.round("sim", 6)), F.asc("doc_id"))
+    sem = (
+        scored.withColumn("rk", F.row_number().over(wsem))
+        .filter(F.col("rk") <= 50)
+        .select("doc_id", "rk")
+    )
+    fused = rrf_fuse([lex, sem], id_col="doc_id", rank_col="rk", k=60)
+    return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(15)

@@ -940,3 +940,46 @@ class TestBm25:
 
         with _pytest.raises(ValueError, match="query_terms"):
             bm25_topk(self._corpus(spark), "text", "doc_id", [])
+
+
+class TestRrfFuse:
+    """Reciprocal Rank Fusion (similarity.rrf_fuse)."""
+
+    def _rank(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, rk int")
+
+    def test_matches_hand_formula(self, spark):
+        from data_engineering_nd_datalake_project_4_spark.operators.similarity import rrf_fuse
+
+        a = self._rank(spark, [(1, 1), (2, 2), (3, 3)])
+        b = self._rank(spark, [(3, 1), (1, 2)])
+        got = {r.doc_id: r.rrf_score for r in rrf_fuse([a, b]).collect()}
+        assert got[1] == pytest.approx(1 / 61 + 1 / 62, abs=1e-15)
+        assert got[2] == pytest.approx(1 / 62, abs=1e-15)
+        assert got[3] == pytest.approx(1 / 63 + 1 / 61, abs=1e-15)
+
+    def test_doc_in_one_list_only_still_scores(self, spark):
+        from data_engineering_nd_datalake_project_4_spark.operators.similarity import rrf_fuse
+
+        a = self._rank(spark, [(7, 1)])
+        b = self._rank(spark, [(9, 1)])
+        got = {r.doc_id: r.rrf_score for r in rrf_fuse([a, b]).collect()}
+        assert set(got) == {7, 9}
+        assert got[7] == got[9] == pytest.approx(1 / 61, abs=1e-15)
+
+    def test_consensus_beats_single_top(self, spark):
+        from data_engineering_nd_datalake_project_4_spark.operators.similarity import rrf_fuse
+
+        # doc 5: rank 2 in BOTH lists; doc 6: rank 1 in one list only
+        a = self._rank(spark, [(6, 1), (5, 2)])
+        b = self._rank(spark, [(4, 1), (5, 2)])
+        got = {r.doc_id: r.rrf_score for r in rrf_fuse([a, b]).collect()}
+        assert got[5] > got[6]
+
+    def test_rejects_empty(self):
+        import pytest as _pytest
+
+        from data_engineering_nd_datalake_project_4_spark.operators.similarity import rrf_fuse
+
+        with _pytest.raises(ValueError, match="non-empty"):
+            rrf_fuse([])
