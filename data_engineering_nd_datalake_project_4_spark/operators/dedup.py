@@ -965,3 +965,56 @@ def temperature_mix_sample(
         .filter(F.col("__tr") <= F.col("__quota"))
         .drop("__tr", "__dom", "__quota")
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    sort_cols: Sequence[str],
+    id_col: str,
+    window: int = 5,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995 — the classic
+    record-linkage alternative to hash/LSH blocking): sort the corpus by a
+    blocking key, slide a ``window``-row window, and emit every pair that
+    co-occurs in some window, i.e. pairs within ``window - 1`` positions
+    in the global sort order. Good when near-duplicates cluster under an
+    ORDERING (names, lengths, prefixes) rather than an exact key.
+
+    Plan: :func:`sort.global_rank` (range-repartitioned two-pass rank — no
+    single-task sort), then ranks bucket into ``window``-sized cells and
+    candidates join on (cell, cell+1) adjacency with the exact rank-gap
+    filter — each pair emitted exactly once (gap ≥ 1 dedupes, adjacency
+    covers every gap ≤ window-1). Shuffle volume: 2 small-int columns per
+    row. Output: ``id_a, id_b, rank_gap`` with ``rank_a < rank_b``.
+
+    ``sort_cols`` must NOT already totally order equal blocking keys —
+    ``id_col`` is appended as the tie-break, making ranks (and therefore
+    the candidate set) deterministic.
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    from data_engineering_nd_datalake_project_4_spark.operators.sort import global_rank
+
+    ranked = global_rank(
+        df.select(F.col(id_col), *[F.col(c) for c in sort_cols]),
+        [*sort_cols, id_col],
+        rank_col="__gr",
+    ).select(F.col(id_col), F.col("__gr"))
+    w = window - 1  # max rank gap inside one sliding window
+    a = ranked.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__gr").alias("__ra"),
+        F.floor((F.col("__gr") - 1) / w).alias("__cell"),
+    )
+    b_rows = ranked.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__gr").alias("__rb"),
+        F.floor((F.col("__gr") - 1) / w).alias("__bcell"),
+    )
+    # a candidate's partner is in the same cell or the next one
+    a2 = a.select("id_a", "__ra", F.explode(F.array(F.col("__cell"), F.col("__cell") + 1)).alias("__bcell"))
+    return (
+        a2.join(b_rows, "__bcell")
+        .filter((F.col("__rb") - F.col("__ra")).between(1, w))
+        .select("id_a", "id_b", (F.col("__rb") - F.col("__ra")).alias("rank_gap"))
+    )

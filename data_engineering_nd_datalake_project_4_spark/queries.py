@@ -5699,3 +5699,26 @@ def q160_hybrid_rrf(spark, sf_dir):
     )
     fused = rrf_fuse([lex, sem], id_col="doc_id", rank_col="rk", k=60)
     return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(15)
+
+
+@q(
+    "q161_sorted_neighborhood",
+    """WITH r AS (SELECT doc_id,
+                    row_number() OVER (ORDER BY n_chars NULLS FIRST, doc_id) AS rn
+                  FROM documents)
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b, b.rn - a.rn AS rank_gap
+       FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 4
+       ORDER BY id_a, id_b""",
+    "sorted-neighborhood dedup blocking (dedup.sorted_neighborhood_pairs, "
+    "Hernández & Stolfo 1995) over the length key: candidates = doc "
+    "pairs within a 5-row sliding window of the GLOBAL n_chars order. "
+    "Spark plan: sort.global_rank (range-repartition + per-partition "
+    "row_number + broadcast offsets — no single-task global window), "
+    "cell-adjacency join with exact gap filter ↔ oracle: one global "
+    "row_number + rank-gap theta join. NULLS FIRST pinned (Spark asc "
+    "default vs DuckDB NULLS LAST); doc_id tie-break makes ranks total",
+)
+def q161_sorted_neighborhood(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.sorted_neighborhood_pairs(docs, ["n_chars"], "doc_id", window=5)
+    return out.orderBy("id_a", "id_b")

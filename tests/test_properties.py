@@ -983,3 +983,47 @@ class TestRrfFuse:
 
         with _pytest.raises(ValueError, match="non-empty"):
             rrf_fuse([])
+
+
+class TestGlobalRankAndSortedNeighborhood:
+    def test_global_rank_is_dense_and_order_correct(self, spark):
+        from data_engineering_nd_datalake_project_4_spark.operators.sort import global_rank
+
+        df = spark.createDataFrame(
+            [(i, (i * 37) % 100) for i in range(500)], "id long, key long"
+        )
+        got = global_rank(df, ["key", "id"], num_partitions=7).collect()
+        expect = {
+            t[1]: n + 1
+            for n, t in enumerate(sorted((r, i) for i, r in [(i, (i * 37) % 100) for i in range(500)]))
+        }
+        assert len(got) == 500
+        assert {r.id: r.rank for r in got} == expect
+
+    def test_snm_equals_brute_force_on_ties(self, spark):
+        from data_engineering_nd_datalake_project_4_spark.operators.dedup import sorted_neighborhood_pairs
+
+        # heavy ties on the blocking key: id tie-break must make the
+        # candidate set deterministic and brute-force-equal
+        df = spark.createDataFrame([(i, i // 7) for i in range(60)], "id long, key long")
+        got = {
+            (r.id_a, r.id_b, r.rank_gap)
+            for r in sorted_neighborhood_pairs(df, ["key"], "id", window=4).collect()
+        }
+        order = sorted(range(60), key=lambda i: (i // 7, i))
+        rank = {i: n + 1 for n, i in enumerate(order)}
+        expect = {
+            (a, b, rank[b] - rank[a])
+            for a in rank for b in rank
+            if 1 <= rank[b] - rank[a] <= 3
+        }
+        assert got == expect
+
+    def test_snm_window_validation(self, spark):
+        import pytest as _pytest
+
+        from data_engineering_nd_datalake_project_4_spark.operators.dedup import sorted_neighborhood_pairs
+
+        df = spark.createDataFrame([(1, 1)], "id long, key long")
+        with _pytest.raises(ValueError, match="window"):
+            sorted_neighborhood_pairs(df, ["key"], "id", window=1)
