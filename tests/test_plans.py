@@ -81,19 +81,31 @@ NON_EQUI_BY_DESIGN = {
     "q136_unigram_lm_quality",
     # broadcast 1-row corpus-token-total (the budget denominator): O(S·1)
     "q137_token_budget_subsample",
+    # broadcast 1-row Σqw quota normalizer: O(domains·1)
+    "q154_temperature_mix",
+    # broadcast 1-row (N, Σdl) BM25 corpus stats: O(matched_tokens·1)
+    "q155_bm25_topk",
+    # broadcast 1-row query embedding (the cosine probe side): O(N·1)
+    "q160_hybrid_rrf",
 }
 
 
 def test_no_accidental_nested_loop_joins(spark, sf_dir):
     """Every equi-join query must plan hash/sort-merge/broadcast-hash, never
     BroadcastNestedLoop — a silent BNLJ regression is an O(N·M) scale bug
-    that still returns correct answers at test size."""
-    offenders = []
+    that still returns correct answers at test size. And NO query may plan
+    a CartesianProduct, whitelist or not: even the by-design non-equi
+    sites must stay broadcast-bounded (1-row stats or capped probe sets),
+    never an unbounded all-pairs product."""
+    offenders, cartesian = [], []
     for name, query in sorted(REGISTRY.items()):
         plan = plans.explain_str(query.spark_fn(spark, sf_dir), "simple")
         if "BroadcastNestedLoopJoin" in plan and name not in NON_EQUI_BY_DESIGN:
             offenders.append(name)
+        if "CartesianProduct" in plan:
+            cartesian.append(name)
     assert not offenders, f"unexpected nested-loop joins in: {offenders}"
+    assert not cartesian, f"cartesian plans: {cartesian}"
 
 
 def test_q34_jaccard_is_bucketed_not_cartesian(spark, sf_dir):
@@ -357,37 +369,3 @@ def test_q155_bm25_filters_terms_before_shuffle_and_heaps_topk(spark, sf_dir):
     assert gen_idx != -1 and filt_idx != -1, plan[:2000]
 
 
-# BroadcastNestedLoopJoin is acceptable ONLY when one side is a bounded
-# broadcast (a 1-row stats/threshold frame or a capped query set) — these
-# are the audited sites. A BNLJ anywhere else (or ANY CartesianProduct)
-# is a scale killer and fails the sweep below.
-_BNLJ_ALLOWED = {
-    "q10",                        # the declared cross-join query itself
-    "q30",                        # brute-force top-k: capped broadcast query side
-    "q42_ivf_topk",               # broadcast probe set vs bucketed candidates
-    "q86_rich_inactive",          # TPC-H Q22 scalar-subquery threshold (1-row)
-    "q88_tfidf",                  # corpus-N 1-row cross join
-    "q96_global_threshold",       # fraction-of-total 1-row cross join
-    "q132_boilerplate_strip",     # broadcast frequent-line set
-    "q136_unigram_lm_quality",    # corpus-stats 1-row cross join
-    "q137_token_budget_subsample",  # per-stratum budget shares (1-row totals)
-    "q154_temperature_mix",       # Σqw normalizer 1-row cross join
-    "q155_bm25_topk",             # (N, Σdl) corpus stats 1-row cross join
-}
-
-
-def test_no_query_plans_a_cartesian_product(spark, sf_dir):
-    """Repo-wide scale guard: NO registry query may plan a CartesianProduct,
-    and BroadcastNestedLoopJoin may appear only at the audited
-    bounded-broadcast sites above. Catches any future query or operator
-    change that silently degrades a hash/broadcast join into an all-pairs
-    plan (the single worst 100-TB regression class)."""
-    offenders_cart, offenders_bnlj = [], []
-    for name, entry in REGISTRY.items():
-        plan = plans.explain_str(entry.spark_fn(spark, sf_dir), "simple")
-        if "CartesianProduct" in plan:
-            offenders_cart.append(name)
-        if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_ALLOWED:
-            offenders_bnlj.append(name)
-    assert not offenders_cart, f"cartesian plans: {offenders_cart}"
-    assert not offenders_bnlj, f"unaudited BNLJ plans: {offenders_bnlj}"
