@@ -310,6 +310,134 @@ def unigram_lm_scores(
     )
 
 
+def dsir_gram_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Hashed n-gram (unigram + bigram) feature rows for DSIR: one
+    ``(id_col, __bucket)`` row per gram occurrence, bucket in
+    ``[0, n_buckets)``.
+
+    The gram→bucket hash must be EXACTLY portable (the DuckDB twin
+    recomputes it), so it is the first 8 hex digits of ``md5(gram)``
+    parsed as an integer, mod ``n_buckets`` — md5 over UTF-8 bytes is
+    bit-identical in every engine, unlike xxhash64 seeds or
+    JVM-string-hash variants. All map-side Catalyst: the token split is
+    STAGED as a materialized column first (CollapseProject would re-inline
+    the split into both the unigram and bigram consumers), bigrams come
+    from ``zip_with`` over two slices (no index-lambda trap), and the
+    md5/conv chain runs inside codegen.
+
+    NULL text is excluded up front (a NULL doc has no feature evidence
+    either way — scoring it would just hand it delta 0·n grams).
+    """
+    staged = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), tokens(text_col).alias("__toks"))
+    )
+    uni = F.col("__toks")
+    n_big = F.size(uni) - 1
+    big = F.zip_with(
+        F.slice(uni, 1, n_big),
+        F.slice(uni, 2, n_big),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    grams = staged.select(
+        F.col(id_col), F.explode(F.concat(uni, big)).alias("__gram")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("__gram")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+    return grams.select(F.col(id_col), bucket.alias("__bucket"))
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.,
+    NeurIPS 2023), the hashed-n-gram variant: score every raw document by
+    how much more likely its features are under the TARGET distribution
+    (a small high-quality/benchmark-like corpus) than under the raw pool,
+    ``log w(x) = Σ_grams [ln p_target(bucket) - ln p_raw(bucket)]`` with
+    Laplace-smoothed bag-of-buckets models. Selecting top-weight docs
+    importance-resamples the pool toward the target domain — the standard
+    published alternative to classifier-based quality filtering.
+
+    Returns ``(id_col, n_grams, dsir_logw)``, one row per raw doc with
+    non-NULL text.
+
+    Determinism (the q136 discipline): each ln is quantized to
+    DECIMAL(18,6) — per-bucket ``delta = qln(p_t) - qln(p_q)`` is exact
+    decimal arithmetic, and the per-doc SUM of deltas is exact and
+    order-independent; the only rounding is the final double cast. The
+    residual is the accepted 1-ulp libm ln() class (see
+    :func:`unigram_lm_scores`). Smoothed probabilities are computed with
+    ONE integer-ratio division each, identical op order cross-engine.
+
+    Scale shape — the whole point of feature HASHING is that model state
+    is bounded at ``n_buckets`` rows no matter the vocab: both bucket
+    count frames partial-aggregate down to ≤4096 rows and are
+    localCheckpoint'd once (each feeds its total AND the delta build —
+    unmaterialized they would re-tokenize the corpus per consumer). The
+    delta table broadcasts into the scoring join (map-side), the totals
+    are 1-row broadcast cross joins (O(B·1), plan-audit whitelisted), and
+    the only data-sized shuffles are the two bucket groupBys and the
+    final per-doc aggregate. Raw is traversed twice (learn q, then score)
+    — inherent to importance weighting; cache upstream if it is an
+    expensive scan.
+    """
+    rg = dsir_gram_buckets(raw, text_col, id_col, n_buckets)
+    tg = dsir_gram_buckets(target, text_col, id_col, n_buckets)
+    rb = (
+        rg.groupBy("__bucket")
+        .agg(F.count(F.lit(1)).alias("__rcnt"))
+        .localCheckpoint(eager=True)
+    )
+    tb = (
+        tg.groupBy("__bucket")
+        .agg(F.count(F.lit(1)).alias("__tcnt"))
+        .localCheckpoint(eager=True)
+    )
+    totals = F.broadcast(
+        rb.agg(F.sum("__rcnt").alias("__R")).crossJoin(
+            tb.agg(F.coalesce(F.sum("__tcnt"), F.lit(0)).alias("__T"))
+        )
+    )
+    # only buckets a raw gram can probe matter — left join, absent target
+    # buckets smooth to count 0
+    qln_t = F.log(
+        (F.coalesce(F.col("__tcnt"), F.lit(0)) + 1) / (F.col("__T") + n_buckets)
+    ).cast("decimal(18,6)")
+    qln_r = F.log((F.col("__rcnt") + 1) / (F.col("__R") + n_buckets)).cast(
+        "decimal(18,6)"
+    )
+    delta = (
+        rb.join(tb, "__bucket", "left")
+        .crossJoin(totals)
+        .select("__bucket", (qln_t - qln_r).alias("__delta"))
+    )
+    return (
+        rg.join(F.broadcast(delta), "__bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__delta").alias("__s"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select(
+            F.col(id_col),
+            "n_grams",
+            F.col("__s").cast("double").alias("dsir_logw"),
+        )
+    )
+
+
 #: PII scrub patterns, applied IN THIS ORDER (URL first so emails inside
 #: URLs are already gone; SSN before phone so the 3-2-4 digit shape is not
 #: half-eaten by the 3-3-4 phone pattern). Java-regex (Spark) and

@@ -114,6 +114,68 @@ def time_weighted_avg(
     )
 
 
+def halflife_decay_score(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    half_life_seconds: int,
+    max_halvings: int = 62,
+) -> DataFrame:
+    """Exponentially-decayed activity score per key, the recency-weighted
+    feature behind "recent engagement" ranking signals: each observation
+    contributes ``value / 2^k`` where ``k = floor(age / half_life)`` and
+    age is measured back from the NEWEST observation in the input (so the
+    score is a property of the dataset, not of wall-clock at run time).
+
+    Discretizing the decay to whole half-lives is what makes the score
+    EXACTLY reproducible across engines (the q138/q158 discipline):
+
+    - ``k`` is BIGINT floor division of non-negative µs ages — exact.
+    - the weight denominator is ``1 << k`` (``k <= 62``), a BIGINT whose
+      double cast is an exact power of two; rows older than
+      ``max_halvings`` half-lives are DROPPED in both engines (their
+      weight, < 2.2e-19, is below the decimal quantum anyway) rather than
+      left to underflow differently.
+    - each term is ONE IEEE division ``value / 2^k`` (exact scaling by a
+      power of two: only the exponent changes, never the mantissa), then
+      quantized to DECIMAL(26,12) so the per-key SUM is exact and
+      order-independent; the final cast back to double is the only
+      rounding step and is identical cross-engine.
+
+    NULL ``ts``/``value`` rows are excluded up front (never silently
+    zero-weighted); keys with no surviving observation produce no row.
+
+    Scale shape: one partial-aggregating 1-row MAX (broadcast back as a
+    scalar — O(N·1) nested-loop on a single row, whitelisted in the plan
+    audit), the k/term arithmetic entirely map-side, then one
+    partial-combining groupBy on the key. No window, no per-row Python.
+    """
+    if not 0 < max_halvings <= 62:
+        raise ValueError("max_halvings must be in 1..62 (bigint shift range)")
+    hl_us = half_life_seconds * 1_000_000
+    t = F.unix_micros(F.col(ts_col))
+    obs = df.filter(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(key, t.alias("__t"), F.col(value_col).alias("__v"))
+    ref = F.broadcast(obs.agg(F.max("__t").alias("__ref")))
+    k = _floordiv(F.col("__ref") - F.col("__t"), hl_us)
+    denom = F.call_function(
+        "shiftleft", F.lit(1).cast("long"), F.col("__k").cast("int")
+    )
+    term = (F.col("__v") / denom.cast("double")).cast("decimal(26,12)")
+    return (
+        obs.crossJoin(ref)
+        .withColumn("__k", k)
+        .filter(F.col("__k") <= max_halvings)
+        .groupBy(key)
+        .agg(
+            F.sum(term).cast("double").alias("decay_score"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
 def _floordiv(a: Column, b: int) -> Column:
     # exact floor division on longs: (a - pmod) is an exact multiple of b,
     # so the double divide is exact (µs epochs < 2^53) and the cast is safe

@@ -54,6 +54,7 @@ from data_engineering_nd_datalake_project_4_spark.operators import (
     similarity,
     sort,
     text,
+    timeseries,
     windows,
 )
 from data_engineering_nd_datalake_project_4_spark.streaming import session_agg, tumbling_agg
@@ -5722,3 +5723,85 @@ def q161_sorted_neighborhood(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     out = dedup.sorted_neighborhood_pairs(docs, ["n_chars"], "doc_id", window=5)
     return out.orderBy("id_a", "id_b")
+
+
+@q(
+    "q162_halflife_decay",
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS t_us, value
+                  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+         ref AS (SELECT MAX(t_us) AS ref_us FROM e),
+         terms AS (SELECT e.user_id,
+                          (ref.ref_us - e.t_us) // 86400000000 AS k,
+                          e.value AS v
+                   FROM e CROSS JOIN ref
+                   WHERE (ref.ref_us - e.t_us) // 86400000000 <= 62)
+       SELECT user_id,
+              CAST(SUM(CAST(v / CAST((CAST(1 AS BIGINT) << k) AS DOUBLE)
+                            AS DECIMAL(26,12))) AS DOUBLE) AS decay_score,
+              COUNT(*) AS n_events
+       FROM terms GROUP BY user_id ORDER BY user_id""",
+    "exponentially-decayed activity score per user "
+    "(timeseries.halflife_decay_score), half-life = 1 day anchored at the "
+    "newest event: term = value / 2^floor(age_days), k discretized to "
+    "whole half-lives so the weight denominator is an exact BIGINT power "
+    "of two (1<<k); value/2^k is pure exponent scaling (mantissa "
+    "untouched), each term DECIMAL(26,12)-quantized before the exact "
+    "order-independent SUM — bit-identical cross-engine with zero "
+    "transcendentals (the q138/q158 portable-arithmetic discipline). "
+    "Plan: 1-row broadcast MAX + map-side terms + one key groupBy",
+)
+def q162_halflife_decay(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = timeseries.halflife_decay_score(
+        ev, "user_id", "ts", "value", half_life_seconds=86400
+    )
+    return out.orderBy("user_id")
+
+
+@q(
+    "q163_dsir_weights",
+    """WITH rt AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+                   FROM documents WHERE text IS NOT NULL),
+         rg AS (SELECT doc_id, lang,
+                       CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT)
+                         % 4096 AS bucket
+                FROM (SELECT doc_id, lang,
+                             unnest(list_concat(toks,
+                               list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i+1]))) AS gram
+                      FROM rt)),
+         rb AS (SELECT bucket, COUNT(*) AS rcnt FROM rg GROUP BY bucket),
+         tb AS (SELECT bucket, COUNT(*) AS tcnt FROM rg
+                WHERE lang = 'en' GROUP BY bucket),
+         tot AS (SELECT (SELECT SUM(rcnt) FROM rb) AS r,
+                        (SELECT COALESCE(SUM(tcnt), 0) FROM tb) AS t),
+         d AS (SELECT rb.bucket,
+                      CAST(ln((COALESCE(tb.tcnt, 0) + 1) / (tot.t + 4096))
+                           AS DECIMAL(18,6))
+                    - CAST(ln((rb.rcnt + 1) / (tot.r + 4096))
+                           AS DECIMAL(18,6)) AS delta
+               FROM rb LEFT JOIN tb USING (bucket) CROSS JOIN tot),
+         s AS (SELECT rg.doc_id, SUM(d.delta) AS sd, COUNT(*) AS n_grams
+               FROM rg JOIN d ON rg.bucket = d.bucket GROUP BY rg.doc_id)
+       SELECT doc_id, n_grams, CAST(sd AS DOUBLE) AS dsir_logw
+       FROM s ORDER BY doc_id""",
+    "DSIR importance weights (Xie et al. 2023, hashed-n-gram variant): "
+    "score every doc by sum over its unigram+bigram features of "
+    "ln p_target(bucket) - ln p_raw(bucket), Laplace-smoothed "
+    "bag-of-4096-buckets models, target = the lang='en' slice. The "
+    "gram->bucket hash is the first 8 hex digits of md5 (bit-identical "
+    "cross-engine); each ln DECIMAL(18,6)-quantized so per-bucket deltas "
+    "and the per-doc SUM are exact and order-independent (q136 "
+    "discipline, same accepted 1-ulp ln caveat). Feature hashing bounds "
+    "model state at 4096 rows regardless of vocab: bucket counts "
+    "partial-aggregate then localCheckpoint once, delta broadcasts into "
+    "a map-side scoring join, totals are 1-row broadcast stats "
+    "(plan-audit whitelisted); the importance-resampling top-k selection "
+    "is a TakeOrderedAndProject away",
+)
+def q163_dsir_weights(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = text.dsir_log_weights(
+        d, d.filter(F.col("lang") == "en"), "text", "doc_id", n_buckets=4096
+    )
+    return out.orderBy("doc_id")

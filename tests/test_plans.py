@@ -87,6 +87,10 @@ NON_EQUI_BY_DESIGN = {
     "q155_bm25_topk",
     # broadcast 1-row query embedding (the cosine probe side): O(N·1)
     "q160_hybrid_rrf",
+    # broadcast 1-row newest-event MAX (the decay anchor): O(N·1)
+    "q162_halflife_decay",
+    # broadcast 1-row (R, T) corpus gram totals: O(buckets·1)
+    "q163_dsir_weights",
 }
 
 

@@ -562,6 +562,37 @@ def test_time_weighted_avg_all_null_values_pass_guard(spark):
     assert r["total_duration_us"] == 10_000_000
 
 
+def test_halflife_decay_score_hand_check(spark):
+    """Decay hand check, half-life 10s anchored at the newest row (t=30):
+    ages 0/10/25s -> k = 0/1/2 halvings -> 8/1 + 4/2 + 8/4 = 12.0 exactly
+    (each term a pure power-of-two scaling). NULL ts/value rows excluded,
+    a row older than max_halvings half-lives dropped, not underflowed."""
+    from data_engineering_nd_datalake_project_4_spark.operators.timeseries import (
+        halflife_decay_score,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (7, "2020-01-01 00:00:30", 8.0),
+            (7, "2020-01-01 00:00:20", 4.0),
+            (7, "2020-01-01 00:00:05", 8.0),
+            (7, "2019-12-31 00:00:00", 1e9),  # > 62 half-lives: dropped
+            (7, None, 5.0),
+            (7, "2020-01-01 00:00:30", None),
+            (9, None, None),  # key with no surviving obs: no output row
+        ],
+        "uid int, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = halflife_decay_score(
+        df, "uid", "ts", "value", half_life_seconds=10
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["uid"] == 7
+    assert r["decay_score"] == 12.0
+    assert r["n_events"] == 3
+
+
 def test_scd2_leading_null_attr_opens_interval(spark):
     """A partition whose FIRST attr is NULL must still open an interval
     (row-number first-row detection, not lag-is-NULL — a leading NULL attr

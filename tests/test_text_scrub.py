@@ -116,6 +116,43 @@ def test_unigram_lm_scores_rank_rare_docs_lower(spark):
     assert out[101]["avg_logprob"] < out[100]["avg_logprob"]
 
 
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    """DSIR hand properties: docs sharing the target slice's vocabulary
+    must out-weight docs of off-target vocabulary; n_grams = 2·len-1
+    (unigrams + bigrams); a NULL-text doc yields no row."""
+    rows = [(i, "alpha beta gamma delta", "en") for i in range(4)]
+    rows += [(10 + i, "zeta eta theta iota", "de") for i in range(4)]
+    rows += [(99, None, "en")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, lang STRING")
+    out = {
+        r["doc_id"]: r
+        for r in T.dsir_log_weights(
+            df, df.filter(F.col("lang") == "en"), "text", "doc_id"
+        ).collect()
+    }
+    assert 99 not in out and len(out) == 8
+    assert all(r["n_grams"] == 7 for r in out.values())
+    # target-vocab docs: every gram seen in target -> higher weight than
+    # off-target docs whose grams the target model only Laplace-smooths
+    assert out[0]["dsir_logw"] > out[10]["dsir_logw"]
+
+
+def test_dsir_gram_buckets_shape(spark):
+    """One row per gram occurrence (2·len-1), every bucket in
+    [0, n_buckets); identical texts land on identical bucket multisets
+    (the hash is content-determined, not row-determined)."""
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "solo")], "doc_id LONG, text STRING"
+    )
+    rows = T.dsir_gram_buckets(df, "text", "doc_id", n_buckets=64).collect()
+    by_doc: dict[int, list[int]] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["__bucket"])
+    assert sorted(len(v) for v in by_doc.values()) == [1, 5, 5]
+    assert all(0 <= b < 64 for v in by_doc.values() for b in v)
+    assert sorted(by_doc[1]) == sorted(by_doc[2])
+
+
 def test_corpus_manifest_properties(spark):
     """Order-independence, single-edit sensitivity, shard-merge identity."""
     rows = [(i, f"doc number {i} text") for i in range(50)]
