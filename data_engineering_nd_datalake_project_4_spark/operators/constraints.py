@@ -54,6 +54,80 @@ def _metric(rule: dict) -> Column:
     raise ValueError(f"unknown rule kind {kind!r}; expected one of {_KINDS}")
 
 
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+    k: int = 3,
+    value_scale: int = 10_000,
+) -> DataFrame:
+    """Robust per-group outlier detection via median / MAD (median
+    absolute deviation): flag rows where ``|value - median| > k · MAD``
+    within their group — the classic data-cleaning rule that, unlike
+    mean/stddev z-scores, a single wild value cannot drag (breakdown
+    point 50%). Returns the flagged rows as
+    ``(group_col, id_col, value_col, grp_median, grp_mad)``.
+
+    Exactness (the half2/half4-soak-proof construction): comparing
+    ``|dev| > k·MAD`` on raw doubles would tie on grid-valued money where
+    engine median-interpolation formulas differ in the last ulp. Instead
+    values are integerized FIRST — ``CAST(v AS DECIMAL(18,4)) ·
+    value_scale`` is an exact integer (the decimal cast is the repo's
+    cross-engine-aligned quantize) — so every median is an exact multiple
+    of 0.5, every |dev| a multiple of 0.5, every MAD a multiple of 0.25:
+    interpolation, subtraction, the k· multiply and the strict comparison
+    are all EXACT in double on both engines, regardless of interpolation
+    formula. The /scale rescale of the reported stats is one exact-input
+    IEEE division.
+
+    NULL values carry no evidence and are excluded; a NULL group is a
+    real group (null-safe joins — the nulls-soak discipline). MAD = 0
+    (≥ half the group equals its median) flags every non-median value,
+    the standard MAD caveat.
+
+    Scale shape: two grouped EXACT percentiles (per-group sort-based
+    aggregate — group count is the parallel unit; for groups too large to
+    sort per-key, swap ``approx_percentile`` in, same operator shape) with
+    the tiny stats frames broadcast back; no window over the data, no
+    driver collect.
+    """
+    if k <= 0 or value_scale <= 0:
+        raise ValueError("k and value_scale must be positive")
+    cents = (F.col(value_col).cast("decimal(18,4)") * value_scale).cast("long")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("__g"),
+        F.col(id_col),
+        F.col(value_col),
+        cents.alias("__c"),
+    )
+    med = (
+        base.groupBy("__g")
+        .agg(F.percentile("__c", F.lit(0.5)).alias("__med"))
+        .withColumnRenamed("__g", "__gm")
+    )
+    j1 = base.join(
+        F.broadcast(med), base["__g"].eqNullSafe(med["__gm"])
+    ).drop("__gm")
+    dev = F.abs(F.col("__c") - F.col("__med"))
+    mad = (
+        j1.groupBy("__g")
+        .agg(F.percentile(dev, F.lit(0.5)).alias("__mad"))
+        .withColumnRenamed("__g", "__gd")
+    )
+    return (
+        j1.join(F.broadcast(mad), j1["__g"].eqNullSafe(mad["__gd"]))
+        .filter(dev > k * F.col("__mad"))
+        .select(
+            F.col("__g").alias(group_col),
+            id_col,
+            value_col,
+            (F.col("__med") / value_scale).alias("grp_median"),
+            (F.col("__mad") / value_scale).alias("grp_mad"),
+        )
+    )
+
+
 def check_constraints(df: DataFrame, rules: list[dict]) -> DataFrame:
     """Evaluate ``rules`` in ONE aggregate pass. Each rule is a dict with
     ``name`` (output label), ``kind`` (see module docstring), ``col``

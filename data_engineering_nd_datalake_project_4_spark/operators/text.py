@@ -438,6 +438,83 @@ def dsir_log_weights(
     )
 
 
+def corpus_js_divergence(
+    corpus_a: DataFrame,
+    corpus_b: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Distribution-drift monitor between two corpus snapshots: per-bucket
+    Jensen-Shannon divergence contributions over the hashed-n-gram
+    distributions of :func:`dsir_gram_buckets`. ``SUM(js_contrib)`` is the
+    JS divergence (0 = identical feature mix, ln 2 = disjoint) — the
+    standard ingest-drift alarm for a training-data feed; the top
+    ``js_contrib`` buckets localize WHAT drifted (via any gram that hashes
+    there), which a scalar alarm can't.
+
+    Returns ``(bucket, n_a, n_b, js_contrib)``, one row per bucket seen in
+    either corpus. Probabilities are Laplace-smoothed over the FIXED
+    ``n_buckets`` domain (``(cnt+1)/(N+B)``) so both sides are positive
+    and unseen-bucket mass is principled.
+
+    Determinism: p_a, p_b are single integer-ratio divisions; the mixture
+    ``m = (p_a + p_b) / 2`` is one IEEE add and an exact power-of-two
+    scale; each ln is DECIMAL(18,6)-quantized, the decimal subtraction is
+    exact, its double cast is exact (≤9 significant digits), and each
+    ``0.5 · p · (qln p - qln m)`` term is a FIXED three-IEEE-op sequence —
+    so the per-bucket contribution is bit-identical cross-engine as a raw
+    double (q136/q163 discipline, same accepted 1-ulp ln caveat).
+    Deliberately NOT re-quantized to decimal: contributions sit at 1e-12…
+    1e-7 where a double's VARCHAR repr is scientific notation, and DuckDB
+    mis-rounds any nonzero sub-quantum sci-notation string UP to one
+    decimal quantum (``CAST('6.9e-11' AS DECIMAL(18,8))`` → 1e-8), so the
+    VARCHAR-routed quantize alignment is unusable down there. A
+    downstream ``SUM(js_contrib)`` is therefore order-dependent at the
+    ~1e-16 level; quantize AFTER scaling by a known magnitude if an exact
+    corpus-level sum is needed.
+
+    Scale shape: two bucket-count partial aggregates (≤``n_buckets`` rows
+    each), one full outer join between them, arithmetic map-side over ≤B
+    rows, totals as 1-row broadcast stats. Nothing downstream of the
+    count aggregates depends on corpus size.
+    """
+    ga = dsir_gram_buckets(corpus_a, text_col, id_col, n_buckets)
+    gb = dsir_gram_buckets(corpus_b, text_col, id_col, n_buckets)
+    ca = (
+        ga.groupBy("__bucket")
+        .agg(F.count(F.lit(1)).alias("n_a"))
+        .localCheckpoint(eager=True)
+    )
+    cb = (
+        gb.groupBy("__bucket")
+        .agg(F.count(F.lit(1)).alias("n_b"))
+        .localCheckpoint(eager=True)
+    )
+    totals = F.broadcast(
+        ca.agg(F.coalesce(F.sum("n_a"), F.lit(0)).alias("__A")).crossJoin(
+            cb.agg(F.coalesce(F.sum("n_b"), F.lit(0)).alias("__B"))
+        )
+    )
+    na = F.coalesce(F.col("n_a"), F.lit(0))
+    nb = F.coalesce(F.col("n_b"), F.lit(0))
+    p_a = (na + 1) / (F.col("__A") + n_buckets)
+    p_b = (nb + 1) / (F.col("__B") + n_buckets)
+    m = (p_a + p_b) / 2
+    qd = lambda x: F.log(x).cast("decimal(18,6)").cast("double")  # noqa: E731
+    contrib = 0.5 * p_a * (qd(p_a) - qd(m)) + 0.5 * p_b * (qd(p_b) - qd(m))
+    return (
+        ca.join(cb, "__bucket", "full_outer")
+        .crossJoin(totals)
+        .select(
+            F.col("__bucket").alias("bucket"),
+            na.alias("n_a"),
+            nb.alias("n_b"),
+            contrib.alias("js_contrib"),
+        )
+    )
+
+
 #: PII scrub patterns, applied IN THIS ORDER (URL first so emails inside
 #: URLs are already gone; SSN before phone so the 3-2-4 digit shape is not
 #: half-eaten by the 3-3-4 phone pattern). Java-regex (Spark) and

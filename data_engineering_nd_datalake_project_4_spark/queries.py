@@ -5805,3 +5805,104 @@ def q163_dsir_weights(spark, sf_dir):
         d, d.filter(F.col("lang") == "en"), "text", "doc_id", n_buckets=4096
     )
     return out.orderBy("doc_id")
+
+
+@q(
+    "q164_corpus_drift",
+    """WITH rt AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents WHERE text IS NOT NULL),
+         g AS (SELECT doc_id,
+                      CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT)
+                        % 4096 AS bucket
+               FROM (SELECT doc_id,
+                            unnest(list_concat(toks,
+                              list_transform(range(1, len(toks)),
+                                i -> toks[i] || ' ' || toks[i+1]))) AS gram
+                     FROM rt)),
+         ca AS (SELECT bucket, COUNT(*) AS n_a FROM g
+                WHERE doc_id % 2 = 0 GROUP BY bucket),
+         cb AS (SELECT bucket, COUNT(*) AS n_b FROM g
+                WHERE doc_id % 2 = 1 GROUP BY bucket),
+         tot AS (SELECT (SELECT COALESCE(SUM(n_a), 0) FROM ca) AS a,
+                        (SELECT COALESCE(SUM(n_b), 0) FROM cb) AS b),
+         j AS (SELECT COALESCE(ca.bucket, cb.bucket) AS bucket,
+                      COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+               FROM ca FULL OUTER JOIN cb ON ca.bucket = cb.bucket),
+         c AS (SELECT bucket, n_a, n_b,
+                      (n_a + 1) / (tot.a + 4096) AS p_a,
+                      (n_b + 1) / (tot.b + 4096) AS p_b
+               FROM j CROSS JOIN tot)
+       SELECT bucket, n_a, n_b,
+              CAST(0.5 AS DOUBLE) * p_a *
+                  (CAST(CAST(ln(p_a) AS DECIMAL(18,6)) AS DOUBLE)
+                   - CAST(CAST(ln((p_a + p_b) / 2) AS DECIMAL(18,6)) AS DOUBLE))
+              + CAST(0.5 AS DOUBLE) * p_b *
+                  (CAST(CAST(ln(p_b) AS DECIMAL(18,6)) AS DOUBLE)
+                   - CAST(CAST(ln((p_a + p_b) / 2) AS DECIMAL(18,6)) AS DOUBLE))
+              AS js_contrib
+       FROM c ORDER BY bucket""",
+    "corpus drift monitor (text.corpus_js_divergence): per-bucket "
+    "Jensen-Shannon divergence contributions between two snapshots "
+    "(even vs odd doc_id halves) over the hashed-n-gram feature "
+    "distributions — SUM(js_contrib) is the ingest-drift alarm, top "
+    "buckets localize what drifted. Laplace-smoothed over the fixed "
+    "4096-bucket domain; p's are single integer-ratio divisions, the "
+    "mixture /2 is an exact power-of-two scale, each ln "
+    "DECIMAL(18,6)-quantized, then a FIXED three-IEEE-op sequence per "
+    "term with 0.5 written CAST(0.5 AS DOUBLE) so DuckDB multiplies in "
+    "double, not decimal (q158/q160 literal trap). The contribution "
+    "ships as a raw deterministic double — NOT decimal-re-quantized, "
+    "because sub-quantum doubles render as scientific notation which "
+    "DuckDB's string->decimal cast mis-rounds up to one quantum "
+    "(the VARCHAR-routed alignment is unusable below the quantum). "
+    "Everything downstream of the two bucket-count aggregates is "
+    "corpus-size-independent (≤4096-row frames, 1-row broadcast totals)",
+)
+def q164_corpus_drift(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = text.corpus_js_divergence(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+        "text",
+        "doc_id",
+        n_buckets=4096,
+    )
+    return out.orderBy("bucket")
+
+
+@q(
+    "q165_mad_outliers",
+    """WITH b AS (SELECT c_mktsegment AS g, c_custkey, c_acctbal,
+                         CAST(CAST(c_acctbal AS DECIMAL(18,4)) * 10000
+                              AS BIGINT) AS c
+                  FROM customer WHERE c_acctbal IS NOT NULL),
+         med AS (SELECT g, quantile_cont(c, 0.5) AS med
+                 FROM b GROUP BY g),
+         j1 AS (SELECT b.*, med.med FROM b
+                JOIN med ON b.g IS NOT DISTINCT FROM med.g),
+         mad AS (SELECT g, quantile_cont(abs(c - med), 0.5) AS mad
+                 FROM j1 GROUP BY g),
+         j2 AS (SELECT j1.*, mad.mad FROM j1
+                JOIN mad ON j1.g IS NOT DISTINCT FROM mad.g)
+       SELECT g AS c_mktsegment, c_custkey, c_acctbal,
+              med / 10000 AS grp_median, mad / 10000 AS grp_mad
+       FROM j2 WHERE abs(c - med) > 3 * mad
+       ORDER BY c_mktsegment NULLS FIRST, c_custkey""",
+    "robust per-group outlier detection (constraints.mad_outliers): flag "
+    "customers whose balance deviates from their market segment's MEDIAN "
+    "by more than 3x the segment's median absolute deviation — the "
+    "breakdown-point-50% alternative to mean/stddev z-scores. Exact "
+    "cross-engine by construction: balances integerize through the "
+    "aligned DECIMAL(18,4) quantize x10000, so medians are exact "
+    "0.5-multiples, MADs exact 0.25-multiples, and the strict k-MAD "
+    "comparison can never straddle an engine ulp even on the "
+    "half2/half4 money grids. NULL balances excluded, NULL segment is a "
+    "real group (null-safe joins), NULLS FIRST pinned. Plan: two grouped "
+    "exact percentiles, tiny stats broadcast back, no window over data",
+)
+def q165_mad_outliers(spark, sf_dir):
+    from data_engineering_nd_datalake_project_4_spark.operators.constraints import mad_outliers
+
+    cust = _t(spark, sf_dir, "customer")
+    out = mad_outliers(cust, "c_mktsegment", "c_custkey", "c_acctbal", k=3)
+    return out.orderBy("c_mktsegment", "c_custkey")

@@ -93,3 +93,29 @@ def test_single_scan_plan(dirty):
     # one aggregate pass: a single Scan and no Join in the plan
     assert plan.count("Scan") <= 1, plan
     assert "Join" not in plan, plan
+
+
+def test_mad_outliers_hand_check(spark):
+    """Group A [10,20,30,40,1000]: median 30, MAD 10 -> only 1000 exceeds
+    3*MAD. Group B [1,1,1,100]: MAD 0 -> every non-median value flagged
+    (the documented MAD=0 caveat). NULL value excluded; NULL group is a
+    real group."""
+    from data_engineering_nd_datalake_project_4_spark.operators.constraints import mad_outliers
+
+    rows = [("A", i, v) for i, v in enumerate([10.0, 20.0, 30.0, 40.0, 1000.0])]
+    rows += [("B", 10 + i, v) for i, v in enumerate([1.0, 1.0, 1.0, 100.0])]
+    rows += [("A", 99, None), (None, 50, 5.0), (None, 51, 5.0), (None, 52, 500.0)]
+    df = spark.createDataFrame(rows, "seg STRING, cid LONG, bal DOUBLE")
+    out = {r["cid"]: r for r in mad_outliers(df, "seg", "cid", "bal", k=3).collect()}
+    assert set(out) == {4, 13, 52}
+    assert out[4]["grp_median"] == 30.0 and out[4]["grp_mad"] == 10.0
+    assert out[13]["grp_mad"] == 0.0
+    assert out[52]["seg"] is None and out[52]["grp_mad"] == 0.0
+
+
+def test_mad_outliers_validation(spark):
+    from data_engineering_nd_datalake_project_4_spark.operators.constraints import mad_outliers
+
+    df = spark.createDataFrame([("A", 1, 1.0)], "seg STRING, cid LONG, bal DOUBLE")
+    with pytest.raises(ValueError, match="positive"):
+        mad_outliers(df, "seg", "cid", "bal", k=0)

@@ -91,6 +91,8 @@ NON_EQUI_BY_DESIGN = {
     "q162_halflife_decay",
     # broadcast 1-row (R, T) corpus gram totals: O(buckets·1)
     "q163_dsir_weights",
+    # broadcast 1-row (A, B) snapshot gram totals: O(buckets·1)
+    "q164_corpus_drift",
 }
 
 

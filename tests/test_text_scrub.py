@@ -153,6 +153,30 @@ def test_dsir_gram_buckets_shape(spark):
     assert sorted(by_doc[1]) == sorted(by_doc[2])
 
 
+def test_corpus_js_divergence_bounds(spark):
+    """Identical snapshots -> every per-bucket contribution is EXACTLY 0.0
+    (p_a = p_b = m, quantized-ln differences cancel identically);
+    disjoint-vocabulary snapshots -> total JS in (0, ln 2]; counts are
+    preserved per side."""
+    import math
+
+    a = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(6)], "doc_id LONG, text STRING"
+    )
+    same = T.corpus_js_divergence(a, a, "text", "doc_id", n_buckets=64).collect()
+    assert same and all(r["js_contrib"] == 0.0 for r in same)
+    assert all(r["n_a"] == r["n_b"] for r in same)
+
+    b = spark.createDataFrame(
+        [(i, "zeta eta theta") for i in range(6)], "doc_id LONG, text STRING"
+    )
+    diff = T.corpus_js_divergence(a, b, "text", "doc_id", n_buckets=64).collect()
+    total = sum(r["js_contrib"] for r in diff)
+    assert 0.0 < total <= math.log(2) + 1e-9
+    # disjoint vocab: no bucket carries counts on both sides
+    assert all(r["n_a"] == 0 or r["n_b"] == 0 for r in diff)
+
+
 def test_corpus_manifest_properties(spark):
     """Order-independence, single-edit sensitivity, shard-merge identity."""
     rows = [(i, f"doc number {i} text") for i in range(50)]

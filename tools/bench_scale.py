@@ -69,6 +69,9 @@ HEAVY = {
     "q147_paragraph_dedup": REGISTRY["q147_paragraph_dedup"].spark_fn,
     "q152_lsh_near_dedup": REGISTRY["q152_lsh_near_dedup"].spark_fn,
     "q155_bm25_topk": REGISTRY["q155_bm25_topk"].spark_fn,
+    # session-3 additions: full-corpus gram explosion (2 traversals each)
+    "q163_dsir_weights": REGISTRY["q163_dsir_weights"].spark_fn,
+    "q164_corpus_drift": REGISTRY["q164_corpus_drift"].spark_fn,
 }
 
 
