@@ -922,7 +922,13 @@ def temperature_mix_sample(
     bit-identical in Spark and DuckDB); other temperatures go through
     ``pow`` (1-ulp JVM-vs-glibc divergence possible AT the floor boundary —
     the documented transcendental caveat; T=2 is the oracle-gated path).
-    Overflow-safe: ``target_total·qw_i ≤ 1e6·√(1e12)·1e6 = 1e18 < 2⁶³``.
+    Overflow: the static ``target_total ≤ 1e6`` check proves the product
+    bound only for T ≥ 2 (``qw ≤ 1e6·√(1e12) = 1e12`` ⇒ product ≤ 1e18 <
+    2⁶³); for T < 2 ``qw = c^(1/T)·1e6`` grows faster (T=1 on a 1e12-row
+    domain gives qw ≈ 1e18), so a runtime ``assert_true`` additionally
+    rejects any quota weight exceeding ``(2⁶³-1) div target_total`` before
+    the multiply — ANSI mode would otherwise turn the wrap into an opaque
+    ARITHMETIC_OVERFLOW mid-query.
 
     Scale shape: one tiny per-domain count aggregate (broadcast back), one
     window rank over (domain, hash, id) — payloads ride a single exchange.
@@ -936,6 +942,9 @@ def temperature_mix_sample(
             f"target_total {target_total} > 1e6: the BIGINT quota product "
             "target_total*qw is only overflow-proof below 1e6·1e12"
         )
+    # static bound above covers T>=2 only; for smaller T the per-domain
+    # weight itself can approach 2^63/target_total — check it at runtime
+    max_qw = (2**63 - 1) // max(int(target_total), 1)
     root = (
         F.sqrt(F.col("__c").cast("double"))
         if temperature == 2.0
@@ -946,6 +955,16 @@ def temperature_mix_sample(
         .agg(F.count(F.lit(1)).alias("__c"))
         .withColumn("__qw", F.floor(root * F.lit(1_000_000.0)).cast("long"))
     )
+    qw_guard = F.assert_true(
+        F.col("__qw") <= F.lit(max_qw),
+        F.concat(
+            F.lit(
+                "temperature_mix_sample: quota weight overflows the BIGINT "
+                f"product at temperature={temperature} (qw > {max_qw})"
+            ),
+        ),
+    )
+    quotas = quotas.filter(F.coalesce(qw_guard.cast("boolean"), F.lit(True)))
     z = quotas.agg(F.sum("__qw").alias("__z"))
     quotas = (
         quotas.crossJoin(F.broadcast(z))

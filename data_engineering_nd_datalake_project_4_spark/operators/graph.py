@@ -51,6 +51,10 @@ def pagerank(
         .localCheckpoint()
     )
     n = nodes.count()
+    if n == 0:
+        # empty edge list: return an empty (node, rank) frame instead of
+        # letting the teleport term raise an opaque ZeroDivisionError
+        return nodes.withColumn("rank", F.lit(0.0))
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
     teleport = (1.0 - damping) / n
 

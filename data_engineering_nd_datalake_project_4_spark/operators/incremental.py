@@ -288,8 +288,19 @@ def apply_changelog(
     )
     j = snapshot.join(src, F.col(key) == F.col("__chg_key"), "full_outer")
     op = F.col("__chg_op")
-    known = op.isNull() | op.isin("I", "U", "D")
-    guard = F.assert_true(known, F.concat(F.lit("apply_changelog: unknown op "), op))
+    has_chg_row = F.col("__chg_key").isNotNull()
+    # op is legitimately NULL only on unmatched SNAPSHOT rows (no change row).
+    # A change row with NULL op must trip assert_true loudly — `op.isNull() |`
+    # would admit it, and the three-valued delete filter below would then
+    # silently DROP its key (~NULL -> NULL -> filtered).
+    known = ~has_chg_row | op.isin("I", "U", "D")
+    # concat NULL-propagates: coalesce op or a NULL-op failure reports "null"
+    guard = F.assert_true(
+        known,
+        F.concat(
+            F.lit("apply_changelog: unknown op "), F.coalesce(op, F.lit("<NULL>"))
+        ),
+    )
     has_chg = F.col("__chg_key").isNotNull()
     src_only = F.col(key).isNull() & has_chg
     upsert = has_chg & op.isin("I", "U")
@@ -305,6 +316,8 @@ def apply_changelog(
         out.append(col.alias(c))
     # assert_true is NULL when it passes; filtering on its coalesced TRUE
     # keeps the guard alive in the plan without dropping rows
-    return j.filter(~(has_chg & (op == "D"))).filter(
+    # coalesce: NULL op must not three-valued-NULL the predicate (the row
+    # survives here so the assert_true guard gets to see it and fail)
+    return j.filter(~(has_chg & F.coalesce(op == "D", F.lit(False)))).filter(
         F.coalesce(guard.cast("boolean"), F.lit(True))
     ).select(*out)

@@ -156,11 +156,15 @@ def asof_join(
     else:
         w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
         fill = F.first("__r", ignorenulls=True).over(w)
+    # A NULL left ts must never match. Backward is safe by accident (NULLS
+    # FIRST puts the row before every right row, so the preceding frame is
+    # empty), but forward's currentRow→following frame would see EVERY right
+    # row from the NULLS-FIRST position — guard the fill explicitly.
     filled = unioned.select(
         *lcols,
         "__ts",
         "__is_l",
-        fill.alias("__rf"),
+        F.when(F.col("__ts").isNotNull(), fill).alias("__rf"),
     )
     if tolerance is not None:
         lnum = _num(F.col("__ts"))

@@ -74,6 +74,32 @@ def test_timestamp_tolerance_in_seconds(spark):
     assert out == {10: 7, 12: None}
 
 
+@pytest.mark.parametrize("direction,tolerance", [
+    ("backward", None), ("forward", None),
+    ("backward", 50), ("forward", 50),
+])
+def test_null_left_ts_never_matches(spark, direction, tolerance):
+    # pandas merge_asof / DuckDB ASOF both yield NO match for a NULL left
+    # ts. The forward no-tolerance case used to match the earliest right
+    # row (NULLS FIRST put the row ahead of every right row in the
+    # following-frame fill).
+    left = spark.createDataFrame(
+        [(1, None, 0), (1, 100, 1)], "k long, lts long, lid long"
+    )
+    right = spark.createDataFrame(
+        [(1, 50, 7), (1, 150, 9)], "k long, rts long, val long"
+    )
+    out = {
+        r.lid: r.val
+        for r in asof_join(
+            left, right, "k", "lts", "rts", ["val"],
+            direction=direction, tolerance=tolerance,
+        ).collect()
+    }
+    assert out[0] is None, (direction, tolerance, out)
+    assert out[1] == (7 if direction == "backward" else 9)
+
+
 def test_direction_validation(spark):
     left, right, sl, sr = _frames(spark)
     with pytest.raises(ValueError, match="direction"):

@@ -82,6 +82,15 @@ def test_apply_changelog_unknown_op_fails_loudly(spark):
         apply_changelog(_snap(spark), ch, "id", ["seq"]).collect()
 
 
+def test_apply_changelog_null_op_fails_loudly(spark):
+    # a NULL op on a CHANGE row used to silently DELETE the key (the
+    # three-valued `~(has_chg & (op == 'D'))` filter dropped it before the
+    # assert_true guard ran); it must trip the guard instead
+    ch = _ch(spark, [(1, None, 1, "a1", 11.0)])
+    with pytest.raises(Exception, match="unknown op|ASSERT"):
+        apply_changelog(_snap(spark), ch, "id", ["seq"]).collect()
+
+
 def test_domain_quota_exact_counts_and_determinism(spark):
     rows = [(i, f"d{i % 3}") for i in range(100)]
     df = spark.createDataFrame(rows, "doc_id long, source string")

@@ -49,6 +49,16 @@ def test_total_mass_bounded_by_one(spark):
     assert all(v >= teleport - 1e-15 for v in got.values())
 
 
+def test_empty_edge_list_returns_empty_frame(spark):
+    # used to raise an opaque ZeroDivisionError from the teleport term
+    from data_engineering_nd_datalake_project_4_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([], "src long, dst long")
+    out = pagerank(df)
+    assert out.columns == ["node", "rank"]
+    assert out.count() == 0
+
+
 def test_symmetric_cycle_is_uniform(spark):
     got = _ranks(spark, [(1, 2), (2, 3), (3, 1)])
     vals = list(got.values())

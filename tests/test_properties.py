@@ -920,6 +920,31 @@ class TestTemperatureMix:
         with _pytest.raises(ValueError, match="target_total"):
             temperature_mix_sample(self._skewed(spark), "source", "doc_id", 2_000_000)
 
+    def test_low_temperature_overflow_trips_runtime_guard(self, spark):
+        # the static target_total<=1e6 bound proves the product only for
+        # T>=2; at T=0.25 a 60-row domain already gives qw = 60^4 * 1e6 >
+        # (2^63-1)/1e6 — the runtime assert must fire, never a silent wrap
+        # or an opaque ANSI ARITHMETIC_OVERFLOW
+        import pytest as _pytest
+
+        from data_engineering_nd_datalake_project_4_spark.operators.dedup import temperature_mix_sample
+
+        df = spark.range(60).select(
+            F.col("id").alias("doc_id"), F.lit("only").alias("source")
+        )
+        with _pytest.raises(Exception, match="quota weight|ASSERT"):
+            temperature_mix_sample(
+                df, "source", "doc_id", 1_000_000, temperature=0.25
+            ).collect()
+
+    def test_low_temperature_in_bounds_still_works(self, spark):
+        from data_engineering_nd_datalake_project_4_spark.operators.dedup import temperature_mix_sample
+
+        out = temperature_mix_sample(
+            self._skewed(spark), "source", "doc_id", 100, temperature=1.0
+        )
+        assert 0 < out.count() <= 100
+
 
 class TestBm25:
     """BM25 retrieval (text.bm25_topk) vs a direct numpy-free replication."""
