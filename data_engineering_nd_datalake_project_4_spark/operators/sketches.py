@@ -26,19 +26,51 @@ from pyspark.sql import functions as F
 
 from data_engineering_nd_datalake_project_4_spark.functions import portable_hash60
 
+#: Mersenne field for the universal-hash reseeds (shared with MinHash).
+_M31 = (1 << 31) - 1
+
 
 def _cms_bucket(value: Column, row: Column, width: int, hash_fn: str) -> Column:
-    """Seeded bucket hash for one CMS row. ``xxhash64`` seeds via the
-    extra argument; ``portable`` (functions.portable_hash60 — exactly
-    computable in DuckDB) seeds by appending chr(0) + row index to the
-    value string: ``v || chr(0) || row``, the same construction the
-    oracle writes."""
-    if hash_fn == "portable":
-        seeded = F.concat(value.cast("string"), F.lit("\x00"), row.cast("string"))
-        return F.pmod(portable_hash60(seeded), F.lit(width))
+    """Seeded bucket hash for one CMS row in ``xxhash64`` mode (the extra
+    argument reseeds the hash). The ``portable`` family does NOT hash per
+    row — see :func:`_portable_bucket_array`."""
     if hash_fn != "xxhash64":
         raise ValueError(f"hash_fn must be 'xxhash64' or 'portable', got {hash_fn!r}")
     return F.pmod(F.xxhash64(value, row), F.lit(width))
+
+
+def cms_coeffs(depth: int) -> tuple[list[int], list[int]]:
+    """Universal-hash coefficient schedule for the portable CMS rows —
+    the SAME fixed-seed LCG draw as ``dedup.minhash_coeffs`` (aᵢ ∈
+    [1, M-1], bᵢ ∈ [0, M-1], M = 2³¹-1), re-exported here so the oracle
+    twin can inline the literals without importing the dedup module."""
+    from data_engineering_nd_datalake_project_4_spark.operators.dedup import minhash_coeffs
+
+    return minhash_coeffs(depth)
+
+
+def _portable_bucket_array(hash_col: Column, width: int, depth: int) -> Column:
+    """Array of ``depth`` bucket ids derived from ONE portable string hash
+    (``portable_hash60(v) mod M`` — pass that as ``hash_col``, staged in
+    its own projection): bucketⱼ = ((aⱼ·h mod M) + bⱼ) mod M mod width.
+    This is the MinHash universal-hashing trick (dedup.py): the md5 runs
+    once per value instead of once per (value × depth) — ~5× less hashing
+    at depth 5 — and every product stays < 2⁶² (aⱼ, h < 2³¹), so no ANSI
+    overflow. The caller must materialize ``hash_col`` as a named column
+    in a separate select: it is referenced ``depth`` times here, and a
+    non-cheap multiply-referenced alias is what stops CollapseProject
+    from re-inlining the md5 into every element."""
+    a, b = cms_coeffs(depth)
+    return F.array(
+        *[
+            F.pmod(
+                F.pmod(F.lit(a[j]) * hash_col, F.lit(_M31)) + F.lit(b[j]),
+                F.lit(_M31),
+            )
+            % F.lit(width)
+            for j in range(depth)
+        ]
+    )
 
 
 def build_cms(
@@ -47,22 +79,53 @@ def build_cms(
     width: int = 2048,
     depth: int = 5,
     hash_fn: str = "xxhash64",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """One-scan Count-Min sketch: DataFrame[row, bucket, cnt] with
     ``depth`` hash rows of ``width`` buckets. Error: overestimate only,
     ≤ e/width · N with probability 1 - e^-depth. ``hash_fn='portable'``
     makes the whole sketch (and every estimate from it) bit-identical in
-    a DuckDB oracle at ~2-3× hashing cost — default stays xxhash64."""
+    a DuckDB oracle — ONE md5 per DISTINCT value + arithmetic
+    universal-hash reseeds for the depth rows (not one md5 per value×row,
+    the round-6 14× mistake) — default stays xxhash64.
+
+    Both modes pre-aggregate (value → count) before hashing: the hash
+    runs once per distinct value and the count rides as an integer weight
+    into the cell sum — identical counters (SUM(n) ≡ COUNT(*) per
+    instance), one map-side-combining shuffle on the value, and hashing
+    cost proportional to the vocabulary instead of the corpus. A caller
+    that already holds per-value counts (e.g. it also probes the same
+    vocabulary) passes them via ``weight_col`` and skips the internal
+    aggregate — one corpus pass total."""
+    if weight_col is not None:
+        counts = df.select(
+            F.col(col).alias("__v"), F.col(weight_col).cast("long").alias("__n")
+        )
+    else:
+        counts = df.groupBy(F.col(col).alias("__v")).agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+    if hash_fn == "portable":
+        hashed = counts.select(
+            F.pmod(portable_hash60(F.col("__v")), F.lit(_M31)).alias("__h"), "__n"
+        )
+        bucketed = hashed.select(
+            "__n",
+            F.posexplode(
+                _portable_bucket_array(F.col("__h"), width, depth)
+            ).alias("row", "bucket"),
+        )
+        return bucketed.groupBy("row", "bucket").agg(F.sum("__n").alias("cnt"))
     rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
     return (
-        df.select(F.col(col).alias("__v"))
-        .select("__v", rows)
+        counts.select("__v", "__n", rows)
         .select(
             "row",
             _cms_bucket(F.col("__v"), F.col("row"), width, hash_fn).alias("bucket"),
+            "__n",
         )
         .groupBy("row", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("__n").alias("cnt"))
     )
 
 
@@ -84,22 +147,39 @@ def cms_estimate(
     width: int = 2048,
     depth: int = 5,
     hash_fn: str = "xxhash64",
+    items_distinct: bool = False,
 ) -> DataFrame:
     """Estimated frequency for each distinct value in ``items[col]``:
     min over the depth hash rows of the matching bucket counters. The
     sketch side is broadcast (it is depth × width rows at most).
-    ``hash_fn`` must match the sketch's build."""
-    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
-    probes = (
-        items.select(F.col(col).alias("item"))
-        .distinct()
-        .select("item", rows)
-        .select(
+    ``hash_fn`` must match the sketch's build. ``items_distinct=True``
+    skips the internal dedup when the caller already probes a one-row-
+    per-value frame (e.g. the same counts frame that built the sketch) —
+    saving an exchange, and letting AQE's ReuseExchange share the counts
+    subtree between build and probe."""
+    maybe_distinct = (lambda d: d) if items_distinct else (lambda d: d.distinct())
+    if hash_fn == "portable":
+        hashed = maybe_distinct(items.select(F.col(col).alias("item"))).select(
             "item",
-            "row",
-            _cms_bucket(F.col("item"), F.col("row"), width, hash_fn).alias("bucket"),
+            F.pmod(portable_hash60(F.col("item")), F.lit(_M31)).alias("__h"),
         )
-    )
+        probes = hashed.select(
+            "item",
+            F.posexplode(
+                _portable_bucket_array(F.col("__h"), width, depth)
+            ).alias("row", "bucket"),
+        )
+    else:
+        rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
+        probes = (
+            maybe_distinct(items.select(F.col(col).alias("item")))
+            .select("item", rows)
+            .select(
+                "item",
+                "row",
+                _cms_bucket(F.col("item"), F.col("row"), width, hash_fn).alias("bucket"),
+            )
+        )
     return (
         probes.join(F.broadcast(cms), ["row", "bucket"], "left")
         .fillna(0, subset=["cnt"])

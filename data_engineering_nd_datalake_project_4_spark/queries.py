@@ -52,6 +52,7 @@ from data_engineering_nd_datalake_project_4_spark.operators import (
     multimodal,
     setops,
     similarity,
+    sketches,
     sort,
     text,
     timeseries,
@@ -2950,38 +2951,58 @@ def q93_correlated_scalar_subquery(spark, sf_dir):
     return spark.sql(_Q93_SQL)
 
 
+# CMS universal-hash row coefficients shared verbatim with the oracle twin
+# (one md5 per token, arithmetic reseeds for the 5 depth rows — the
+# MinHash trick; round 6 paid 14× for an md5 per token×row here).
+_CMS_A, _CMS_B = sketches.cms_coeffs(5)
+_CMS_SEEDS_SQL = ", ".join(
+    f"({j}, CAST({a} AS BIGINT), CAST({b} AS BIGINT))"
+    for j, (a, b) in enumerate(zip(_CMS_A, _CMS_B))
+)
+
+
 @q(
     "q94_cms_heavy_hitters",
-    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+    f"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
                     FROM documents WHERE text IS NOT NULL),
-       cms AS (SELECT j, bucket, COUNT(*) AS cnt FROM (
-                 SELECT r.j,
-                        (CAST('0x' || substr(md5(token || chr(0) || CAST(r.j AS VARCHAR)), 1, 15) AS BIGINT)) % 2048 AS bucket
-                 FROM tok CROSS JOIN (SELECT unnest(range(0, 5)) AS j) r)
-               GROUP BY j, bucket),
-       probes AS (SELECT item, r.j,
-                         (CAST('0x' || substr(md5(item || chr(0) || CAST(r.j AS VARCHAR)), 1, 15) AS BIGINT)) % 2048 AS bucket
-                  FROM (SELECT DISTINCT token AS item FROM tok)
-                  CROSS JOIN (SELECT unnest(range(0, 5)) AS j) r),
+       seeds(j, a, b) AS (VALUES {_CMS_SEEDS_SQL}),
+       hashed AS (SELECT token, {_ph60('token')} % 2147483647 AS h FROM tok),
+       cms AS (SELECT j, ((a * h) % 2147483647 + b) % 2147483647 % 2048 AS bucket,
+                      COUNT(*) AS cnt
+               FROM hashed CROSS JOIN seeds
+               GROUP BY 1, 2),
+       probes AS (SELECT item, j,
+                         ((a * h) % 2147483647 + b) % 2147483647 % 2048 AS bucket
+                  FROM (SELECT DISTINCT token AS item,
+                               {_ph60('token')} % 2147483647 AS h FROM tok)
+                  CROSS JOIN seeds),
        est AS (SELECT item, MIN(COALESCE(c.cnt, 0)) AS est
                FROM probes p LEFT JOIN cms c USING (j, bucket)
                GROUP BY item)
        SELECT item, est FROM est ORDER BY est DESC, item LIMIT 10""",
     "Count-Min-sketch heavy hitters: one-scan fixed-size (5x2048) sketch, "
     "broadcast probe join, top-10 by estimated frequency — on the "
-    "portable MD5-60bit hash family, so sketch registers AND estimates "
-    "are bit-identical in the DuckDB oracle (seeded hash = "
-    "value||chr(0)||row). Over/merge bounds stay property-tested",
+    "portable MD5-60bit hash family with UNIVERSAL-HASH row reseeds "
+    "(one md5 per token; bucket_j = ((a_j*h mod M)+b_j) mod M mod width, "
+    "M=2^31-1), so sketch registers AND estimates are bit-identical in "
+    "the DuckDB oracle at 1/depth the hashing cost of the seeded-md5 "
+    "construction. Over/merge bounds stay property-tested",
 )
 def q94_cms_heavy_hitters(spark, sf_dir):
-    from data_engineering_nd_datalake_project_4_spark.operators import sketches
-
-    tok = (
-        _t(spark, sf_dir, "documents")
-        .select(F.explode(tokens("text")).alias("token"))
+    # ONE corpus pass: a single map-side-combining groupBy yields the
+    # vocab-sized (token, n) frame that feeds BOTH the sketch build (as
+    # weights) and the probe side — build+estimate used to tokenize the
+    # corpus twice. No ensure_map_parallelism: tokenize+count is not
+    # compute-dense (measured 0.43s vs 0.37s WITH the repartition at
+    # sf0.1 — the CLAUDE.md blanket-repartition caveat).
+    tok = _t(spark, sf_dir, "documents").select(
+        F.explode(tokens("text")).alias("token")
     )
-    cms = sketches.build_cms(tok, "token", hash_fn="portable")
-    est = sketches.cms_estimate(cms, tok, "token", hash_fn="portable")
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n")).localCheckpoint()
+    cms = sketches.build_cms(counts, "token", hash_fn="portable", weight_col="n")
+    est = sketches.cms_estimate(
+        cms, counts, "token", hash_fn="portable", items_distinct=True
+    )
     return est.orderBy(F.desc("est"), F.asc("item")).limit(10)
 
 

@@ -383,6 +383,34 @@ def test_count_min_sketch_bounds(spark, sf_dir):
     assert merged == whole
 
 
+def test_cms_weighted_build_and_distinct_probe_equivalence(spark, sf_dir):
+    """build_cms(weight_col=) from a pre-aggregated (value, count) frame
+    produces the IDENTICAL sketch as the per-instance build, in both hash
+    families; cms_estimate(items_distinct=True) on the counts frame gives
+    the identical estimates — the one-corpus-pass q94 shape."""
+    from data_engineering_nd_datalake_project_4_spark.operators import sketches
+
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+    )
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    for hf in ("xxhash64", "portable"):
+        plain = {(r["row"], r["bucket"]): r["cnt"]
+                 for r in sketches.build_cms(tok, "token", hash_fn=hf).collect()}
+        weighted = {(r["row"], r["bucket"]): r["cnt"]
+                    for r in sketches.build_cms(
+                        counts, "token", hash_fn=hf, weight_col="n").collect()}
+        assert plain == weighted, hf
+        cms = sketches.build_cms(counts, "token", hash_fn=hf, weight_col="n")
+        e1 = {r["item"]: r["est"]
+              for r in sketches.cms_estimate(cms, tok, "token", hash_fn=hf).collect()}
+        e2 = {r["item"]: r["est"]
+              for r in sketches.cms_estimate(
+                  cms, counts, "token", hash_fn=hf, items_distinct=True).collect()}
+        assert e1 == e2, hf
+
+
 def test_int8_quantization_preserves_cosine(spark, sf_dir, tmp_path):
     """int8-quantized embeddings: codes bounded to [-127,127], cosine of
     the dequantized vector vs the original >= 0.999, and the quantized
