@@ -80,6 +80,7 @@ def build_cms(
     depth: int = 5,
     hash_fn: str = "xxhash64",
     weight_col: str | None = None,
+    group_cols: Sequence[str] = (),
 ) -> DataFrame:
     """One-scan Count-Min sketch: DataFrame[row, bucket, cnt] with
     ``depth`` hash rows of ``width`` buckets. Error: overestimate only,
@@ -96,35 +97,55 @@ def build_cms(
     cost proportional to the vocabulary instead of the corpus. A caller
     that already holds per-value counts (e.g. it also probes the same
     vocabulary) passes them via ``weight_col`` and skips the internal
-    aggregate — one corpus pass total."""
+    aggregate — one corpus pass total.
+
+    ``group_cols`` builds one independent sketch per group in the same
+    single pass (the ``hll_registers`` shape): output keys become
+    ``(*group_cols, row, bucket)``. Grouped mode deliberately SKIPS the
+    value pre-aggregate — a per-(group, value) aggregate would
+    materialize exactly the cross product the grouped sketch exists to
+    avoid (domain × token at corpus scale); instead the depth rows
+    aggregate straight into the ≤ depth·width cells per group, so the
+    shuffle stays bounded by sketch state whatever the value
+    cardinality. The hashing price is one string hash per INSTANCE
+    (still 1, not depth — the universal reseeds are arithmetic)."""
+    gcols = list(group_cols)
     if weight_col is not None:
         counts = df.select(
-            F.col(col).alias("__v"), F.col(weight_col).cast("long").alias("__n")
+            *gcols, F.col(col).alias("__v"), F.col(weight_col).cast("long").alias("__n")
         )
-    else:
+    elif not gcols:
         counts = df.groupBy(F.col(col).alias("__v")).agg(
             F.count(F.lit(1)).alias("__n")
         )
+    else:
+        counts = df.select(*gcols, F.col(col).alias("__v"), F.lit(1).alias("__n"))
     if hash_fn == "portable":
         hashed = counts.select(
-            F.pmod(portable_hash60(F.col("__v")), F.lit(_M31)).alias("__h"), "__n"
+            *gcols,
+            F.pmod(portable_hash60(F.col("__v")), F.lit(_M31)).alias("__h"),
+            "__n",
         )
         bucketed = hashed.select(
+            *gcols,
             "__n",
             F.posexplode(
                 _portable_bucket_array(F.col("__h"), width, depth)
             ).alias("row", "bucket"),
         )
-        return bucketed.groupBy("row", "bucket").agg(F.sum("__n").alias("cnt"))
+        return bucketed.groupBy(*gcols, "row", "bucket").agg(
+            F.sum("__n").alias("cnt")
+        )
     rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
     return (
-        counts.select("__v", "__n", rows)
+        counts.select(*gcols, "__v", "__n", rows)
         .select(
+            *gcols,
             "row",
             _cms_bucket(F.col("__v"), F.col("row"), width, hash_fn).alias("bucket"),
             "__n",
         )
-        .groupBy("row", "bucket")
+        .groupBy(*gcols, "row", "bucket")
         .agg(F.sum("__n").alias("cnt"))
     )
 
@@ -185,6 +206,98 @@ def cms_estimate(
         .fillna(0, subset=["cnt"])
         .groupBy("item")
         .agg(F.min("cnt").alias("est"))
+    )
+
+
+def grouped_heavy_hitters(
+    df: DataFrame,
+    col: str,
+    group_cols: Sequence[str],
+    k: int = 10,
+    candidate_pool: int = 64,
+    width: int = 2048,
+    depth: int = 5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Approximate top-``k`` values per group WITHOUT materializing the
+    (group × value) cross product — the published end-to-end CMS use
+    (per-domain term statistics at corpus scale; Cormode & Muthukrishnan
+    2005 §4). Two bounded-state passes:
+
+    1. one per-group CMS (``build_cms(group_cols=...)``) — the shuffle is
+       capped at depth·width cells PER GROUP whatever the value
+       cardinality (a direct per-(group, value) groupBy is exactly the
+       blow-up this avoids);
+    2. a ``candidate_pool``-sized GLOBAL candidate vocabulary (one
+       value-keyed map-side-combining count, top-C by count desc / value
+       asc — deterministic), probed against every group's sketch:
+       est(group, v) = min over depth cells, 0 when any cell is absent
+       (CMS never underestimates, so an absent cell proves absence).
+
+    Returns ``(*group_cols, item, est)`` for the top-``k`` per group by
+    (est desc, item asc), est > 0 only. Approximation contract: est ≥
+    true within each group (property-tested); a group-local heavy hitter
+    that is globally rare can be missed — size ``candidate_pool`` for
+    the head you care about (the "frequent somewhere → frequent overall"
+    assumption; at 100 TB the candidate count is the only driver-free
+    knob and stays a C×depth-row broadcast).
+    """
+    from pyspark.sql import Window
+
+    if k <= 0 or candidate_pool < k:
+        raise ValueError(
+            f"need candidate_pool ({candidate_pool}) >= k ({k}) > 0: the "
+            "per-group top-k is drawn from the global candidate pool"
+        )
+    gcols = list(group_cols)
+    if not gcols:
+        raise ValueError("group_cols must be non-empty — use cms_estimate for "
+                         "the ungrouped top-k")
+    cms = build_cms(
+        df, col, width=width, depth=depth, hash_fn=hash_fn, group_cols=gcols
+    )
+    candidates = (
+        df.groupBy(F.col(col).alias("item"))
+        .agg(F.count(F.lit(1)).alias("__gc"))
+        .orderBy(F.desc("__gc"), F.asc("item"))
+        .limit(candidate_pool)
+        .select("item")
+    )
+    if hash_fn == "portable":
+        hashed = candidates.select(
+            "item", F.pmod(portable_hash60(F.col("item")), F.lit(_M31)).alias("__h")
+        )
+        probes = hashed.select(
+            "item",
+            F.posexplode(
+                _portable_bucket_array(F.col("__h"), width, depth)
+            ).alias("row", "bucket"),
+        )
+    else:
+        rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
+        probes = candidates.select("item", rows).select(
+            "item",
+            "row",
+            _cms_bucket(F.col("item"), F.col("row"), width, hash_fn).alias("bucket"),
+        )
+    per_cell = cms.join(F.broadcast(probes), ["row", "bucket"])
+    est = (
+        per_cell.groupBy(*gcols, "item")
+        .agg(F.min("cnt").alias("__mn"), F.count(F.lit(1)).alias("__ncells"))
+        .select(
+            *gcols,
+            "item",
+            F.when(F.col("__ncells") < depth, F.lit(0).cast("long"))
+            .otherwise(F.col("__mn"))
+            .alias("est"),
+        )
+        .filter(F.col("est") > 0)
+    )
+    w = Window.partitionBy(*gcols).orderBy(F.desc("est"), F.asc("item"))
+    return (
+        est.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
     )
 
 

@@ -741,6 +741,73 @@ def duplicate_spans(
     )
 
 
+def max_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """MAXIMAL duplicated token runs — the variable-length step from
+    :func:`duplicate_spans`' fixed-``n`` profile toward Lee et al. 2022's
+    suffix-array ExactSubstr: adjacent/overlapping duplicated ``n``-grams
+    are merged into maximal contiguous runs, so an 80-token boilerplate
+    paragraph reports as ONE span of length ~80, not 73 overlapping
+    8-gram hits. A run is the gap-and-islands union of the dup grams'
+    covered intervals ``[p, p+n-1]``: a new island starts when the next
+    dup position is more than ``n`` after the previous (gap == n abuts —
+    contiguous coverage, merged). The runs are exactly the maximal
+    contiguous covered ranges :func:`strip_duplicate_spans` scrubs
+    (invariant property-tested).
+
+    Returns one row per (document, run): ``(id_col, span_start,
+    span_len, n_grams)`` with ``span_len = max_pos - min_pos + n`` in
+    tokens; documents with no duplicated span produce no rows.
+
+    Scale shape: reuses the q141 hash-only fan-out (8-byte gram hashes,
+    no text shuffle); the island window runs over the DUPLICATED hits
+    only (a small fraction of grams), partitioned by doc id — never a
+    global window; per-run stats are one more id-keyed aggregate.
+    """
+    if n <= 0:
+        raise ValueError(f"span length n ({n}) must be positive")
+    if min_docs < 2:
+        raise ValueError(f"min_docs ({min_docs}) must be >= 2")
+    spans = _span_hash_rows(df, text_col, id_col, n)
+    dup = (
+        spans.groupBy("gram_h")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("gram_h")
+    )
+    hits = spans.join(dup, "gram_h", "left_semi").select(id_col, "start_pos")
+    w = Window.partitionBy(id_col).orderBy("start_pos")
+    islands = (
+        hits.withColumn("__prev", F.lag("start_pos").over(w))
+        .withColumn(
+            "__new",
+            F.when(
+                F.col("__prev").isNull()
+                | (F.col("start_pos") - F.col("__prev") > n),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "__isl",
+            F.sum("__new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return islands.groupBy(id_col, "__isl").agg(
+        F.min("start_pos").cast("long").alias("span_start"),
+        (F.max("start_pos") - F.min("start_pos") + F.lit(n))
+        .cast("long")
+        .alias("span_len"),
+        F.count(F.lit(1)).alias("n_grams"),
+    ).drop("__isl")
+
+
 def strip_duplicate_spans(
     df: DataFrame,
     text_col: str = "text",

@@ -5927,3 +5927,97 @@ def q165_mad_outliers(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     out = mad_outliers(cust, "c_mktsegment", "c_custkey", "c_acctbal", k=3)
     return out.orderBy("c_mktsegment", "c_custkey")
+
+
+@q(
+    "q166_max_dup_spans",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents WHERE text IS NOT NULL),
+            tt AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 8),
+            spans AS (SELECT doc_id, i AS start_pos,
+                             array_to_string(toks[i+1:i+8], ' ') AS gram
+                      FROM tt, UNNEST(range(0, len(toks) - 8 + 1)) AS u(i)),
+            dup AS (SELECT gram FROM spans GROUP BY gram
+                    HAVING COUNT(DISTINCT doc_id) >= 2),
+            hits AS (SELECT s.doc_id, s.start_pos
+                     FROM spans s JOIN dup d USING (gram)),
+            lagd AS (SELECT doc_id, start_pos,
+                            lag(start_pos) OVER (PARTITION BY doc_id
+                                                 ORDER BY start_pos) AS prev
+                     FROM hits),
+            isl AS (SELECT doc_id, start_pos,
+                           SUM(CASE WHEN prev IS NULL OR start_pos - prev > 8
+                                    THEN 1 ELSE 0 END)
+                             OVER (PARTITION BY doc_id ORDER BY start_pos
+                                   ROWS UNBOUNDED PRECEDING) AS island
+                    FROM lagd)
+       SELECT doc_id, MIN(start_pos) AS span_start,
+              MAX(start_pos) - MIN(start_pos) + 8 AS span_len,
+              COUNT(*) AS n_grams
+       FROM isl GROUP BY doc_id, island
+       ORDER BY doc_id, span_start""",
+    "MAXIMAL duplicated token runs (text.max_dup_spans) — variable-length "
+    "ExactSubstr: adjacent/overlapping duplicated 8-grams merge into "
+    "maximal contiguous runs via gap-and-islands over the dup positions "
+    "(new island when the gap exceeds n), so an 80-token boilerplate "
+    "paragraph reports as ONE ~80-token span instead of 73 overlapping "
+    "hits. Scale: the q141 hash-only fan-out (no text shuffle; oracle "
+    "groups by gram text — same classes), island window over the DUP "
+    "hits only, partitioned by doc — never global",
+)
+def q166_max_dup_spans(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = text.max_dup_spans(d, "text", "doc_id", n=8, min_docs=2)
+    return out.orderBy("doc_id", "span_start")
+
+
+@q(
+    "q167_grouped_heavy_hitters",
+    f"""WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token
+                    FROM documents WHERE text IS NOT NULL),
+       seeds(j, a, b) AS (VALUES {_CMS_SEEDS_SQL}),
+       hashed AS (SELECT lang, {_ph60('token')} % 2147483647 AS h FROM tok),
+       cms AS (SELECT lang, j,
+                      ((a * h) % 2147483647 + b) % 2147483647 % 2048 AS bucket,
+                      COUNT(*) AS cnt
+               FROM hashed CROSS JOIN seeds GROUP BY 1, 2, 3),
+       cand AS (SELECT token AS item FROM tok GROUP BY token
+                ORDER BY COUNT(*) DESC, token LIMIT 20),
+       ph AS (SELECT item, {_ph60('item')} % 2147483647 AS h FROM cand),
+       probes AS (SELECT item, j,
+                         ((a * h) % 2147483647 + b) % 2147483647 % 2048 AS bucket
+                  FROM ph CROSS JOIN seeds),
+       cells AS (SELECT c.lang, p.item, c.cnt
+                 FROM cms c JOIN probes p ON c.j = p.j AND c.bucket = p.bucket),
+       est0 AS (SELECT lang, item, MIN(cnt) AS mn, COUNT(*) AS ncells
+                FROM cells GROUP BY lang, item),
+       est AS (SELECT lang, item,
+                      CASE WHEN ncells < 5 THEN CAST(0 AS BIGINT) ELSE mn END AS est
+               FROM est0),
+       ranked AS (SELECT lang, item, est,
+                         row_number() OVER (PARTITION BY lang
+                                            ORDER BY est DESC, item) AS rk
+                  FROM est WHERE est > 0)
+       SELECT lang, item, est FROM ranked WHERE rk <= 3
+       ORDER BY lang NULLS FIRST, est DESC, item""",
+    "approximate top-3 tokens PER LANGUAGE from per-group Count-Min "
+    "sketches (sketches.grouped_heavy_hitters) — per-domain term stats "
+    "without materializing the (group x token) cross product: the "
+    "grouped sketch shuffle is capped at depth*width cells per group "
+    "whatever the vocabulary, candidates come from a 20-item global "
+    "top-count pool (deterministic count-desc/token-asc tie-break) and "
+    "probe every group's sketch (est=min over cells, 0 when any cell is "
+    "absent). Portable MD5-60bit + universal reseeds, so every sketch "
+    "cell AND estimate is bit-identical in the DuckDB twin. NULL lang "
+    "is a real group; NULLS FIRST pinned",
+)
+def q167_grouped_heavy_hitters(spark, sf_dir):
+    tok = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("lang", F.explode(tokens("text")).alias("token"))
+    )
+    out = sketches.grouped_heavy_hitters(
+        tok, "token", ["lang"], k=3, candidate_pool=20, hash_fn="portable"
+    )
+    return out.orderBy(F.asc("lang"), F.desc("est"), F.asc("item"))

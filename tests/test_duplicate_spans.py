@@ -128,3 +128,89 @@ def test_strip_every_row_accounted_for(spark):
     df = T.strip_duplicate_spans(_corpus(spark, rows))
     assert df.count() == 10
     assert {r["doc_id"] for r in df.collect()} == set(range(10))
+
+
+# ---------------------------------------------------------------------------
+# max_dup_spans: variable-length maximal runs (gap-and-islands merge)
+# ---------------------------------------------------------------------------
+
+def test_max_span_merges_long_boilerplate_into_one_run(spark):
+    # 20-token shared paragraph => 13 overlapping 8-gram hits, ONE run of
+    # span_len 20 starting where the paragraph starts in each doc
+    para = " ".join(f"b{i}" for i in range(20))
+    rows = [
+        (1, para + " u1 u2 u3 u4 u5 u6 u7 u8"),
+        (2, "v1 v2 v3 " + para),
+        (3, "w1 w2 w3 w4 w5 w6 w7 w8 w9"),
+    ]
+    out = {(r["doc_id"]): r for r in T.max_dup_spans(_corpus(spark, rows)).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["span_start"] == 0 and out[1]["span_len"] == 20
+    assert out[2]["span_start"] == 3 and out[2]["span_len"] == 20
+    assert out[1]["n_grams"] == 20 - 8 + 1
+
+
+def test_max_span_separate_runs_when_gap_exceeds_n(spark):
+    # two shared 8-gram passages separated by >8 unique tokens => 2 runs
+    p1 = " ".join(f"a{i}" for i in range(8))
+    p2 = " ".join(f"z{i}" for i in range(8))
+    gap = " ".join(f"g{i}" for i in range(10))
+    rows = [(1, p1 + " " + gap + " " + p2), (2, p1 + " other filler " + p2 + " qq rr ss tt uu vv ww xx yy zz")]
+    spans1 = sorted(
+        (r["span_start"], r["span_len"])
+        for r in T.max_dup_spans(_corpus(spark, rows)).collect()
+        if r["doc_id"] == 1
+    )
+    assert spans1 == [(0, 8), (18, 8)]
+
+
+def test_max_span_abutting_grams_merge(spark):
+    # dup positions exactly n apart abut (contiguous coverage) => one run
+    # of length 2n; construct via two shared 8-grams placed back-to-back
+    # in doc 1 but separated in docs 2/3 (so only the two grams are dup,
+    # not the bridging windows)
+    p1 = " ".join(f"a{i}" for i in range(8))
+    p2 = " ".join(f"z{i}" for i in range(8))
+    rows = [
+        (1, p1 + " " + p2),
+        (2, p1 + " " + " ".join(f"m{i}" for i in range(9))),
+        (3, " ".join(f"k{i}" for i in range(9)) + " " + p2),
+    ]
+    spans1 = [
+        (r["span_start"], r["span_len"], r["n_grams"])
+        for r in T.max_dup_spans(_corpus(spark, rows)).collect()
+        if r["doc_id"] == 1
+    ]
+    assert spans1 == [(0, 16, 2)]
+
+
+def test_max_span_runs_equal_strip_covered_ranges(spark):
+    """Invariant: the union of [span_start, span_start+span_len) equals
+    exactly the token positions strip_duplicate_spans removes."""
+    para = " ".join(f"b{i}" for i in range(14))
+    rows = [
+        (1, "u1 u2 " + para + " u3 u4 " + BOILER),
+        (2, para + " mid " + BOILER),
+        (3, "solo tokens only here nothing shared at all"),
+    ]
+    runs = T.max_dup_spans(_corpus(spark, rows)).collect()
+    covered_from_runs = {
+        (r["doc_id"], p)
+        for r in runs
+        for p in range(r["span_start"], r["span_start"] + r["span_len"])
+    }
+    stripped = T.strip_duplicate_spans(_corpus(spark, rows)).collect()
+    covered_from_strip = set()
+    for r in stripped:
+        toks = r["new_text"].split(" ") if r["new_text"] else []
+        orig = dict(rows)[r["doc_id"]]
+        otoks = orig.split(" ")
+        # reconstruct removed positions: strip keeps order, so walk both
+        kept = iter(toks)
+        k = next(kept, None)
+        for i, t in enumerate(otoks):
+            if k is not None and t == k:
+                k = next(kept, None)
+            else:
+                covered_from_strip.add((r["doc_id"], i))
+    assert covered_from_runs == covered_from_strip

@@ -411,6 +411,56 @@ def test_cms_weighted_build_and_distinct_probe_equivalence(spark, sf_dir):
         assert e1 == e2, hf
 
 
+def test_grouped_heavy_hitters_bounds_and_exact_head(spark):
+    """grouped_heavy_hitters: (1) every reported estimate >= the true
+    in-group count and every absent candidate reports nothing (CMS
+    one-sided error, per group); (2) on a planted Zipfian corpus with a
+    wide sketch the per-group top-k IS the exact top-k; (3) the grouped
+    sketch has at most depth*width cells per group."""
+    from data_engineering_nd_datalake_project_4_spark.operators import sketches
+
+    rows = []
+    freqs = {"en": {"the": 40, "cat": 25, "sat": 10, "unique_en": 1},
+             "fr": {"le": 50, "chat": 20, "the": 5},
+             None: {"mix": 15, "the": 3}}
+    for g, fs in freqs.items():
+        for tok, c in fs.items():
+            rows += [(g, tok)] * c
+    df = spark.createDataFrame(rows, "lang string, token string")
+    for hf in ("xxhash64", "portable"):
+        out = sketches.grouped_heavy_hitters(
+            df, "token", ["lang"], k=3, candidate_pool=8, hash_fn=hf
+        ).collect()
+        got = {}
+        for r in out:
+            got.setdefault(r["lang"], []).append((r["item"], r["est"]))
+        for g, items in got.items():
+            for tok, est in items:
+                assert est >= freqs[g].get(tok, 0), (hf, g, tok)
+        # wide sketch, tiny vocab: no collisions -> exact head per group
+        assert [t for t, _ in got["en"]] == ["the", "cat", "sat"], hf
+        assert [t for t, _ in got["fr"]] == ["le", "chat", "the"], hf
+        assert got[None][0] == ("mix", 15), hf
+        # absent-from-group candidates must not appear
+        assert all(t != "le" for t, _ in got["en"]), hf
+    cms = sketches.build_cms(df, "token", group_cols=["lang"])
+    per_group = {r["lang"]: r["c"] for r in
+                 cms.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert all(c <= 5 * 2048 for c in per_group.values())
+
+
+def test_grouped_heavy_hitters_validation(spark):
+    import pytest as _pytest
+
+    from data_engineering_nd_datalake_project_4_spark.operators import sketches
+
+    df = spark.createDataFrame([("a", "x")], "g string, v string")
+    with _pytest.raises(ValueError, match="candidate_pool"):
+        sketches.grouped_heavy_hitters(df, "v", ["g"], k=5, candidate_pool=3)
+    with _pytest.raises(ValueError, match="group_cols"):
+        sketches.grouped_heavy_hitters(df, "v", [], k=1, candidate_pool=2)
+
+
 def test_int8_quantization_preserves_cosine(spark, sf_dir, tmp_path):
     """int8-quantized embeddings: codes bounded to [-127,127], cosine of
     the dequantized vector vs the original >= 0.999, and the quantized
