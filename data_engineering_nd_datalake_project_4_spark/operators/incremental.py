@@ -147,7 +147,13 @@ def incremental_dedup(
         .collect()
     ]
     try:
-        store = spark.read.parquet(store_path)
+        # explicit schema (the probe needs only fp + the partition column):
+        # a store built from an EMPTY corpus is a valid directory with zero
+        # data files (partitionBy writes no part files for no rows), where
+        # schema inference would fail UNABLE_TO_INFER_SCHEMA — with the
+        # declared schema it reads as the correct empty frame (empty soak).
+        # fp is always xxhash64 -> LONG; fp_bucket is _bucket -> INT.
+        store = spark.read.schema("fp LONG, fp_bucket INT").parquet(store_path)
     except AnalysisException as e:
         # ONLY a missing store means "first batch" — a corrupt footer,
         # permission error or transient storage failure must propagate,

@@ -324,6 +324,12 @@ def kmeans(
     )
     init = rows.orderBy("id").limit(k).collect()
     centroids = [list(r["v"]) for r in init]
+    if not centroids:
+        # empty training input (a cold-start feed, an empty partition):
+        # no model to fit — empty assignments with the contract schema,
+        # empty centroid list. Found by the `empty` soak variant (the
+        # k=0 literal array otherwise fails analysis as NULL-typed).
+        return rows.select("id", F.lit(0).cast("int").alias("cluster")), []
 
     assignments = None
     for _ in range(iters):
@@ -586,7 +592,10 @@ def pq_train(
     k-means passes — each iteration's only shuffle is the tiny centroid
     recompute. dim must divide evenly by ``m``.
     """
-    dim = len(df.select(as_double_array(F.col(vec_col)).alias("v")).first()["v"])
+    probe = df.select(as_double_array(F.col(vec_col)).alias("v")).first()
+    if probe is None:
+        return []  # empty training input: no codebooks (empty soak)
+    dim = len(probe["v"])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     sub = dim // m
@@ -617,6 +626,10 @@ def pq_encode(
     lowest index (array_position finds the first match), matching
     :func:`kmeans` assignment.
     """
+    if not codebooks:
+        # empty model (trained on zero vectors): typed empty-code column so
+        # downstream schemas hold — meaningful only when df is empty too
+        return df.withColumn(out_col, F.expr("CAST(array() AS ARRAY<INT>)"))
     m, sub = len(codebooks), len(codebooks[0][0])
     v = as_double_array(F.col(vec_col))
     codes = []
@@ -659,6 +672,8 @@ def pq_adc_topk(
     """
     from data_engineering_nd_datalake_project_4_spark.operators import ensure_map_parallelism
 
+    if not codebooks:
+        return _empty_adc_frame(codes_df, queries, id_col, query_id_col)
     m = len(codebooks)
     sub = len(codebooks[0][0])
     qrows = queries.select(
@@ -670,6 +685,8 @@ def pq_adc_topk(
             f"{len(qrows)} queries > max_queries={max_queries}: ADC folds one "
             "m*k LUT per query into the plan — chunk the probe set"
         )
+    if not qrows:
+        return _empty_adc_frame(codes_df, queries, id_col, query_id_col)
     qlits = []
     for r in qrows:
         luts = []
@@ -715,6 +732,22 @@ def pq_adc_topk(
     )
 
 
+def _empty_adc_frame(codes_df: DataFrame, queries: DataFrame, id_col: str, query_id_col: str) -> DataFrame:
+    """Typed empty (query_id, neighbor_id, adc_dist) result — the ADC
+    answer when the model or the probe set is empty (empty soak: a
+    cold-start corpus has neither codebooks nor queries to fold)."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("query_id", queries.schema[query_id_col].dataType),
+            StructField("neighbor_id", codes_df.schema[id_col].dataType),
+            StructField("adc_dist", DoubleType()),
+        ]
+    )
+    return codes_df.sparkSession.createDataFrame([], schema)
+
+
 def _coarse_assign(v: Column, coarse: list[list[float]]) -> Column:
     """Argmin-squared-L2 coarse cell id as a map-side literal expression
     (same argmin/tie-break as :func:`kmeans` assignment)."""
@@ -742,6 +775,8 @@ def ivfpq_train(
     coarse k-means + one per-subspace k-means pass over residuals.
     """
     _, coarse = kmeans(df, id_col, vec_col, k=nlist, iters=iters)
+    if not coarse:
+        return [], []  # empty training input: no model (empty soak)
     v = as_double_array(F.col(vec_col))
     cell = _coarse_assign(v, coarse)
     clit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in coarse])
@@ -766,6 +801,12 @@ def ivfpq_encode(
     map-side: both codebook levels fold into the plan as literals — no
     shuffle, no UDF, no model broadcast. Output columns: ``ivf_cell int,
     pq_codes array<int>`` appended to the input."""
+    if not coarse:
+        # empty model: typed pass-through columns so downstream schemas
+        # hold — meaningful only when df is empty too (empty soak)
+        return df.withColumn("ivf_cell", F.lit(None).cast("int")).withColumn(
+            "pq_codes", F.expr("CAST(array() AS ARRAY<INT>)")
+        )
     v = as_double_array(F.col(vec_col))
     cell = _coarse_assign(v, coarse)
     clit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in coarse])
@@ -801,6 +842,8 @@ def ivfpq_adc_topk(
     centroids (model state, not data). Output: ``query_id, neighbor_id,
     adc_dist``.
     """
+    if not coarse or not codebooks:
+        return _empty_adc_frame(codes_df, queries, id_col, query_id_col)
     nlist = len(coarse)
     if nprobe > nlist:
         raise ValueError(f"nprobe {nprobe} > nlist {nlist}")
@@ -815,6 +858,8 @@ def ivfpq_adc_topk(
             f"{len(qrows)} queries > max_queries={max_queries}: IVFADC builds "
             "one LUT per (query, probed cell) on the driver — chunk the probe set"
         )
+    if not qrows:
+        return _empty_adc_frame(codes_df, queries, id_col, query_id_col)
     probe_rows = []
     for r in qrows:
         q = list(r["v"])

@@ -828,7 +828,8 @@ def q32(spark, sf_dir):
     "q33_exact_dedup",
     """SELECT COUNT(*) AS n_rows,
               COUNT(DISTINCT text)
-                + MAX(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS n_unique_texts,
+                + COALESCE(MAX(CASE WHEN text IS NULL THEN 1 ELSE 0 END), 0)
+                AS n_unique_texts,
               COUNT(DISTINCT (lang, source)) AS n_lang_source
        FROM documents""",
     "exact dedup cardinalities; n_unique_texts counts DISTINCT xxhash64(text) "
@@ -839,7 +840,8 @@ def q32(spark, sf_dir):
     "class — the oracle adds the NULL class explicitly since COUNT(DISTINCT) "
     "skips it; n_lang_source uses a STRUCT distinct so (NULL, src) tuples "
     "count like DuckDB ROW values (bare multi-col countDistinct drops any-null "
-    "rows)",
+    "rows); the NULL-class MAX is COALESCEd so zero-row input yields 0, not "
+    "NULL (empty soak)",
 )
 def q33_exact_dedup(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
@@ -1405,9 +1407,17 @@ def q45_approx_distinct(spark, sf_dir):
     est = sketches.hll_estimate(
         sketches.hll_registers(tagged, "k", group_cols=["tag"]), group_cols=["tag"]
     )
+    # COALESCE 0.0: on zero-row input the tag groups don't exist, so the
+    # pivot sees no rows — but an HLL over the empty set estimates 0 (all
+    # registers zero -> linear counting m*ln(m/m) = 0), which is what the
+    # oracle's arithmetic yields. Found by the `empty` soak variant.
     return est.groupBy().agg(
-        F.max(F.when(F.col("tag") == "part", F.col("est"))).alias("n_part_approx"),
-        F.max(F.when(F.col("tag") == "supp", F.col("est"))).alias("n_supp_approx"),
+        F.coalesce(
+            F.max(F.when(F.col("tag") == "part", F.col("est"))), F.lit(0.0)
+        ).alias("n_part_approx"),
+        F.coalesce(
+            F.max(F.when(F.col("tag") == "supp", F.col("est"))), F.lit(0.0)
+        ).alias("n_supp_approx"),
     )
 
 
@@ -1618,16 +1628,26 @@ def q53_json_map(spark, sf_dir):
        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
        ORDER BY flag_g, status_g""",
     "SQL GROUPING SETS through the spark.sql surface (catalog temp views, "
-    "reference R19/R20: /root/reference/etl.py:132-134)",
+    "reference R19/R20: /root/reference/etl.py:132-134). The () set is a "
+    "separate UNION ALL'd global aggregate: SQL:1999 says it yields one row "
+    "even over empty input, but Spark's Expand-based grouping sets drops it "
+    "(the `empty` soak variant caught the divergence) — a bare global agg "
+    "always emits its row, and on non-empty input the two forms are "
+    "identical (it also shrinks the Expand fan-out from 3x to 2x per row)",
 )
 def q54_grouping_sets(spark, sf_dir):
     _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q54")
     return spark.sql(
         """SELECT COALESCE(l_returnflag, 'ALL') AS flag_g,
                   COALESCE(l_linestatus, 'ALL') AS status_g,
-                  COUNT(*) AS cnt
-           FROM lineitem_q54
-           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+                  cnt
+           FROM (
+             SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+             FROM lineitem_q54
+             GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+             UNION ALL
+             SELECT NULL, NULL, COUNT(*) FROM lineitem_q54
+           )
            ORDER BY flag_g, status_g"""
     )
 
@@ -1752,15 +1772,24 @@ def q59_grouping_fn(spark, sf_dir):
     r = _t(spark, sf_dir, "region")
     n = _t(spark, sf_dir, "nation")
     j = n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
-    # grouping() is only resolvable inside the rollup's own agg projection
-    out = j.rollup("r_name", "n_name").agg(
-        F.grouping("r_name").alias("__gr"),
-        F.grouping("n_name").alias("__gn"),
-        F.count(F.lit(1)).alias("cnt"),
+    # grouping() can't resolve in the operator's empty-input fallback branch
+    # (it only exists inside a grouping-analytics aggregate) — keep
+    # grouping_id instead and read the per-key flags off its bits
+    # (MSB-first: bit 2 = r_name, bit 1 = n_name), which is exactly what
+    # GROUPING() is defined as.
+    out = aggregates.rollup(
+        j,
+        ["r_name", "n_name"],
+        [F.count(F.lit(1)).alias("cnt")],
+        keep_grouping_id="__gid",
     )
     return out.select(
-        F.when(F.col("__gr") == 1, "<total>").otherwise(F.col("r_name")).alias("r_g"),
-        F.when(F.col("__gn") == 1, "<subtotal>").otherwise(F.col("n_name")).alias("n_g"),
+        F.when(F.col("__gid").bitwiseAND(2) != 0, "<total>")
+        .otherwise(F.col("r_name"))
+        .alias("r_g"),
+        F.when(F.col("__gid").bitwiseAND(1) != 0, "<subtotal>")
+        .otherwise(F.col("n_name"))
+        .alias("n_g"),
         "cnt",
     ).orderBy("r_g", "n_g")
 
@@ -4730,18 +4759,23 @@ def q138_epoch_shuffle(spark, sf_dir):
                              (((((d.doc_id % 2147483648 + e.salt) % 2147483648)
                                  * 2654435761) % 2147483648)
                                * 2246822519 + e.salt) % 2147483648 AS skey
-                      FROM documents d CROSS JOIN epochs e)
-       SELECT epoch, COUNT(*) AS n_docs,
-              CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-       FROM keyed WHERE skey < 536870912
-       GROUP BY epoch ORDER BY epoch""",
+                      FROM documents d CROSS JOIN epochs e),
+            agg AS (SELECT epoch, COUNT(*) AS n_docs,
+                           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+                    FROM keyed WHERE skey < 536870912
+                    GROUP BY epoch)
+       SELECT e.epoch, COALESCE(a.n_docs, 0) AS n_docs, a.sum_chars
+       FROM epochs e LEFT JOIN agg a ON e.epoch = a.epoch
+       ORDER BY e.epoch""",
     "per-epoch without-replacement subsampling (seed 42, fraction 0.25, "
     "epochs 0-3): keep docs whose epoch shuffle key falls below 0.25 of "
     "the key space — a map-side filter with zero shuffle and no sample() "
     "RNG state, deterministic per (seed, epoch) so an epoch replays "
     "byte-identically, re-seeded per epoch so the subsets decorrelate. "
     "The oracle re-derives every epoch's key from the same portable "
-    "multiply-mod arithmetic",
+    "multiply-mod arithmetic, LEFT JOINed from an epochs relation so an "
+    "epoch that samples zero rows still reports (epoch, 0, NULL) exactly "
+    "like Spark's per-epoch global aggregates (empty soak)",
 )
 def q139_epoch_sample(spark, sf_dir):
     from data_engineering_nd_datalake_project_4_spark.operators import packing

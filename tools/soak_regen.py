@@ -57,6 +57,16 @@ to stay green on each:
   oracle must agree on the degenerate geometry, not just the generator's
   well-conditioned gaussians.
 
+- ``empty`` : every table sliced to ZERO rows (schema preserved). Not a
+  regen shape — an operations shape: at 100 TB a day's partition, a
+  filtered slice, or a cold-start feed is routinely empty, and the
+  pipeline must return empty results (with the contract schema), not
+  crash. This is where ANSI divide-by-zero on global aggregates,
+  driver-side model fitting over zero vectors (k-means/IVF/PQ sampling),
+  ``first()``-of-nothing stats, and empty-fan-out guards all live. Both
+  engines must agree on the empty-input answer of every contract query.
+  Opt-in by name in the default sweep (it IS in the default list).
+
 Usage: ``python tools/soak_regen.py [variant ...]`` (default: all).
 Exit code = number of failing (variant, query) pairs.
 """
@@ -147,7 +157,10 @@ def build_variant(name: str, out_dir: Path) -> None:
     for t in TABLES:
         src = SF_SRC / f"{t}.parquet"
         dst = out_dir / f"{t}.parquet"
-        if name in ("ts_micros", "ts_nanos") and t == "events":
+        if name == "empty":
+            # schema-preserving zero-row slice: the ops-reality variant
+            pq.write_table(pq.read_table(src).slice(0, 0), dst)
+        elif name in ("ts_micros", "ts_nanos") and t == "events":
             tbl = pq.read_table(src)
             unit = "us" if name == "ts_micros" else "ns"
             i = tbl.schema.get_field_index("ts")
@@ -275,7 +288,7 @@ def main(argv: list[str]) -> int:
 
     variants = argv or [
         "ts_micros", "ts_nanos", "half2", "half4", "rowshuffle", "advtext",
-        "advembed", "date32", "int32", "nulls",
+        "advembed", "date32", "int32", "nulls", "empty",
     ]
     spark = get_spark(app_name="soak-regen", shuffle_partitions=16)
     total_fail = 0
