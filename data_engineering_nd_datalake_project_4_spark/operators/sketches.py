@@ -150,14 +150,41 @@ def build_cms(
     )
 
 
-def merge_cms(a: DataFrame, b: DataFrame) -> DataFrame:
-    """Merge two sketches built with the same (width, depth): cell-wise
-    addition — the property that makes CMS distributable (per-partition /
-    per-day sketches combine without touching row data)."""
+def merge_cms(a: DataFrame, b: DataFrame | None = None, group_cols: Sequence[str] = ()) -> DataFrame:
+    """Merge sketches built with the same (width, depth, hash_fn):
+    cell-wise addition — the property that makes CMS distributable
+    (per-partition / per-day sketches combine without touching row data).
+
+    ``group_cols`` names the OUTPUT group keys: sketch rows carrying
+    finer keys (e.g. built per ``(domain, day)``) merge UP to the coarser
+    grouping (``domain``) by dropping the finer column from the list —
+    the incremental-state pattern: keep daily sketch tables, answer
+    any-period questions by re-summing kilobytes of cells, never
+    rescanning the raw data. With ``b=None`` the single input (already a
+    union of states, or finer-keyed) is just re-aggregated."""
+    u = a if b is None else a.unionByName(b)
     return (
-        a.unionByName(b)
-        .groupBy("row", "bucket")
+        u.groupBy(*list(group_cols), "row", "bucket")
         .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def hll_merge(registers: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
+    """Merge :func:`hll_registers` states: register-wise MAX — the HLL
+    merge theorem (max of per-shard registers == registers of the union),
+    so the merged estimate is EXACTLY the estimate a direct build over
+    the union would produce, bit-for-bit (no approximation is added by
+    merging; the oracle twin exploits this).
+
+    ``group_cols`` names the OUTPUT group keys, as in :func:`merge_cms`:
+    states built per ``(event_type, day)`` merge up to ``event_type`` by
+    MAX over the dropped ``day``. State moved is ≤ 2^p rows per input
+    group — at 100 TB the merge is a kilobyte-scale shuffle, independent
+    of corpus size. Pass the union of several stored state tables (or
+    one finer-keyed table) as ``registers``."""
+    return (
+        registers.groupBy(*list(group_cols), "bucket")
+        .agg(F.max("reg").alias("reg"))
     )
 
 

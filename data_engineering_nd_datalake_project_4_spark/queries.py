@@ -6055,3 +6055,48 @@ def q167_grouped_heavy_hitters(spark, sf_dir):
         tok, "token", ["lang"], k=3, candidate_pool=20, hash_fn="portable"
     )
     return out.orderBy(F.asc("lang"), F.desc("est"), F.asc("item"))
+
+
+@q(
+    "q168_sketch_state_rollup",
+    """WITH h AS (SELECT event_type,
+                CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+              FROM events WHERE user_id IS NOT NULL),
+       r AS (SELECT event_type, h % 4096 AS bucket,
+                MAX(CASE WHEN (h >> 12) = 0 THEN 49
+                    ELSE bit_count(((h >> 12) & (-(h >> 12))) - 1) + 1 END) AS reg
+             FROM h GROUP BY event_type, bucket),
+       a AS (SELECT event_type, COUNT(*) AS n,
+                CAST(COALESCE(SUM(CAST(1 AS BIGINT) << (49 - reg)), 0)
+                     + (4096 - COUNT(*)) * (CAST(1 AS BIGINT) << 49) AS DOUBLE) AS zz,
+                4096 - COUNT(*) AS v
+             FROM r GROUP BY event_type)
+       SELECT event_type,
+              CASE WHEN 6.810691763087074e+21 / zz <= 10240.0 AND v > 0
+                   THEN round(4096.0 * ln(4096.0 / CAST(v AS DOUBLE)), 3)
+                   ELSE round(6.810691763087074e+21 / zz, 3) END AS est_users
+       FROM a ORDER BY event_type""",
+    "incremental sketch-state maintenance: per-(event_type, day) HLL "
+    "register states (the table you'd persist daily at 100 TB) merged UP "
+    "to per-type distinct-user estimates by register-wise MAX "
+    "(sketches.hll_merge) — answering any-period distinct questions from "
+    "kilobytes of stored state, never rescanning raw events. The HLL "
+    "merge theorem makes this EXACTLY oracle-checkable: max of daily "
+    "registers == registers of the union, so the oracle computes the "
+    "direct per-type sketch from raw rows and the estimates match "
+    "bit-for-bit (q45's portable-hash register arithmetic, grouped). "
+    "ln() in the linear-counting branch is the accepted 1-ulp class",
+)
+def q168_sketch_state_rollup(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    daily = sketches.hll_registers(
+        e.withColumn("day", F.to_date("ts")),
+        "user_id",
+        p=12,
+        group_cols=["event_type", "day"],
+    )
+    merged = sketches.hll_merge(daily, group_cols=["event_type"])
+    est = sketches.hll_estimate(merged, p=12, group_cols=["event_type"])
+    return est.select(
+        "event_type", F.col("est").alias("est_users")
+    ).orderBy("event_type")

@@ -1161,3 +1161,50 @@ class TestGlobalRankAndSortedNeighborhood:
         df = spark.createDataFrame([(1, 1)], "id long, key long")
         with _pytest.raises(ValueError, match="window"):
             sorted_neighborhood_pairs(df, ["key"], "id", window=1)
+
+
+def test_hll_merge_equals_direct_build(spark, sf_dir):
+    """HLL merge theorem, the q168 contract: register-wise MAX of
+    per-(type, day) states == registers of the direct per-type build, so
+    merged estimates are bit-identical to direct estimates — merging adds
+    zero approximation. Also: grouped merge-up and two-state union merge
+    agree."""
+    from data_engineering_nd_datalake_project_4_spark.operators import sketches
+
+    e = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    daily = sketches.hll_registers(e, "user_id", p=8, group_cols=["event_type", "day"])
+    merged = sketches.hll_merge(daily, group_cols=["event_type"])
+    direct = sketches.hll_registers(e, "user_id", p=8, group_cols=["event_type"])
+
+    mrows = {(r["event_type"], r["bucket"]): r["reg"] for r in merged.collect()}
+    drows = {(r["event_type"], r["bucket"]): r["reg"] for r in direct.collect()}
+    assert mrows == drows
+
+    est_m = {r["event_type"]: r["est"]
+             for r in sketches.hll_estimate(merged, p=8, group_cols=["event_type"]).collect()}
+    est_d = {r["event_type"]: r["est"]
+             for r in sketches.hll_estimate(direct, p=8, group_cols=["event_type"]).collect()}
+    assert est_m == est_d
+
+    # two stored state tables unioned then merged == direct over the union
+    d1 = sketches.hll_registers(e.filter(F.col("event_id") % 2 == 0), "user_id", p=8)
+    d2 = sketches.hll_registers(e.filter(F.col("event_id") % 2 == 1), "user_id", p=8)
+    u = {r["bucket"]: r["reg"] for r in sketches.hll_merge(d1.unionByName(d2)).collect()}
+    w = {r["bucket"]: r["reg"] for r in sketches.hll_registers(e, "user_id", p=8).collect()}
+    assert u == w
+
+
+def test_cms_grouped_merge_up(spark, sf_dir):
+    """merge_cms(group_cols=): per-(lang, source) sketches re-aggregate up
+    to per-lang sketches identical to the direct grouped build (cell-wise
+    SUM commutes with the finer grouping)."""
+    from data_engineering_nd_datalake_project_4_spark.operators import sketches
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = d.select("lang", "source", F.explode(F.split("text", " ")).alias("token"))
+    fine = sketches.build_cms(tok, "token", width=512, depth=3, group_cols=["lang", "source"])
+    up = sketches.merge_cms(fine.drop("source"), group_cols=["lang"])
+    direct = sketches.build_cms(tok, "token", width=512, depth=3, group_cols=["lang"])
+    urows = {(r["lang"], r["row"], r["bucket"]): r["cnt"] for r in up.collect()}
+    drows = {(r["lang"], r["row"], r["bucket"]): r["cnt"] for r in direct.collect()}
+    assert urows == drows
