@@ -845,8 +845,11 @@ def ivfpq_adc_topk(
     if not coarse or not codebooks:
         return _empty_adc_frame(codes_df, queries, id_col, query_id_col)
     nlist = len(coarse)
-    if nprobe > nlist:
-        raise ValueError(f"nprobe {nprobe} > nlist {nlist}")
+    # FAISS semantics: nprobe is clamped to nlist (probe everything). The
+    # trained model can legitimately have fewer cells than the configured
+    # nprobe when the corpus is tiny (k-means returns <= n_rows centroids
+    # — the onerow soak shape); raising would make a valid index unusable.
+    nprobe = min(nprobe, nlist)
     m = len(codebooks)
     sub = len(codebooks[0][0])
     qrows = queries.select(

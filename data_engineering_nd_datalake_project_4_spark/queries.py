@@ -1673,10 +1673,14 @@ def q55_pivot(spark, sf_dir):
             F.sum(dec("l_quantity")).cast("double").alias("qty"),
         )
     )
+    # COALESCE the count cells: a pivot value class with zero rows is a
+    # NULL cell in Spark's pivot, but COUNT(*) FILTER is 0 in SQL — the
+    # onerow soak (single linestatus surviving) exposed the divergence.
+    # The SUM cells stay NULL on both sides (SUM over nothing is NULL).
     return p.select(
         "l_returnflag",
-        F.col("F_status").alias("status_F"),
-        F.col("O_status").alias("status_O"),
+        F.coalesce(F.col("F_status"), F.lit(0).cast("long")).alias("status_F"),
+        F.coalesce(F.col("O_status"), F.lit(0).cast("long")).alias("status_O"),
         F.col("F_qty").alias("qty_F"),
         F.col("O_qty").alias("qty_O"),
     ).orderBy("l_returnflag")

@@ -207,7 +207,10 @@ class TestIvfPq:
         # the ~0.02 chance level on PQ-worst-case uniform vectors
         assert sum(recalls) / len(recalls) >= 0.15, recalls
 
-    def test_nprobe_validation(self, emb, model):
+    def test_nprobe_clamps_to_nlist(self, emb, model):
+        # FAISS semantics: nprobe > nlist probes every cell — identical to
+        # nprobe=nlist, never an error (a tiny corpus can train fewer
+        # cells than the configured nprobe; the onerow soak shape)
         from data_engineering_nd_datalake_project_4_spark.operators.similarity import (
             ivfpq_adc_topk,
             ivfpq_encode,
@@ -215,5 +218,10 @@ class TestIvfPq:
 
         coarse, cbs = model
         codes = ivfpq_encode(emb, coarse, cbs)
-        with pytest.raises(ValueError, match="nprobe"):
-            ivfpq_adc_topk(codes, emb.limit(1), coarse, cbs, nprobe=99)
+        q = emb.limit(3)
+        clamped = ivfpq_adc_topk(codes, q, coarse, cbs, k=5, nprobe=99)
+        full = ivfpq_adc_topk(codes, q, coarse, cbs, k=5, nprobe=len(coarse))
+        rows = lambda df: sorted(  # noqa: E731
+            (r["query_id"], r["neighbor_id"], r["adc_dist"]) for r in df.collect()
+        )
+        assert rows(clamped) == rows(full)

@@ -67,6 +67,13 @@ to stay green on each:
   engines must agree on the empty-input answer of every contract query.
   Opt-in by name in the default sweep (it IS in the default list).
 
+- ``onerow`` : every table sliced to its FIRST row. The other degenerate
+  ops shape: single-element groups/windows (percentile interpolation on
+  one value, stddev of one sample -> NULL, lag/lead all-NULL), model fits
+  over one vector (k < n_rows), and — because each table keeps only its
+  own first row — broken referential integrity (joins that match nothing
+  must agree as empties/NULL-completions, not diverge).
+
 Usage: ``python tools/soak_regen.py [variant ...]`` (default: all).
 Exit code = number of failing (variant, query) pairs.
 """
@@ -157,9 +164,10 @@ def build_variant(name: str, out_dir: Path) -> None:
     for t in TABLES:
         src = SF_SRC / f"{t}.parquet"
         dst = out_dir / f"{t}.parquet"
-        if name == "empty":
-            # schema-preserving zero-row slice: the ops-reality variant
-            pq.write_table(pq.read_table(src).slice(0, 0), dst)
+        if name in ("empty", "onerow"):
+            # schema-preserving degenerate slices: the ops-reality variants
+            n = 0 if name == "empty" else 1
+            pq.write_table(pq.read_table(src).slice(0, n), dst)
         elif name in ("ts_micros", "ts_nanos") and t == "events":
             tbl = pq.read_table(src)
             unit = "us" if name == "ts_micros" else "ns"
@@ -288,7 +296,7 @@ def main(argv: list[str]) -> int:
 
     variants = argv or [
         "ts_micros", "ts_nanos", "half2", "half4", "rowshuffle", "advtext",
-        "advembed", "date32", "int32", "nulls", "empty",
+        "advembed", "date32", "int32", "nulls", "empty", "onerow",
     ]
     spark = get_spark(app_name="soak-regen", shuffle_partitions=16)
     total_fail = 0
