@@ -303,3 +303,53 @@ def run_cdc_upsert_stream(
         out.write.mode("overwrite").parquet(f"{snapshot_root}/v{int(batch_id)}")
 
     run_foreach_batch(stream_changes, batch_fn, checkpoint, query_name)
+
+
+def run_sketch_state_stream(
+    stream_df: DataFrame,
+    snapshot_root: str,
+    col: str,
+    checkpoint: str,
+    p: int = 12,
+    group_cols=(),
+    query_name: str = "hll_state",
+) -> None:
+    """Streaming distinct-count state maintenance — the streaming face of
+    the q168 sketch-state rollup: each micro-batch builds
+    ``hll_registers`` over its own rows and MAX-merges them into a
+    versioned on-disk register table (the :func:`run_cdc_upsert_stream`
+    crash-safety scheme: versions keyed by ``batch_id``, a half-written
+    version has no ``_SUCCESS`` and is never read, and reading "latest
+    COMMITTED version below my batch id" means a replay never consumes
+    its own failed output).
+
+    Register MAX-merge is idempotent AND commutative, which buys a
+    STRONGER guarantee than the CDC sink needs sequence columns for: a
+    replayed or duplicated batch merges to the identical state
+    (``max(a, a) = a``), so at-least-once delivery converges to the exact
+    union registers — no dedup, no ordering requirements. Any committed
+    version answers distinct-count questions via
+    ``sketches.hll_estimate`` (and the estimate equals a from-scratch
+    batch build over everything consumed so far, by the merge theorem).
+
+    Scale shape: per batch the state moved is the batch's own registers
+    plus the latest snapshot — each bounded by ≤ 2^p rows PER GROUP —
+    never raw history; the snapshot is the entire state whatever the
+    stream's lifetime. Old versions are retention garbage for an
+    external vacuum, exactly like the CDC sink's.
+    """
+    from data_engineering_nd_datalake_project_4_spark.operators.sketches import hll_merge, hll_registers
+
+    gcols = list(group_cols)
+
+    def batch_fn(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        regs = hll_registers(batch_df, col, p=p, group_cols=gcols)
+        base_ver = latest_snapshot_version(snapshot_root, before=int(batch_id))
+        if base_ver is not None:
+            regs = spark.read.parquet(f"{snapshot_root}/v{base_ver}").unionByName(regs)
+        hll_merge(regs, group_cols=gcols).write.mode("overwrite").parquet(
+            f"{snapshot_root}/v{int(batch_id)}"
+        )
+
+    run_foreach_batch(stream_df, batch_fn, checkpoint, query_name)
