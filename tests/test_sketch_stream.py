@@ -65,3 +65,25 @@ def test_at_least_once_merge_is_idempotent(spark, sf_dir):
     regs = hll_registers(df, "uid", p=8, group_cols=["typ"])
     once = hll_merge(regs.unionByName(regs), group_cols=["typ"])
     assert _regs(once) == _regs(regs)
+
+
+def test_empty_first_batch_cold_start(spark, tmp_path_factory):
+    """An empty cold-start feed writes a valid (empty, schema'd) v0 state;
+    a later real batch merges onto it correctly — the empty-soak shape for
+    the streaming sink (non-partitioned writes keep a schema'd part file,
+    so the read-back never hits schema inference of nothing)."""
+    src = str(tmp_path_factory.mktemp("hll_e_src"))
+    root = str(tmp_path_factory.mktemp("hll_e_snap"))
+    chk = str(tmp_path_factory.mktemp("hll_e_chk"))
+
+    spark.createDataFrame([], SCHEMA).coalesce(1).write.parquet(src + "/b1")
+    stream = lambda: spark.readStream.schema(SCHEMA).parquet(src + "/*")  # noqa: E731
+    run_sketch_state_stream(stream(), root, "uid", chk, p=8, group_cols=["typ"], query_name="hll_t2a")
+    assert _state(spark, root).count() == 0
+
+    rows = [(i, "view") for i in range(80)]
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(src + "/b2")
+    spark.catalog.refreshByPath(src)
+    run_sketch_state_stream(stream(), root, "uid", chk, p=8, group_cols=["typ"], query_name="hll_t2b")
+    direct = hll_registers(spark.createDataFrame(rows, SCHEMA), "uid", p=8, group_cols=["typ"])
+    assert _regs(_state(spark, root)) == _regs(direct)
