@@ -72,9 +72,11 @@ HEAVY = {
     # session-3 additions: full-corpus gram explosion (2 traversals each)
     "q163_dsir_weights": REGISTRY["q163_dsir_weights"].spark_fn,
     "q164_corpus_drift": REGISTRY["q164_corpus_drift"].spark_fn,
-    # round-7 additions: gap-island span merge; per-group CMS probe
+    # round-7 additions: gap-island span merge; per-group CMS probe;
+    # daily->type HLL state merge (state-bounded whatever the row count)
     "q166_max_dup_spans": REGISTRY["q166_max_dup_spans"].spark_fn,
     "q167_grouped_heavy_hitters": REGISTRY["q167_grouped_heavy_hitters"].spark_fn,
+    "q168_sketch_state_rollup": REGISTRY["q168_sketch_state_rollup"].spark_fn,
 }
 
 
