@@ -106,3 +106,37 @@ def shuffle_count(df: DataFrame) -> int:
     for every operator is 'as few as the semantics require'."""
     plan = explain_str(df, "simple")
     return plan.count("Exchange hashpartitioning") + plan.count("Exchange rangepartitioning")
+
+
+def global_window_sites(df: DataFrame) -> list[str]:
+    """Unpartitioned Window nodes over an UNBOUNDED input — the q160 class
+    of scale bug: ``Window.orderBy(...)`` without ``partitionBy`` funnels
+    every input row through ONE task, which is invisible at test SF and
+    fatal at 100 TB.
+
+    Walks the optimized logical plan (py4j); a Window with an empty
+    partitionSpec is flagged unless its subtree contains a Limit — the
+    sanctioned limit-then-rank idiom (top-k via TakeOrderedAndProject
+    FIRST, then the rank window over <= k rows; see bm25_topk and q160)
+    always has a GlobalLimit/LocalLimit below the window.
+
+    Returns one short description per offending node (empty = clean).
+    """
+    sites: list[str] = []
+    stack = [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        node = stack.pop()
+        if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
+            sub, bounded = [node], False
+            while sub:
+                m = sub.pop()
+                if m.nodeName() in ("GlobalLimit", "LocalLimit", "Limit"):
+                    bounded = True
+                    break
+                for i in range(m.children().size()):
+                    sub.append(m.children().apply(i))
+            if not bounded:
+                sites.append(node.simpleString(120))
+        for i in range(node.children().size()):
+            stack.append(node.children().apply(i))
+    return sites

@@ -5727,8 +5727,9 @@ def q159_asof_forward_tolerance(spark, sf_dir):
     "decimal scores -> exact ranks) fused with embedding-cosine top-50 "
     "for query doc 0 (ranks on ROUND(sim,6), the q88 collapse idiom); "
     "rrf = fixed-order chained 1/(60+rk) terms — every term one exact "
-    "IEEE division, bit-identical cross-engine. The semantic rank window "
-    "is global but over an already-bounded candidate set",
+    "IEEE division, bit-identical cross-engine. Both rank windows follow "
+    "the limit-then-rank idiom: top-k via TakeOrderedAndProject first, "
+    "so the unpartitioned window only ever sees <= k rows",
 )
 def q160_hybrid_rrf(spark, sf_dir):
     from data_engineering_nd_datalake_project_4_spark.functions import cosine_similarity
@@ -5751,12 +5752,21 @@ def q160_hybrid_rrf(spark, sf_dir):
             cosine_similarity(F.col("__q"), F.col("embedding")).alias("sim"),
         )
     )
-    wsem = Window.orderBy(F.desc_nulls_last(F.round("sim", 6)), F.asc("doc_id"))
-    sem = (
-        scored.withColumn("rk", F.row_number().over(wsem))
-        .filter(F.col("rk") <= 50)
-        .select("doc_id", "rk")
+    # top-k FIRST via sort+limit (TakeOrderedAndProject — per-partition
+    # heaps), THEN the rank window over <= 50 rows: the BM25 idiom
+    # (operators/text.py bm25_topk). Ranking key ROUND(sim,6) + doc_id is
+    # total, so limit-then-rank returns the identical row set as the old
+    # global window — but never serializes all N scored rows through one
+    # task. Guarded repo-wide by tests/test_plans.py
+    # test_no_unbounded_global_rank_windows.
+    simr = F.round("sim", 6)
+    topsem = (
+        scored.withColumn("__simr", simr)
+        .orderBy(F.desc_nulls_last("__simr"), F.asc("doc_id"))
+        .limit(50)
     )
+    wsem = Window.orderBy(F.desc_nulls_last("__simr"), F.asc("doc_id"))
+    sem = topsem.withColumn("rk", F.row_number().over(wsem)).select("doc_id", "rk")
     fused = rrf_fuse([lex, sem], id_col="doc_id", rank_col="rk", k=60)
     return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(15)
 

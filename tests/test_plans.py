@@ -375,3 +375,57 @@ def test_q155_bm25_filters_terms_before_shuffle_and_heaps_topk(spark, sf_dir):
     assert gen_idx != -1 and filt_idx != -1, plan[:2000]
 
 
+
+
+#: queries allowed an UNPARTITIONED window over a non-limit-bounded frame.
+#: Empty by policy: every global rank must either follow the
+#: limit-then-rank idiom (top-k via TakeOrderedAndProject first — the
+#: Limit below the window auto-passes the audit) or use
+#: sort.global_rank (range-repartition + broadcast offsets, no Window).
+#: Add a name here ONLY with a reason comment proving the window's input
+#: is bounded by construction (e.g. a <= k-row aggregate).
+GLOBAL_WINDOW_BY_DESIGN: set[str] = set()
+
+
+def test_no_unbounded_global_rank_windows(spark, sf_dir):
+    """The q160 class of scale bug, pinned repo-wide: a Window.orderBy
+    without partitionBy over an unbounded frame serializes every input
+    row through ONE task — correct at test SF, fatal at 100 TB. Every
+    registry query's optimized plan must have zero unpartitioned Window
+    nodes without a Limit below them (see plans.global_window_sites)."""
+    offenders = {}
+    for name, query in sorted(REGISTRY.items()):
+        if name in GLOBAL_WINDOW_BY_DESIGN:
+            continue
+        sites = plans.global_window_sites(query.spark_fn(spark, sf_dir))
+        if sites:
+            offenders[name] = sites
+    assert not offenders, f"unbounded global windows: {offenders}"
+
+
+def test_global_window_audit_catches_the_bad_plan(spark, sf_dir):
+    """Red-case: the audit itself must flag a deliberately-global rank
+    window (else the guard is theater). A limit-bounded rank and a
+    partitioned rank must both pass."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    bad = li.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("l_quantity")))
+    )
+    assert plans.global_window_sites(bad), "audit missed a global window"
+
+    good_limit = (
+        li.orderBy(F.desc("l_quantity"))
+        .limit(10)
+        .withColumn("rk", F.row_number().over(Window.orderBy(F.desc("l_quantity"))))
+    )
+    assert not plans.global_window_sites(good_limit)
+
+    good_part = li.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("l_returnflag").orderBy(F.desc("l_quantity"))
+        ),
+    )
+    assert not plans.global_window_sites(good_part)
