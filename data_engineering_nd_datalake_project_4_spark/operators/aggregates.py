@@ -55,7 +55,29 @@ def _with_standard_grand_total(
     resolve inside a grouping-analytics aggregate, not in the empty-input
     fallback) — pass ``keep_grouping_id`` and derive the flags from its
     bits instead (bit i, MSB-first over ``keys``, is ``grouping(keys[i])``).
+
+    Raises ``ValueError`` on name collisions the repair would otherwise
+    corrupt silently: an agg alias equal to a grouping key (the fallback's
+    ``withColumn(k, NULL)`` would overwrite the aggregate), or any column
+    named ``__gid``/``__synth`` (reserved for the repair plumbing).
     """
+    agg_names = set(df.limit(0).groupBy().agg(*aggs).columns)
+    reserved = {_GID, _SYNTH}
+    clashes = sorted(agg_names & set(keys))
+    if clashes:
+        raise ValueError(
+            f"agg alias(es) {clashes} collide with grouping key name(s): the "
+            "empty-input grand-total repair would overwrite them with NULL — "
+            "alias the aggregate(s) differently"
+        )
+    # keep_grouping_id == _GID is a no-op rename of the exposed column —
+    # legal; only _SYNTH (never exposed) is reserved against it
+    taken = sorted(
+        ((agg_names | set(df.columns)) & reserved)
+        | ({keep_grouping_id} & {_SYNTH} if keep_grouping_id else set())
+    )
+    if taken:
+        raise ValueError(f"column name(s) {taken} are reserved by the grand-total repair")
     out = grouped_data.agg(*aggs, F.grouping_id().alias(_GID))
     maxgid = (1 << len(keys)) - 1
     rest = out.where(F.col(_GID) != maxgid)

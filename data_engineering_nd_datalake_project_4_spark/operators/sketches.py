@@ -108,8 +108,16 @@ def build_cms(
     aggregate straight into the ≤ depth·width cells per group, so the
     shuffle stays bounded by sketch state whatever the value
     cardinality. The hashing price is one string hash per INSTANCE
-    (still 1, not depth — the universal reseeds are arithmetic)."""
+    (still 1, not depth — the universal reseeds are arithmetic).
+
+    NULL contract: NULL values are DROPPED in both hash families. Before
+    this filter the families disagreed silently (portable: md5(NULL) →
+    NULL array, posexplode emits nothing; xxhash64: NULL hashes to the
+    seed and was counted) — a nullable column got family-dependent
+    totals. Sketch the NULL class explicitly via COALESCE to a sentinel
+    if it matters."""
     gcols = list(group_cols)
+    df = df.filter(F.col(col).isNotNull())
     if weight_col is not None:
         counts = df.select(
             *gcols, F.col(col).alias("__v"), F.col(weight_col).cast("long").alias("__n")

@@ -814,6 +814,7 @@ def strip_duplicate_spans(
     id_col: str = "doc_id",
     n: int = 8,
     min_docs: int = 2,
+    keep_positions_col: str | None = None,
 ) -> DataFrame:
     """The ACTION to :func:`duplicate_spans`' detection: rewrite each
     document with every cross-doc-duplicated span removed (Lee et al.
@@ -822,6 +823,11 @@ def strip_duplicate_spans(
     overlapping spans). Returns ``(id_col, new_text, n_tokens,
     n_removed_tokens)`` for every input row — NULL text passes through
     NULL with 0 removed; sub-``n``-token docs pass through unchanged.
+    ``keep_positions_col`` additionally emits the sorted array of removed
+    token positions (the operator's own covered-range set) — the
+    ground-truth hook tests use instead of realigning tokens greedily
+    (greedy matching misattributes positions when a removed token equals
+    the next kept token).
 
     Tokenization is the exact single-space split the rest of the text
     family uses, so ``new_text`` round-trips byte-identically for
@@ -875,6 +881,7 @@ def strip_duplicate_spans(
         F.col(id_col),
         F.col(text_col),
         F.col("__toks"),
+        F.col("__covarr"),
         F.filter(
             F.col("__toks"),
             lambda t, i: ~F.array_contains(F.col("__covarr"), i.cast("int")),
@@ -887,6 +894,11 @@ def strip_duplicate_spans(
         .alias("new_text"),
         F.coalesce(F.size("__toks"), F.lit(0)).alias("n_tokens"),
         F.coalesce(F.size("__toks") - F.size("__kept"), F.lit(0)).alias("n_removed_tokens"),
+        *(
+            [F.array_sort(F.col("__covarr")).alias(keep_positions_col)]
+            if keep_positions_col
+            else []
+        ),
     )
 
 

@@ -600,7 +600,7 @@ def q22(spark, sf_dir):
     """SELECT event_type,
               CAST(SUM(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k,
               COUNT(*) AS cnt
-       FROM events GROUP BY event_type ORDER BY event_type""",
+       FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST""",
     "JSON extraction (get_json_object ↔ duckdb ->>)",
 )
 def q23(spark, sf_dir):
@@ -1603,7 +1603,8 @@ def q52_full_outer(spark, sf_dir):
     """SELECT event_type,
               array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,
               COUNT(*) AS cnt
-       FROM events GROUP BY event_type, prop_keys ORDER BY event_type, prop_keys""",
+       FROM events GROUP BY event_type, prop_keys
+       ORDER BY event_type NULLS FIRST, prop_keys NULLS FIRST""",
     "JSON → map: from_json + map_keys (↔ duckdb json_keys)",
 )
 def q53_json_map(spark, sf_dir):
@@ -3370,7 +3371,7 @@ def q103_null_safe_join(spark, sf_dir):
               MIN('k,n') AS keys_sig
        FROM events
        WHERE props->>'k' IS NOT NULL
-       GROUP BY event_type ORDER BY event_type""",
+       GROUP BY event_type ORDER BY event_type NULLS FIRST""",
     "MapType surface: from_json→map<string,int>, map_contains_key filter, "
     "map_concat + create_map, transform_values (genuine (k,v) lambda), "
     "map_values + aggregate fold, sorted map_keys signature; the oracle "
@@ -3548,7 +3549,7 @@ def q108_bool_median_aggs(spark, sf_dir):
               COUNT(*) AS cnt,
               CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
               CAST(MAX(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
-       FROM events GROUP BY event_type ORDER BY event_type""",
+       FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST""",
     "Spark 4 VARIANT path: parse_json → open semi-structured VariantType "
     "column → typed try_variant_get('$.k') extraction (binary variant "
     "encoding, not string re-parsing per access — the scale path for "
@@ -6089,7 +6090,7 @@ def q167_grouped_heavy_hitters(spark, sf_dir):
               CASE WHEN 6.810691763087074e+21 / zz <= 10240.0 AND v > 0
                    THEN round(4096.0 * ln(4096.0 / CAST(v AS DOUBLE)), 3)
                    ELSE round(6.810691763087074e+21 / zz, 3) END AS est_users
-       FROM a ORDER BY event_type""",
+       FROM a ORDER BY event_type NULLS FIRST""",
     "incremental sketch-state maintenance: per-(event_type, day) HLL "
     "register states (the table you'd persist daily at 100 TB) merged UP "
     "to per-type distinct-user estimates by register-wise MAX "

@@ -199,18 +199,41 @@ def test_max_span_runs_equal_strip_covered_ranges(spark):
         for r in runs
         for p in range(r["span_start"], r["span_start"] + r["span_len"])
     }
-    stripped = T.strip_duplicate_spans(_corpus(spark, rows)).collect()
-    covered_from_strip = set()
-    for r in stripped:
-        toks = r["new_text"].split(" ") if r["new_text"] else []
-        orig = dict(rows)[r["doc_id"]]
-        otoks = orig.split(" ")
-        # reconstruct removed positions: strip keeps order, so walk both
-        kept = iter(toks)
-        k = next(kept, None)
-        for i, t in enumerate(otoks):
-            if k is not None and t == k:
-                k = next(kept, None)
-            else:
-                covered_from_strip.add((r["doc_id"], i))
+    # read the removed positions from the operator's own covered-range
+    # output (keep_positions_col) — greedy token realignment against
+    # new_text misattributes positions whenever a removed token equals
+    # the next kept token, so it only ever worked on all-distinct fixtures
+    stripped = T.strip_duplicate_spans(
+        _corpus(spark, rows), keep_positions_col="removed_positions"
+    ).collect()
+    covered_from_strip = {
+        (r["doc_id"], p) for r in stripped for p in r["removed_positions"]
+    }
     assert covered_from_runs == covered_from_strip
+    # and the count column must agree with the positions array
+    assert all(len(r["removed_positions"]) == r["n_removed_tokens"] for r in stripped)
+
+
+def test_strip_positions_on_repeated_token_corpus(spark):
+    """The corpus greedy realignment could NOT handle: the duplicated
+    span starts with 'a0' and the first KEPT token is also 'a0', so a
+    greedy walk pairs the kept 'a0' with position 0 (inside the span)
+    and misattributes every removed position. keep_positions_col is the
+    operator's own covered set — exact regardless of token repeats."""
+    p1 = " ".join(f"a{i}" for i in range(8))
+    rows = [
+        (1, p1 + " a0 q r s t u v w x"),
+        (2, p1 + " different tail tokens here now ok fine yes"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in T.strip_duplicate_spans(
+            _corpus(spark, rows), keep_positions_col="removed_positions"
+        ).collect()
+    }
+    # only the start-0 8-gram is shared; the kept text begins with the
+    # repeated 'a0' at position 8
+    assert list(out[1]["removed_positions"]) == list(range(8))
+    assert out[1]["new_text"].split(" ")[0] == "a0"
+    assert out[1]["n_removed_tokens"] == 8
+    assert list(out[2]["removed_positions"]) == list(range(8))

@@ -127,3 +127,25 @@ def test_incremental_dedup_against_empty_store(spark, tmp_path):
     # and a fully empty batch against the empty store
     out2 = incremental.incremental_dedup(spark, docs, "text", "doc_id", store, num_buckets=4)
     assert out2.count() == 0
+
+
+def test_rollup_rejects_alias_colliding_with_key(spark):
+    """An agg alias equal to a grouping key would be silently NULLed by
+    the grand-total repair's fallback withColumn — must raise instead."""
+    import pytest
+
+    df = _empty(spark)
+    with pytest.raises(ValueError, match="collide with grouping key"):
+        aggregates.rollup(df, ["a"], [F.count(F.lit(1)).alias("a")])
+    with pytest.raises(ValueError, match="reserved"):
+        aggregates.rollup(df, ["a"], [F.count(F.lit(1)).alias("__gid")])
+    # keep_grouping_id colliding with the internal synth marker
+    with pytest.raises(ValueError, match="reserved"):
+        aggregates.cube(
+            df, ["a"], [F.count(F.lit(1)).alias("cnt")], keep_grouping_id="__synth"
+        )
+    # keep_grouping_id == "__gid" is a no-op rename of the exposed column
+    # (q59 uses it) — must NOT raise
+    assert aggregates.rollup(
+        df, ["a"], [F.count(F.lit(1)).alias("cnt")], keep_grouping_id="__gid"
+    ).collect()

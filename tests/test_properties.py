@@ -1208,3 +1208,20 @@ def test_cms_grouped_merge_up(spark, sf_dir):
     urows = {(r["lang"], r["row"], r["bucket"]): r["cnt"] for r in up.collect()}
     drows = {(r["lang"], r["row"], r["bucket"]): r["cnt"] for r in direct.collect()}
     assert urows == drows
+
+
+def test_build_cms_drops_nulls_in_both_hash_families(spark):
+    """NULL contract: NULLs are dropped uniformly. Before the filter the
+    families disagreed (portable: md5(NULL)->NULL array, nothing emitted;
+    xxhash64: NULL counted under the seed hash) — a nullable column got
+    family-dependent totals with no warning."""
+    from data_engineering_nd_datalake_project_4_spark.operators import sketches
+
+    df = spark.createDataFrame(
+        [("a",), (None,), ("a",), (None,), ("b",)], "token string"
+    )
+    for hf in ("xxhash64", "portable"):
+        cells = sketches.build_cms(df, "token", width=64, depth=3, hash_fn=hf)
+        total = cells.groupBy("row").agg(F.sum("cnt").alias("n")).collect()
+        # every depth row sums to the NON-NULL instance count (3), both families
+        assert all(r["n"] == 3 for r in total), (hf, total)
