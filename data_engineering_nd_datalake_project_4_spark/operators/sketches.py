@@ -298,6 +298,32 @@ def grouped_heavy_hitters(
         .limit(candidate_pool)
         .select("item")
     )
+    return heavy_hitters_from_cms(
+        cms, candidates, gcols, k=k, width=width, depth=depth, hash_fn=hash_fn
+    )
+
+
+def heavy_hitters_from_cms(
+    cms: DataFrame,
+    candidates: DataFrame,
+    group_cols: Sequence[str],
+    k: int = 10,
+    width: int = 2048,
+    depth: int = 5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Per-group top-``k`` from a PREBUILT grouped CMS — the probe half of
+    :func:`grouped_heavy_hitters`, factored out so persisted/streamed
+    sketch state (``run_cms_state_stream`` snapshots, daily cell tables
+    merged with :func:`merge_cms`) answers heavy-hitter questions without
+    rescanning raw data. ``candidates`` is a 1-column ``item`` frame of
+    probe values (the global head vocabulary); ``cms`` must have been
+    built with the same (width, depth, hash_fn). est(group, v) = min over
+    depth cells, 0 when any cell is absent (CMS never underestimates, so
+    an absent cell proves absence)."""
+    from pyspark.sql import Window
+
+    gcols = list(group_cols)
     if hash_fn == "portable":
         hashed = candidates.select(
             "item", F.pmod(portable_hash60(F.col("item")), F.lit(_M31)).alias("__h")

@@ -353,3 +353,59 @@ def run_sketch_state_stream(
         )
 
     run_foreach_batch(stream_df, batch_fn, checkpoint, query_name)
+
+
+def run_cms_state_stream(
+    stream_df: DataFrame,
+    snapshot_root: str,
+    col: str,
+    checkpoint: str,
+    width: int = 2048,
+    depth: int = 5,
+    hash_fn: str = "xxhash64",
+    group_cols=(),
+    query_name: str = "cms_state",
+) -> None:
+    """Streaming FREQUENCY state maintenance — the CMS face of
+    :func:`run_sketch_state_stream`: each micro-batch builds a Count-Min
+    sketch over its own rows and cell-SUM-merges it into a versioned
+    on-disk cell table.
+
+    Unlike HLL register MAX, cell SUM is NOT idempotent — blindly
+    re-adding a replayed batch double-counts. The versioned-snapshot
+    scheme (shared with :func:`run_cdc_upsert_stream`) is what makes
+    at-least-once delivery safe anyway: versions are keyed by
+    ``batch_id``, so a replayed batch recomputes FROM the latest
+    committed version BELOW its own id (never from its own failed or
+    duplicated output) and OVERWRITES ``v<batch_id>`` — the merge applies
+    exactly once per batch id no matter how many times the batch fires.
+    A half-written version has no ``_SUCCESS`` marker and is never read.
+
+    Any committed version answers frequency questions via
+    :func:`operators.sketches.cms_estimate` / ``heavy_hitters_from_cms``
+    and merges across state tables with ``merge_cms`` — and because cell
+    addition is exact, the streamed state is BIT-IDENTICAL to a
+    from-scratch ``build_cms`` over everything consumed (property-tested),
+    not just estimate-equivalent.
+
+    Scale shape: per batch the state moved is the batch's own cells plus
+    the snapshot — each bounded by depth·width rows PER GROUP — never raw
+    history. Old versions are retention garbage for an external vacuum.
+    """
+    from data_engineering_nd_datalake_project_4_spark.operators.sketches import build_cms, merge_cms
+
+    gcols = list(group_cols)
+
+    def batch_fn(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cells = build_cms(
+            batch_df, col, width=width, depth=depth, hash_fn=hash_fn, group_cols=gcols
+        )
+        base_ver = latest_snapshot_version(snapshot_root, before=int(batch_id))
+        if base_ver is not None:
+            cells = spark.read.parquet(f"{snapshot_root}/v{base_ver}").unionByName(cells)
+        merge_cms(cells, group_cols=gcols).write.mode("overwrite").parquet(
+            f"{snapshot_root}/v{int(batch_id)}"
+        )
+
+    run_foreach_batch(stream_df, batch_fn, checkpoint, query_name)
