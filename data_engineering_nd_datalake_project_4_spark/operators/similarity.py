@@ -641,6 +641,13 @@ def pq_encode(
     return df.withColumn(out_col, F.array(*codes))
 
 
+#: Hard cap on plan-folded ADC lookup-table literals (doubles). 2^20
+#: doubles ~ 8 MB of literal expressions — past this, Catalyst analysis +
+#: codegen time and driver plan memory dominate (the q151/q153 family's
+#: one non-data scale axis). ivfpq_adc_topk is exempt: its LUTs are rows.
+_MAX_LUT_PLAN_DOUBLES = 1 << 20
+
+
 def pq_adc_topk(
     codes_df: DataFrame,
     queries: DataFrame,
@@ -668,6 +675,16 @@ def pq_adc_topk(
     instead of dim multiplies, and the full-precision vector column never
     loads. Ranking is the same per-query top-k window.
 
+    PLAN-SIZE BOUND: the folded literal is Q·m·ncodes doubles — the PLAN
+    grows with the model, not just the data. At the defaults (m=4,
+    ncodes=16) 1024 queries fold 64K doubles (fine); at a FAISS-typical
+    m=16/ncodes=256 each query folds 4096 doubles and the expression tree
+    blows up (Catalyst analysis/codegen time, driver plan memory) long
+    before any executor is busy. Guarded at ``_MAX_LUT_PLAN_DOUBLES``
+    (2²⁰ ≈ 8 MB of literals): beyond it, chunk the probe set — or use
+    :func:`ivfpq_adc_topk`, which ships its LUTs as a broadcast DATA
+    frame (rows, not plan literals) and has no such bound.
+
     Output: ``query_id, neighbor_id, adc_dist`` (ascending = nearer).
     """
     from data_engineering_nd_datalake_project_4_spark.operators import ensure_map_parallelism
@@ -684,6 +701,16 @@ def pq_adc_topk(
         raise ValueError(
             f"{len(qrows)} queries > max_queries={max_queries}: ADC folds one "
             "m*k LUT per query into the plan — chunk the probe set"
+        )
+    ncodes = len(codebooks[0])
+    lut_doubles = len(qrows) * m * ncodes
+    if lut_doubles > _MAX_LUT_PLAN_DOUBLES:
+        raise ValueError(
+            f"ADC LUT literals would fold {lut_doubles} doubles "
+            f"({len(qrows)} queries x m={m} x ncodes={ncodes}) into the plan "
+            f"(> {_MAX_LUT_PLAN_DOUBLES}): the expression tree, not the data, "
+            "becomes the bottleneck — chunk the probe set, or use "
+            "ivfpq_adc_topk (LUTs ride as broadcast data rows, not literals)"
         )
     if not qrows:
         return _empty_adc_frame(codes_df, queries, id_col, query_id_col)

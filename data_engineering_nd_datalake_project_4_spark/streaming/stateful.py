@@ -126,3 +126,88 @@ def running_stats_per_key(grouped_stream) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+IDLE_SESSION_OUT = StructType(
+    [
+        StructField("key", LongType()),
+        StructField("n_events", LongType()),
+        StructField("evicted", LongType()),
+    ]
+)
+
+
+class IdleSessionEvictionProcessor(StatefulProcessor):
+    """Per-key idle-session eviction: processing-time timers + state TTL
+    on the transformWithState surface (the two features
+    applyInPandasWithState's GroupStateTimeout can't express separately).
+
+    Semantics: every batch a key appears in emits a live update row
+    (``evicted=0``) and re-arms a sliding idle timer ``idle_ms`` ahead
+    (the previous timer is deleted — one live timer per key). When the
+    timer fires — the key has been idle past the threshold — the final
+    count is emitted with ``evicted=1`` and the state is CLEARED, so a
+    later event for the key restarts from 1. ``state_ttl_ms`` additionally
+    puts a runtime-owned TTL on the count state itself: the belt-and-
+    braces eviction for keys whose timer is lost to a checkpoint rewind
+    (TTL state silently expires server-side; reads return None).
+
+    100 TB posture: state per key is two fixed rows (count + armed-timer
+    echo) and one registered timer — keys × O(1), RocksDB-backed on a
+    real cluster; eviction keeps the live key set bounded by the idle
+    horizon instead of the stream's lifetime key universe.
+    """
+
+    def __init__(self, idle_ms: int = 1000, state_ttl_ms=None):
+        self._idle_ms = idle_ms
+        self._ttl_ms = state_ttl_ms
+
+    def init(self, handle) -> None:
+        self._handle = handle
+        self._count = handle.getValueState(
+            "n",
+            StructType([StructField("n", LongType())]),
+            ttlDurationMs=self._ttl_ms,
+        )
+        # echo of the armed expiry so re-arming can delete the old timer
+        self._armed = handle.getValueState(
+            "armed", StructType([StructField("t", LongType())])
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        n = self._count.get()[0] if self._count.exists() else 0
+        for pdf in rows:
+            n += len(pdf)
+        self._count.update((n,))
+        if self._armed.exists():
+            self._handle.deleteTimer(self._armed.get()[0])
+        expiry = timerValues.getCurrentProcessingTimeInMs() + self._idle_ms
+        self._handle.registerTimer(expiry)
+        self._armed.update((expiry,))
+        yield pd.DataFrame({"key": [key[0]], "n_events": [n], "evicted": [0]})
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        n = self._count.get()[0] if self._count.exists() else 0
+        self._count.clear()
+        self._armed.clear()
+        yield pd.DataFrame({"key": [key[0]], "n_events": [n], "evicted": [1]})
+
+    def close(self) -> None:
+        pass
+
+
+def idle_evicting_session_counts(
+    grouped_stream, idle_ms: int = 1000, state_ttl_ms=None
+) -> DataFrame:
+    """transformWithStateInPandas timer/TTL wrapper (raises if the runtime
+    lacks the API — same gate as :func:`running_stats_per_key`)."""
+    if not HAS_TWS:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires PySpark >= 4.0 with protobuf"
+        )
+    return grouped_stream.transformWithStateInPandas(
+        IdleSessionEvictionProcessor(idle_ms=idle_ms, state_ttl_ms=state_ttl_ms),
+        outputStructType=IDLE_SESSION_OUT,
+        outputMode="Update",
+        timeMode="ProcessingTime",
+    )

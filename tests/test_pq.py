@@ -103,6 +103,39 @@ def test_pq_adc_caps_query_fanout(emb, codebooks):
         pq_adc_topk(codes, emb, codebooks, k=3, max_queries=10)
 
 
+def test_pq_adc_caps_plan_folded_lut_literals(spark, emb, codebooks):
+    """The NON-data scale axis: pq_adc_topk folds Q*m*ncodes doubles into
+    the plan as literals. At FAISS-typical m=16/ncodes=256 the 2^20-double
+    cap (_MAX_LUT_PLAN_DOUBLES) trips at 257 queries — the error must name
+    the budget and point at ivfpq_adc_topk (LUTs as broadcast data)."""
+    from data_engineering_nd_datalake_project_4_spark.operators.similarity import (
+        _MAX_LUT_PLAN_DOUBLES,
+    )
+
+    m, ncodes, sub = 16, 256, 1
+    big_codebooks = [
+        [[float(c)] for c in range(ncodes)] for _ in range(m)
+    ]
+    n_q = _MAX_LUT_PLAN_DOUBLES // (m * ncodes) + 1  # one past the budget
+    queries = spark.createDataFrame(
+        [(i, [float(i % 7)] * (m * sub)) for i in range(n_q)],
+        "vec_id long, embedding array<double>",
+    )
+    codes = spark.createDataFrame(
+        [(0, [0] * m)], "vec_id long, pq_codes array<int>"
+    )
+    with pytest.raises(ValueError, match="1048576"):
+        pq_adc_topk(codes, queries, big_codebooks, k=3, max_queries=10_000)
+    # a small within-budget probe set plans fine with the same model shape
+    # (NOT a near-budget one: folding ~2^20 literals is exactly the
+    # minutes-long Catalyst analysis the guard exists to prevent)
+    ok = pq_adc_topk(
+        codes, queries.filter(F.col("vec_id") < 2), big_codebooks,
+        k=3, max_queries=10_000,
+    )
+    assert ok.columns == ["query_id", "neighbor_id", "adc_dist"]
+
+
 class TestIvfPq:
     """IVFADC (coarse cells + residual PQ): exactness on constructible
     vectors, probe pruning, recall floor vs exact L2."""
