@@ -77,6 +77,24 @@ HEAVY = {
     "q166_max_dup_spans": REGISTRY["q166_max_dup_spans"].spark_fn,
     "q167_grouped_heavy_hitters": REGISTRY["q167_grouped_heavy_hitters"].spark_fn,
     "q168_sketch_state_rollup": REGISTRY["q168_sketch_state_rollup"].spark_fn,
+    # round-8 additions: the remaining expensive non-lane queries (>1s
+    # committed medians with no slope measurement): rolling-hash doc
+    # fingerprints, the 3-table TPC-H-Q5-shape join+agg, the Arrow-batched
+    # grouped-pandas running sum, and IVFADC probe-pruned ANN (model state
+    # driver-bounded; candidate set scales with probed-cell occupancy).
+    # Measured (reps=3): q98 1.72x, q121 0.93x, q153 1.61x, q40 8.08x —
+    # q40 is the lane max and the flagged >=8x case: it is the most
+    # compute-per-row op here (a chained multiply-mod fold over EVERY
+    # 5-token window ~ |tokens| folds/doc), so runtime tracks token volume
+    # ~linearly (10x rows -> 8.08x; the sub-10x gap is fixed-overhead
+    # amortization). Plan shape: ZERO hash exchanges — map-side compute +
+    # one range exchange for the presentation ORDER BY — embarrassingly
+    # parallel at 1000 executors; linear-in-tokens is the operator's
+    # semantics (every window is hashed), not a plan defect.
+    "q40_fingerprints": REGISTRY["q40_fingerprints"].spark_fn,
+    "q98_volume_shipping": REGISTRY["q98_volume_shipping"].spark_fn,
+    "q121_grouped_pandas_running": REGISTRY["q121_grouped_pandas_running"].spark_fn,
+    "q153_ivfpq_adc_topk": REGISTRY["q153_ivfpq_adc_topk"].spark_fn,
 }
 
 
