@@ -150,6 +150,9 @@ def _grid_features(arr, dim: int) -> list[float]:
 
 
 def _decode_image(content: bytes, strict: bool, dim: int = 64) -> list[float]:
+    # environment re-checked round 8 (2026-08-15): PIL and cv2 are both
+    # still absent from the container, so JPEG/PNG stay honestly stubbed
+    # behind this seam (tests/test_multimodal.py pins the gate both ways)
     arr = decode_netpbm(content)
     if arr is not None:
         return _grid_features(arr, dim)  # REAL decode + features

@@ -264,3 +264,36 @@ def test_phash_hash_size_validation(planted_media):
         multimodal.perceptual_hash_bits(
             np.zeros((8, 8, 1), dtype="uint8"), "md5", hash_size=8
         )
+
+
+def test_jpeg_decode_environment_gate():
+    """Pins the compressed-codec posture BOTH ways: while the container
+    lacks PIL/cv2 the strict-mode stub must keep raising the documented
+    NotImplementedError; the moment an environment upgrade provides a
+    decoder, this test FAILS loudly — the signal to swap real decode into
+    the _decode_image seam and extend q146 to compressed inputs
+    (round-7 verdict task 8; environment re-checked round 8: absent)."""
+    try:
+        import PIL  # noqa: F401
+
+        has_codec = True
+    except ImportError:
+        has_codec = False
+    try:
+        import cv2  # noqa: F401
+
+        has_codec = True
+    except ImportError:
+        pass
+
+    from data_engineering_nd_datalake_project_4_spark.operators.multimodal import _decode_image
+
+    jpeg_magic = b"\xff\xd8\xff\xe0" + b"\x00" * 32
+    if not has_codec:
+        with pytest.raises(NotImplementedError, match="netpbm"):
+            _decode_image(jpeg_magic, strict=True)
+    else:
+        pytest.fail(
+            "PIL/cv2 is now available: implement real JPEG decode behind "
+            "_decode_image and extend q146 to compressed inputs"
+        )
