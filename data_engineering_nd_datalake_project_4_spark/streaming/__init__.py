@@ -409,3 +409,60 @@ def run_cms_state_stream(
         )
 
     run_foreach_batch(stream_df, batch_fn, checkpoint, query_name)
+
+
+def run_topk_candidate_stream(
+    stream_df: DataFrame,
+    snapshot_root: str,
+    col: str,
+    checkpoint: str,
+    pool: int = 64,
+    query_name: str = "topk_candidates",
+) -> None:
+    """Streaming candidate-vocabulary maintenance — the missing half of
+    the all-from-state heavy-hitter story: :func:`run_cms_state_stream`
+    keeps per-group frequency CELLS, but probing them needs a candidate
+    item set, which batch mode derives from a global count
+    (``grouped_heavy_hitters``). This sink maintains that head
+    vocabulary from the stream itself: each micro-batch's per-item
+    counts are SUM-merged with the prior state and the top-``pool``
+    rows (count desc, item asc — total order) are kept, under the same
+    batch-id-versioned snapshot scheme (replay recomputes from the
+    state below its id and overwrites — exactly once per batch id).
+
+    Approximation contract (the lossy-counting / SpaceSaving shape,
+    Metwally et al. 2005): state is ≤ ``pool`` rows forever. An item
+    that stays in the pool across merges carries its EXACT total; an
+    item evicted and later re-entered loses the counts from its absent
+    epochs — so ``cnt`` is a LOWER bound (one-sided, like CMS's upper
+    bound from the other side), and a persistent head item is retained
+    as long as fewer than ``pool`` items out-count it. Size ``pool``
+    well above the k you query (the same guidance as
+    ``grouped_heavy_hitters``'s candidate_pool). For exact counts,
+    probe the items against the CMS state — the intended pairing:
+    candidates from THIS sink, estimates from the cell state, zero
+    raw-data rescans (see ``heavy_hitters_from_cms``).
+
+    Scale shape: per batch the state moved is the batch's own item
+    counts (one map-side-combining groupBy) plus ≤ pool state rows;
+    NULL items are dropped (the build_cms NULL contract).
+    """
+    def batch_fn(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        counts = (
+            batch_df.filter(F.col(col).isNotNull())
+            .groupBy(F.col(col).alias("item"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        base_ver = latest_snapshot_version(snapshot_root, before=int(batch_id))
+        if base_ver is not None:
+            counts = spark.read.parquet(f"{snapshot_root}/v{base_ver}").unionByName(counts)
+        merged = (
+            counts.groupBy("item")
+            .agg(F.sum("cnt").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("item"))
+            .limit(pool)
+        )
+        merged.write.mode("overwrite").parquet(f"{snapshot_root}/v{int(batch_id)}")
+
+    run_foreach_batch(stream_df, batch_fn, checkpoint, query_name)

@@ -171,3 +171,78 @@ def test_cms_stream_empty_cold_start(spark, tmp_path_factory):
     run_cms_state_stream(stream(), root, "token", chk, width=W, depth=D, query_name="cms_t4b")
     direct = build_cms(spark.createDataFrame(rows, SCHEMA), "token", width=W, depth=D)
     assert _cells(_state(spark, root)) == _cells(direct)
+
+
+def test_heavy_hitters_entirely_from_streamed_state(spark, tmp_path_factory):
+    """The complete all-from-state story: BOTH the frequency cells
+    (run_cms_state_stream) AND the candidate vocabulary
+    (run_topk_candidate_stream) are maintained from the stream; heavy
+    hitters are answered with zero raw-data rescans and match the batch
+    grouped_heavy_hitters over everything consumed."""
+    from data_engineering_nd_datalake_project_4_spark.operators.sketches import grouped_heavy_hitters
+    from data_engineering_nd_datalake_project_4_spark.streaming import run_topk_candidate_stream
+
+    src = str(tmp_path_factory.mktemp("hh_src"))
+    cms_root = str(tmp_path_factory.mktemp("hh_cms"))
+    cand_root = str(tmp_path_factory.mktemp("hh_cand"))
+    chk_cms = str(tmp_path_factory.mktemp("hh_chk1"))
+    chk_cand = str(tmp_path_factory.mktemp("hh_chk2"))
+
+    b1 = (
+        [("alpha", "news")] * 20
+        + [("beta", "news")] * 8
+        + [("gamma", "blog")] * 15
+        + [(f"tail{i}", "news") for i in range(30)]
+    )
+    b2 = [("beta", "news")] * 25 + [("delta", "blog")] * 18
+    stream = lambda: spark.readStream.schema(SCHEMA).parquet(src + "/*")  # noqa: E731
+
+    for name, rows in (("b1", b1), ("b2", b2)):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(f"{src}/{name}")
+        spark.catalog.refreshByPath(src)
+        run_cms_state_stream(
+            stream(), cms_root, "token", chk_cms, width=W, depth=D,
+            group_cols=["domain"], query_name=f"hh_cms_{name}",
+        )
+        run_topk_candidate_stream(
+            stream(), cand_root, "token", chk_cand, pool=8,
+            query_name=f"hh_cand_{name}",
+        )
+
+    cand_state = _state(spark, cand_root)
+    assert cand_state.count() <= 8
+    # persistent head items carry EXACT totals through the merge
+    cand_counts = {r["item"]: r["cnt"] for r in cand_state.collect()}
+    assert cand_counts["beta"] == 33 and cand_counts["alpha"] == 20
+
+    from_state = heavy_hitters_from_cms(
+        _state(spark, cms_root), cand_state.select("item"), ["domain"],
+        k=2, width=W, depth=D,
+    ).collect()
+    got = {(r["domain"], r["item"]): r["est"] for r in from_state}
+
+    batch = grouped_heavy_hitters(
+        spark.createDataFrame(b1 + b2, SCHEMA), "token", ["domain"],
+        k=2, candidate_pool=8, width=W, depth=D,
+    ).collect()
+    want = {(r["domain"], r["item"]): r["est"] for r in batch}
+    assert got == want
+
+
+def test_candidate_stream_replay_exactly_once(spark, tmp_path_factory):
+    """SUM-merge double-counts under blind replay; the versioning makes a
+    re-fired batch overwrite its own version — counts unchanged."""
+    from data_engineering_nd_datalake_project_4_spark.streaming import run_topk_candidate_stream
+
+    src = str(tmp_path_factory.mktemp("cr_src"))
+    root = str(tmp_path_factory.mktemp("cr_snap"))
+    rows = [("x", "a")] * 9 + [("y", "a")] * 4
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(src + "/b1")
+    stream = lambda: spark.readStream.schema(SCHEMA).parquet(src + "/*")  # noqa: E731
+
+    for i in (1, 2):  # second run = fresh checkpoint = replay of batch 0
+        chk = str(tmp_path_factory.mktemp(f"cr_chk{i}"))
+        run_topk_candidate_stream(stream(), root, "token", chk, pool=4,
+                                  query_name=f"cr_{i}")
+        counts = {r["item"]: r["cnt"] for r in _state(spark, root).collect()}
+        assert counts == {"x": 9, "y": 4}
