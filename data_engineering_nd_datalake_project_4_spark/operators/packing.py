@@ -65,7 +65,15 @@ def pack_greedy_contiguous(
     """
     if target_tokens <= 0:
         raise ValueError(f"target_tokens must be positive, got {target_tokens}")
-    w = Window.partitionBy("shard_id").orderBy(id_col)
+    # ROWS frame pinned: Spark's default frame for an ordered window is
+    # RANGE, which sums ALL order-key peers at once — under duplicate ids
+    # (at-least-once feeds, the duprows soak) each copy must occupy its
+    # OWN token span, which is ROWS semantics (and what the oracle pins)
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     cum = F.sum("n_tok").over(w)
     start = (cum - F.col("n_tok")).alias("start_tok")
     return _sharded_counts(df, text_col, id_col, n_shards).select(
@@ -123,10 +131,21 @@ def token_budget_subsample(
                 * (F.col("__s").cast("double") / F.col("__g"))
             ).cast("long").alias("__budget"),
         )
-        w = Window.partitionBy(by).orderBy(*order_by)
+        # ROWS frame pinned (same reasoning as pack_greedy_contiguous):
+        # under duplicate rows the budget must admit copies one at a time,
+        # not all order-key peers at once (RANGE, the Spark default)
+        w = (
+            Window.partitionBy(by)
+            .orderBy(*order_by)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
         keyed = t.join(F.broadcast(budgets), by)
     else:
-        w = Window.partitionBy().orderBy(*order_by)
+        w = (
+            Window.partitionBy()
+            .orderBy(*order_by)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
         keyed = t.withColumn("__budget", F.lit(int(budget_tokens)))
     out = keyed.withColumn("cum_tok", F.sum("n_tok").over(w)).filter(
         F.col("cum_tok") <= F.col("__budget")

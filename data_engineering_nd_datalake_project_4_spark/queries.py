@@ -1201,18 +1201,25 @@ def q42_ivf_topk(spark, sf_dir):
 
 @q(
     "q43_rp_buckets",
-    """WITH u AS (SELECT vec_id,
-                         generate_subscripts(embedding, 1) AS i,
-                         CAST(unnest(embedding) AS DOUBLE) AS e
-                  FROM embeddings),
+    """WITH de AS (SELECT DISTINCT vec_id, embedding FROM embeddings),
+         u AS (SELECT vec_id,
+                      generate_subscripts(embedding, 1) AS i,
+                      CAST(unnest(embedding) AS DOUBLE) AS e
+               FROM de),
          p AS (SELECT vec_id, j, SUM(e * sin(CAST(i AS DOUBLE) * j)) AS proj
                FROM u CROSS JOIN (SELECT unnest(range(1, 9)) AS j) js
                GROUP BY vec_id, j),
          b AS (SELECT vec_id,
                       CAST(SUM(CASE WHEN proj > 0 THEN CAST(pow(2, j - 1) AS INT) ELSE 0 END) AS INT) AS rp_bucket
                FROM p GROUP BY vec_id)
-       SELECT rp_bucket, COUNT(*) AS n_vecs FROM b GROUP BY rp_bucket ORDER BY rp_bucket""",
-    "sign-LSH (random projection) bucket histogram — deterministic sin() planes",
+       SELECT b.rp_bucket, COUNT(*) AS n_vecs
+       FROM embeddings e JOIN b ON b.vec_id = e.vec_id
+       GROUP BY b.rp_bucket ORDER BY rp_bucket""",
+    "sign-LSH (random projection) bucket histogram — deterministic sin() "
+    "planes. The histogram counts INSTANCES (one per feed row — the engine "
+    "side is a pure map), so the oracle hashes each DISTINCT vector once "
+    "and joins back per input row (exact-duplicate rows land in the same "
+    "bucket twice; the duprows soak contract)",
 )
 def q43_rp_buckets(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
@@ -1747,7 +1754,10 @@ def q57_blocked_near_dup(spark, sf_dir):
        canon AS (SELECT *, array_to_string(list_sort(list_distinct(string_split(text,' '))),' ') AS ck
                  FROM filtered),
        keep AS (SELECT MIN(doc_id) AS doc_id FROM canon GROUP BY ck),
-       survivors AS (SELECT c.* FROM canon c JOIN keep k ON c.doc_id = k.doc_id)
+       -- DISTINCT: dedup emits each kept doc ONCE even when the feed
+       -- delivered exact duplicate rows (the engine's keep-first window
+       -- picks one row per hash class; duprows soak)
+       survivors AS (SELECT DISTINCT c.* FROM canon c JOIN keep k ON c.doc_id = k.doc_id)
        SELECT lang, COUNT(*) AS n_docs,
               CAST(SUM(CAST(quality AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_quality,
               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
@@ -4330,7 +4340,11 @@ def q129_contamination(spark, sf_dir):
                              string_split(text, ' '))), ' ') AS ck
                   FROM documents),
             corpus AS (SELECT ck FROM k WHERE doc_id < 250),
-            batch AS (SELECT doc_id, source, n_chars, ck
+            -- DISTINCT: dedup emits each kept doc ONCE even when the feed
+            -- delivered duplicate rows (at-least-once reality, the duprows
+            -- soak) — the engine's first-wins window picks one row per
+            -- fingerprint, so the oracle must collapse exact copies too
+            batch AS (SELECT DISTINCT doc_id, source, n_chars, ck
                       FROM k WHERE doc_id >= 250),
             firsts AS (SELECT MIN(doc_id) AS doc_id FROM batch GROUP BY ck)
        SELECT b.doc_id, b.source, b.n_chars
@@ -4939,7 +4953,7 @@ def q142_semantic_dedup(spark, sf_dir):
 
 @q(
     "q143_strip_duplicate_spans",
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+    """WITH t AS (SELECT DISTINCT doc_id, string_split(text, ' ') AS toks
                   FROM documents WHERE text IS NOT NULL),
             tt AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 8),
             spans AS (SELECT doc_id, i AS start_pos,
@@ -5058,7 +5072,11 @@ def q145_interval_overlap_join(spark, sf_dir):
 @q(
     "q146_image_phash",
     """WITH px AS (
-         SELECT vec_id,
+         -- DISTINCT: the hash is computed once per distinct image (the
+         -- per-id GROUP BYs below assume exactly 64 cells per vec_id);
+         -- the final join back to embeddings replicates the hash onto
+         -- every input ROW, matching the engine's per-row map (duprows)
+         SELECT DISTINCT vec_id,
                 list_transform(embedding[1:64],
                   e -> GREATEST(0, LEAST(255,
                          CAST(floor((CAST(e AS DOUBLE) + 1) * 127.5) AS BIGINT)))) AS p
@@ -5076,7 +5094,10 @@ def q145_interval_overlap_join(spark, sf_dir):
                 + CASE WHEN MAX(CASE WHEN k = 63 AND b = 1 THEN 1 ELSE 0 END) = 1
                        THEN -9223372036854775807 - 1 ELSE 0 END AS phash
               FROM bits GROUP BY vec_id)
-       SELECT vec_id AS media_id, phash FROM ph ORDER BY media_id""",
+       SELECT e.vec_id AS media_id, ph.phash
+       FROM embeddings e JOIN ph ON ph.vec_id = e.vec_id
+       WHERE e.vec_id < 500
+       ORDER BY media_id""",
     "perceptual image hash (aHash), exercised END-TO-END through real "
     "binary media: embeddings render to genuine P5 netpbm blobs (pixel = "
     "clip(floor((e+1)*127.5)) — a LOCALITY-PRESERVING map computed in "

@@ -74,6 +74,15 @@ to stay green on each:
   own first row — broken referential integrity (joins that match nothing
   must agree as empties/NULL-completions, not diverge).
 
+- ``duprows`` : exact duplicate rows injected — every 7th row appended
+  again verbatim plus a 5-copy hot clump of the first row (the
+  at-least-once delivery / feed-replay ops shape). Duplicated ids make
+  previously-total tie-breaks (ORDER BY ..., id) tie again; the contract
+  is that ties between IDENTICAL rows are harmless (any rank/pick
+  assignment yields the same output multiset), dedup operators treat the
+  copies as one class, and per-row aggregates count instances — on BOTH
+  engines identically.
+
 Usage: ``python tools/soak_regen.py [variant ...]`` (default: all).
 Exit code = number of failing (variant, query) pairs.
 """
@@ -164,7 +173,26 @@ def build_variant(name: str, out_dir: Path) -> None:
     for t in TABLES:
         src = SF_SRC / f"{t}.parquet"
         dst = out_dir / f"{t}.parquet"
-        if name in ("empty", "onerow"):
+        if name == "duprows":
+            # exact duplicate rows injected (at-least-once delivery / feed
+            # replay reality): every 7th row appended again verbatim, plus
+            # the first row as a 5-copy hot clump. Both engines see the
+            # same multiset, so any divergence is an operator depending on
+            # ROW IDENTITY or input order rather than content — duplicated
+            # keys make previously-total tie-breaks (ORDER BY ..., id) tie
+            # again, and the contract is that ties between IDENTICAL rows
+            # are harmless (any assignment yields the same output multiset)
+            tbl = pq.read_table(src)
+            n = tbl.num_rows
+            if n:
+                idx = [i for i in range(n) if i % 7 == 3]
+                parts = [tbl]
+                if idx:
+                    parts.append(tbl.take(pa.array(idx)))
+                parts.extend([tbl.slice(0, 1)] * 4)
+                tbl = pa.concat_tables(parts)
+            pq.write_table(tbl, dst)
+        elif name in ("empty", "onerow"):
             # schema-preserving degenerate slices: the ops-reality variants
             n = 0 if name == "empty" else 1
             pq.write_table(pq.read_table(src).slice(0, n), dst)
@@ -296,7 +324,7 @@ def main(argv: list[str]) -> int:
 
     variants = argv or [
         "ts_micros", "ts_nanos", "half2", "half4", "rowshuffle", "advtext",
-        "advembed", "date32", "int32", "nulls", "empty", "onerow",
+        "advembed", "date32", "int32", "nulls", "empty", "onerow", "duprows",
     ]
     spark = get_spark(app_name="soak-regen", shuffle_partitions=16)
     total_fail = 0
