@@ -140,3 +140,55 @@ def global_window_sites(df: DataFrame) -> list[str]:
         for i in range(node.children().size()):
             stack.append(node.children().apply(i))
     return sites
+
+
+#: aggregate window functions for which a peer-inclusive RANGE running
+#: frame is almost always the DEFAULT-frame trap, not a choice
+_RUNNING_AGG_FNS = {
+    "sum", "count", "avg", "min", "max", "first", "last",
+    "collect_list", "collect_set", "stddev", "stddev_samp", "variance",
+}
+
+#: Spark's default frame for an ordered window, as printed in the plan
+_DEFAULT_RANGE_SIG = (
+    "specifiedwindowframe(RangeFrame, unboundedpreceding$(), currentrow$())"
+)
+
+
+def default_range_running_aggs(df: DataFrame) -> list[str]:
+    """Aggregate window functions running on Spark's DEFAULT ordered-window
+    frame — ``RANGE UNBOUNDED PRECEDING .. CURRENT ROW`` — the duprows
+    trap: RANGE aggregates ALL order-key peers at once, so under duplicate
+    keys (at-least-once feeds) a "running" sum jumps by every copy
+    together where ROWS admits them one at a time, silently diverging
+    from a ROWS-pinned oracle. Every running aggregate must pin
+    ``.rowsBetween(Window.unboundedPreceding, Window.currentRow)`` (or a
+    deliberate rangeBetween, which prints explicit bounds, not this
+    signature).
+
+    Ranking/distribution functions (``cume_dist``, ``percent_rank``) are
+    NOT flagged: peer-inclusion is their SQL definition, identical in
+    both engines. Returns the offending function names (empty = clean).
+    """
+    import re
+
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    out: list[str] = []
+    # fn(args...) windowspecdefinition(... <default RANGE signature>)
+    for m in re.finditer(r"(\w+)\((?:[^()]|\([^()]*\))*\) windowspecdefinition\(", plan):
+        fn = m.group(1)
+        tail = plan[m.end() - 1 :]
+        # the frame spec is inside THIS windowspecdefinition's parens:
+        # scan to its closing paren with a depth counter
+        depth, i = 0, 0
+        for i, ch in enumerate(tail):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        spec = tail[: i + 1]
+        if _DEFAULT_RANGE_SIG in spec and fn.lower() in _RUNNING_AGG_FNS:
+            out.append(fn)
+    return out

@@ -429,3 +429,52 @@ def test_global_window_audit_catches_the_bad_plan(spark, sf_dir):
         ),
     )
     assert not plans.global_window_sites(good_part)
+
+
+#: queries allowed an aggregate window on the DEFAULT ordered-window
+#: frame (RANGE UNBOUNDED PRECEDING .. CURRENT ROW). Empty by policy:
+#: peer-inclusive running aggregates diverge from ROWS-pinned oracles the
+#: moment order keys tie (duplicate feeds — the duprows soak); pin
+#: rowsBetween, or a deliberate rangeBetween with explicit bounds.
+#: Ranking/distribution functions (cume_dist/percent_rank) are exempt by
+#: the audit itself — peer-inclusion is their SQL definition.
+DEFAULT_RANGE_BY_DESIGN: set[str] = set()
+
+
+def test_no_default_range_running_aggregates(spark, sf_dir):
+    """The duprows trap, pinned repo-wide: Spark's default frame for an
+    ordered window is RANGE, which aggregates ALL order-key peers at once
+    — a 'running' sum over it silently diverges from ROWS semantics when
+    keys tie. Every registry query must pin its running-aggregate frames
+    (see plans.default_range_running_aggs)."""
+    offenders = {}
+    for name, query in sorted(REGISTRY.items()):
+        if name in DEFAULT_RANGE_BY_DESIGN:
+            continue
+        fns = plans.default_range_running_aggs(query.spark_fn(spark, sf_dir))
+        if fns:
+            offenders[name] = fns
+    assert not offenders, f"default-RANGE running aggregates: {offenders}"
+
+
+def test_default_range_audit_discriminates(spark, sf_dir):
+    """Red/green cases for the audit itself: a default-frame running sum
+    flags; a ROWS-pinned sum, a deliberate rangeBetween window, and a
+    distribution function (whose RANGE peers are its definition) pass."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    key = Window.partitionBy("l_returnflag").orderBy("l_orderkey")
+    bad = li.withColumn("c", F.sum("l_quantity").over(key))
+    assert plans.default_range_running_aggs(bad) == ["sum"]
+
+    rows = key.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    assert not plans.default_range_running_aggs(
+        li.withColumn("c", F.sum("l_quantity").over(rows))
+    )
+    assert not plans.default_range_running_aggs(
+        li.withColumn("c", F.sum("l_quantity").over(key.rangeBetween(-10, 0)))
+    )
+    assert not plans.default_range_running_aggs(
+        li.withColumn("c", F.cume_dist().over(key))
+    )
