@@ -177,6 +177,12 @@ def winnowing_fingerprints(
         # higher-order-function lambda (non-positional *cols signature)
         tok_hash = lambda t: F.xxhash64(t)  # noqa: E731
         combine = lambda acc, x: F.xxhash64(acc, x)  # noqa: E731
+    # compute-dense map stage (every 5-token window chain-hashed): a
+    # small/test-scale scan arrives as 1-2 unsplittable row-group tasks
+    # and serializes the fold onto 2 of 32 cores (measured: the q40 scale
+    # lane ran 9-11s at sf1.0 on 2 tasks); the narrow-input repartition is
+    # a no-op once the scan yields real splits at 100 TB
+    df = ensure_map_parallelism(df)
     hashed = df.select(
         F.col(id_col),
         *[c.alias(a) for a, c in extra.items()],

@@ -82,15 +82,17 @@ HEAVY = {
     # fingerprints, the 3-table TPC-H-Q5-shape join+agg, the Arrow-batched
     # grouped-pandas running sum, and IVFADC probe-pruned ANN (model state
     # driver-bounded; candidate set scales with probed-cell occupancy).
-    # Measured (reps=3): q98 1.72x, q121 0.93x, q153 1.61x, q40 8.08x —
-    # q40 is the lane max and the flagged >=8x case: it is the most
-    # compute-per-row op here (a chained multiply-mod fold over EVERY
-    # 5-token window ~ |tokens| folds/doc), so runtime tracks token volume
-    # ~linearly (10x rows -> 8.08x; the sub-10x gap is fixed-overhead
-    # amortization). Plan shape: ZERO hash exchanges — map-side compute +
-    # one range exchange for the presentation ORDER BY — embarrassingly
-    # parallel at 1000 executors; linear-in-tokens is the operator's
-    # semantics (every window is hashed), not a plan defect.
+    # Measured (reps=3): q98 1.72x, q121 0.93x, q153 1.61x. q40 first
+    # measured 8.08x (sf0.1 1.44s -> sf1.0 11.6s) — the flagged >=8x case.
+    # Root cause was NOT the linear-in-tokens compute (that is its
+    # semantics: a multiply-mod fold per 5-token window) but MAP
+    # PARALLELISM: the sf1.0 documents scan yields only 2 unsplittable
+    # row-group tasks, serializing the fold onto 2 of 32 cores. Adding
+    # ensure_map_parallelism to winnowing_fingerprints (the sanctioned
+    # compute-dense-map use; a no-op once a real corpus scan yields
+    # thousands of splits) cut it to sf0.1 0.56s / sf1.0 1.45s —
+    # slope 2.6x. Plan shape otherwise: zero hash exchanges, one range
+    # exchange for the presentation ORDER BY.
     "q40_fingerprints": REGISTRY["q40_fingerprints"].spark_fn,
     "q98_volume_shipping": REGISTRY["q98_volume_shipping"].spark_fn,
     "q121_grouped_pandas_running": REGISTRY["q121_grouped_pandas_running"].spark_fn,
