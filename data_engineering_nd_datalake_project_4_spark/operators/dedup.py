@@ -735,6 +735,9 @@ def subdoc_dedup(
     # paragraph hashes computed INSIDE the fan-out projection (chunk text is
     # a transient expression, never a shuffled column)
     toks = base.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    # spread the narrow (id, tokens) input before the per-paragraph hash
+    # fan-out (the q40 lesson: a 1-2-row-group scan serializes the hashing)
+    toks = ensure_map_parallelism(toks)
     starts = F.sequence(
         F.lit(0), F.greatest(F.size("__toks") - 1, F.lit(0)), F.lit(size)
     )

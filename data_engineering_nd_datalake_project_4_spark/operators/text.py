@@ -343,6 +343,11 @@ def dsir_gram_buckets(
         df.filter(F.col(text_col).isNotNull())
         .select(F.col(id_col), tokens(text_col).alias("__toks"))
     )
+    # compute-dense fan-out (one md5 per gram occurrence) over a possibly
+    # 1-2-row-group scan: spread the narrow (id, tokens) input first or the
+    # whole hash volume runs in the scan tasks (the q40 lesson; no-op at
+    # real corpus scale)
+    staged = ensure_map_parallelism(staged)
     uni = F.col("__toks")
     n_big = F.size(uni) - 1
     big = F.zip_with(
@@ -869,7 +874,12 @@ def strip_duplicate_spans(
         .groupBy(id_col)
         .agg(F.collect_set("__pos").alias("__cov"))
     )
-    base = df.select(id_col, F.col(text_col)).join(covered, id_col, "left")
+    # spread the corpus side before the rewrite: when `covered` broadcasts
+    # (it is tiny), the whole O(|tokens|·|covered|) filter probe runs in
+    # the SCAN stage — 1-2 row-group tasks at small scale (the q40 lesson)
+    base = ensure_map_parallelism(df.select(id_col, F.col(text_col))).join(
+        covered, id_col, "left"
+    )
     cov = F.coalesce(F.col("__cov"), F.array().cast("array<int>"))
     # stage the token array, THEN the filtered survivors, as ALIASED
     # columns in two separate projections: a bare python variable would
@@ -940,7 +950,7 @@ def bm25_topk(
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    docs = df.filter(F.col(text_col).isNotNull())
+    docs = ensure_map_parallelism(df.filter(F.col(text_col).isNotNull()))
     stats = docs.select(F.size(tokens(text_col)).alias("__dl")).agg(
         F.count(F.lit(1)).alias("__n"), F.sum("__dl").alias("__sumdl")
     )
