@@ -336,11 +336,21 @@ def ngram_jaccard_pairs(
     ``candidates`` (e.g. from :func:`minhash_lsh_candidate_pairs`) restricts
     the O(n²) comparison; without it this cross-joins — correctness/oracle
     scale only. Output: ``id_a, id_b, jaccard`` (double).
+
+    The pair intersection runs over 64-bit shingle HASHES, not the shingle
+    strings: distinct strings map to distinct longs absent a ~2^-64
+    xxhash64 collision (the q130 store-fingerprint precedent), so
+    |A∩B| — and the Jaccard — is equal to the string-set computation,
+    while the verify join shuffles 8-byte array elements instead of
+    n-token strings and the intersect compares longs. Sizes |A|, |B| are
+    taken from the string sets before hashing.
     """
     df = ensure_map_parallelism(df)
     sh = df.select(
         F.col(id_col).alias("__id"),
-        _shingles(F.col(text_col), n).alias("__sh"),
+        F.transform(_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)).alias(
+            "__sh"
+        ),
     ).withColumn("__n", F.size("__sh"))
     a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"), F.col("__n").alias("__na"))
     b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"), F.col("__n").alias("__nb"))
