@@ -235,3 +235,37 @@ class TestTrainValTestSplit:
             train_val_test_split(d, "doc_id", (0.5, 0.2, 0.2))
         with _pytest.raises(ValueError, match="non-negative"):
             train_val_test_split(d, "doc_id", (1.2, -0.1, -0.1))
+
+
+def test_greedy_contiguous_rows_semantics_under_duplicate_ids(spark):
+    """The duprows trap, pinned at unit level: with exact duplicate rows
+    the ROWS-pinned cumsum must admit copies ONE AT A TIME — each copy
+    occupies its own token span — never all order-key peers at once
+    (Spark's default RANGE frame). The output multiset equals a
+    driver-side ROWS replay regardless of which copy got which span."""
+    rows = [(0, "a b c"), (0, "a b c"), (8, "d e f g"), (16, "h i")] * 2
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    packed = packing.pack_greedy_contiguous(df, "text", "doc_id", 5, 1)
+    got = sorted((r["doc_id"], r["start_tok"], r["n_tok"], r["pack_id"])
+                 for r in packed.collect())
+    # driver replay: same id order, ROWS semantics (one row per instance)
+    inst = sorted(rows)
+    cum, want = 0, []
+    for doc_id, text in inst:
+        n = len(text.split(" "))
+        want.append((doc_id, cum, n, cum // 5))
+        cum += n
+    assert got == sorted(want)
+
+
+def test_budget_subsample_rows_semantics_under_duplicate_ids(spark):
+    """Same pin for the token budget: under RANGE the duplicated head doc
+    would be admitted as a 2-copy block (both or neither); under ROWS
+    exactly as many copies fit as the budget allows."""
+    rows = [(1, "a b c d"), (1, "a b c d"), (2, "e f g h")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = packing.token_budget_subsample(
+        df, "text", "doc_id", budget_tokens=6, order_by=[F.asc("doc_id")]
+    ).collect()
+    # ROWS: first copy of doc 1 (cum 4) fits, second (cum 8) exceeds 6
+    assert [(r["doc_id"], r["cum_tok"]) for r in out] == [(1, 4)]

@@ -1225,3 +1225,42 @@ def test_build_cms_drops_nulls_in_both_hash_families(spark):
         total = cells.groupBy("row").agg(F.sum("cnt").alias("n")).collect()
         # every depth row sums to the NON-NULL instance count (3), both families
         assert all(r["n"] == 3 for r in total), (hf, total)
+
+
+def test_ngram_jaccard_hashed_intersect_equals_string_sets(spark):
+    """ngram_jaccard_pairs intersects 64-bit shingle hashes; the Jaccard
+    must equal a python string-set computation on the same corpus
+    (identical absent a ~2^-64 collision — this pins the equivalence on a
+    fixture with heavy overlap, repeated tokens, and near-threshold
+    pairs)."""
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the quick brown fox jumps over the lazy cat",
+        3: "the quick brown fox leaps over the lazy dog",
+        4: "completely different words here nothing shared",
+        5: "the quick brown fox jumps over the lazy dog",  # exact dup of 1
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            df, "text", "doc_id", n=3, threshold=0.2
+        ).collect()
+    }
+
+    def sh(s):
+        t = s.split(" ")
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    want = {}
+    ids = sorted(texts)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sh(texts[a]) & sh(texts[b]))
+            j = inter / (len(sh(texts[a])) + len(sh(texts[b])) - inter)
+            if j >= 0.2:
+                want[(a, b)] = j
+    assert got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12, (k, got[k], want[k])
+    assert got[(1, 5)] == 1.0  # the exact duplicate
