@@ -598,14 +598,19 @@ def q22(spark, sf_dir):
 @q(
     "q23",
     """SELECT event_type,
-              CAST(SUM(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k,
+              CAST(SUM(CASE WHEN regexp_matches(props->>'k', '^-?[0-9]+$')
+                            THEN TRY_CAST(props->>'k' AS INT) END) AS BIGINT) AS sum_k,
               COUNT(*) AS cnt
        FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST""",
-    "JSON extraction (get_json_object ↔ duckdb ->>)",
+    "JSON extraction (get_json_object ↔ duckdb ->>). try_cast on the "
+    "engine side (ANSI CAST throws on the advjson float/array/overflow "
+    "classes); the oracle regex-guards its TRY_CAST to Spark's string→int "
+    "semantics — DuckDB TRY_CAST('3.7' AS INT) ROUNDS to 4 where Spark "
+    "rejects non-integral strings with NULL",
 )
 def q23(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    k = F.expr("try_cast(get_json_object(props, '$.k') as int)")
     return (
         e.groupBy("event_type")
         .agg(F.sum(k).alias("sum_k"), F.count(F.lit(1)).alias("cnt"))
@@ -1607,12 +1612,32 @@ def q52_full_outer(spark, sf_dir):
 
 @q(
     "q53_json_map",
-    """SELECT event_type,
-              array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,
+    """WITH v AS (SELECT event_type, props,
+                         (json_type(props::JSON) = 'OBJECT'
+              AND len(list_filter(json_keys(props),
+                    key -> NOT (json_extract_string(props, key) IS NULL
+                                OR (json_type(json_extract(props, key))
+                                      IN ('BIGINT', 'UBIGINT')
+                                    AND TRY_CAST(json_extract_string(props, key)
+                                                 AS BIGINT)
+                                        BETWEEN -2147483648 AND 2147483647))))
+                  = 0) AS m_ok
+                  FROM events)
+       SELECT event_type,
+              CASE WHEN props IS NULL THEN NULL
+                   WHEN m_ok THEN
+                     COALESCE(array_to_string(list_sort(json_keys(props)), ','), '')
+                   ELSE NULL END AS prop_keys,
               COUNT(*) AS cnt
-       FROM events GROUP BY event_type, prop_keys
+       FROM v GROUP BY event_type, prop_keys
        ORDER BY event_type NULLS FIRST, prop_keys NULLS FIRST""",
-    "JSON → map: from_json + map_keys (↔ duckdb json_keys)",
+    "JSON → map: from_json + map_keys (↔ duckdb json_keys). The oracle "
+    "replicates Spark's from_json(map<string,int>) PARSE contract, which "
+    "the advjson soak pinned: the WHOLE map is NULL unless the value is a "
+    "JSON object whose every value is an int32-range integer or null "
+    "(json_keys alone would still list keys for the failed classes); "
+    "empty object → '' (COALESCE — DuckDB array_to_string of [] is NULL "
+    "where Spark array_join is '', the advtext trap)",
 )
 def q53_json_map(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
@@ -2937,7 +2962,10 @@ def q91_kmeans(spark, sf_dir):
 @q(
     "q92_forward_fill",
     """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
-                         CAST(json_extract_string(props, '$.k') AS INT) AS k
+                         CASE WHEN regexp_matches(json_extract_string(props, '$.k'),
+                                                  '^-?[0-9]+$')
+                              THEN TRY_CAST(json_extract_string(props, '$.k') AS INT)
+                         END AS k
                   FROM events WHERE user_id < 20),
             s AS (SELECT user_id, event_id, ts,
                          CASE WHEN k % 7 = 0 THEN NULL ELSE k END AS k_sparse
@@ -2953,7 +2981,8 @@ def q91_kmeans(spark, sf_dir):
 )
 def q92_forward_fill(spark, sf_dir):
     e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
-    k = F.get_json_object("props", "$.k").cast("int")
+    # try_cast + regex-guarded oracle: the q23 advjson discipline
+    k = F.expr("try_cast(get_json_object(props, '$.k') as int)")
     s = e.select(
         "user_id",
         "event_id",
@@ -3374,14 +3403,36 @@ def q103_null_safe_join(spark, sf_dir):
 
 @q(
     "q104_map_functions",
-    """SELECT event_type,
-              COUNT(*) AS cnt,
-              CAST(SUM(2 * (CAST(props->>'k' AS BIGINT) + LENGTH(props))) AS BIGINT)
-                  AS sum_doubled,
-              MIN('k,n') AS keys_sig
-       FROM events
-       WHERE props->>'k' IS NOT NULL
-       GROUP BY event_type ORDER BY event_type NULLS FIRST""",
+    """WITH v AS (SELECT event_type, props,
+                         (json_type(props::JSON) = 'OBJECT'
+              AND len(list_filter(json_keys(props),
+                    key -> NOT (json_extract_string(props, key) IS NULL
+                                OR (json_type(json_extract(props, key))
+                                      IN ('BIGINT', 'UBIGINT')
+                                    AND TRY_CAST(json_extract_string(props, key)
+                                                 AS BIGINT)
+                                        BETWEEN -2147483648 AND 2147483647))))
+                  = 0) AS m_ok
+                  FROM events
+                  WHERE props IS NOT NULL),
+            kept AS (SELECT event_type, props FROM v
+                     WHERE m_ok AND list_contains(json_keys(props), 'k')),
+            per AS (SELECT event_type,
+                      CASE WHEN len(list_filter(json_keys(props),
+                                     key -> json_extract_string(props, key)
+                                            IS NULL)) > 0
+                           THEN NULL
+                           ELSE 2 * (list_aggregate(list_transform(json_keys(props),
+                                       key -> CAST(json_extract_string(props, key)
+                                                   AS BIGINT)), 'sum')
+                                     + LENGTH(props)) END AS row_sum,
+                      array_to_string(list_sort(list_concat(json_keys(props), ['n'])),
+                                      ',') AS sig
+                    FROM kept)
+       SELECT event_type, COUNT(*) AS cnt,
+              CAST(SUM(row_sum) AS BIGINT) AS sum_doubled,
+              MIN(sig) AS keys_sig
+       FROM per GROUP BY event_type ORDER BY event_type NULLS FIRST""",
     "MapType surface: from_json→map<string,int>, map_contains_key filter, "
     "map_concat + create_map, transform_values (genuine (k,v) lambda), "
     "map_values + aggregate fold, sorted map_keys signature; the oracle "
@@ -3555,11 +3606,22 @@ def q108_bool_median_aggs(spark, sf_dir):
 
 @q(
     "q109_variant_extract",
-    """SELECT event_type,
+    """WITH v AS (SELECT event_type,
+                         CASE WHEN json_type(json_extract(props, 'k'))
+                                   IN ('BIGINT', 'UBIGINT')
+                                THEN CAST(props->>'k' AS BIGINT)
+                              WHEN json_type(json_extract(props, 'k')) = 'DOUBLE'
+                                THEN CAST(TRUNC(CAST(props->>'k' AS DOUBLE)) AS BIGINT)
+                              WHEN json_type(json_extract(props, 'k')) = 'VARCHAR'
+                                   AND regexp_matches(props->>'k', '^-?[0-9]+$')
+                                THEN TRY_CAST(props->>'k' AS BIGINT)
+                              ELSE NULL END AS k
+                  FROM events)
+       SELECT event_type,
               COUNT(*) AS cnt,
-              CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
-              CAST(MAX(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
-       FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST""",
+              CAST(SUM(k) AS BIGINT) AS sum_k,
+              CAST(MAX(k) AS BIGINT) AS max_k
+       FROM v GROUP BY event_type ORDER BY event_type NULLS FIRST""",
     "Spark 4 VARIANT path: parse_json → open semi-structured VariantType "
     "column → typed try_variant_get('$.k') extraction (binary variant "
     "encoding, not string re-parsing per access — the scale path for "

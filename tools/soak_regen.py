@@ -74,6 +74,19 @@ to stay green on each:
   own first row — broken referential integrity (joins that match nothing
   must agree as empties/NULL-completions, not diverge).
 
+- ``advjson`` : events.props re-materialized adversarially — the shipped
+  generator only ever emits ``{"k": <int>}``, so every JSON path
+  (get_json_object casts, from_json map parses, VARIANT extraction,
+  json_keys signatures) was untested against schema drift. Classes (by
+  event_id % 12): empty object, explicit null value, different key,
+  string-typed number, extra key, whitespace-padded, int32 overflow,
+  bare ``null`` literal, array value, case-different key, float value,
+  original. Cross-engine traps this space holds: Spark's ANSI
+  string→int cast THROWS on '3.7' where a naive oracle TRY_CAST ROUNDS
+  to 4; Spark's from_json(map<string,int>) nulls the WHOLE map when any
+  value fails the type (DuckDB json_keys still lists keys); VARIANT
+  long extraction truncates floats toward zero.
+
 - ``duprows`` : exact duplicate rows injected — every 7th row appended
   again verbatim plus a 5-copy hot clump of the first row (the
   at-least-once delivery / feed-replay ops shape). Duplicated ids make
@@ -173,7 +186,33 @@ def build_variant(name: str, out_dir: Path) -> None:
     for t in TABLES:
         src = SF_SRC / f"{t}.parquet"
         dst = out_dir / f"{t}.parquet"
-        if name == "duprows":
+        if name == "advjson" and t == "events":
+            tbl = pq.read_table(src)
+            ids = tbl.column("event_id").to_pylist()
+            props = tbl.column("props").to_pylist()
+            CLASSES = [
+                "{}",                      # 0: no key
+                '{"k": null}',             # 1: explicit JSON null value
+                '{"other": 5}',            # 2: different key
+                '{"k": "12"}',             # 3: string-typed number
+                '{"k": 1, "j": 2}',        # 4: extra key
+                ' {"k": 7} ',              # 5: whitespace-padded
+                '{"k": 2147483648}',       # 6: int32 overflow (fits int64)
+                "null",                    # 7: bare JSON null literal
+                '{"k": [1, 2]}',           # 8: array value
+                '{"K": 5}',                # 9: case-different key
+                '{"k": 3.7}',              # 10: float value
+            ]
+            new = [
+                CLASSES[i % 12] if (i % 12) < 11 else orig
+                for i, orig in zip(ids, props)
+            ]
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index("props"), "props",
+                pa.array(new, pa.string()),
+            )
+            pq.write_table(tbl, dst)
+        elif name == "duprows":
             # exact duplicate rows injected (at-least-once delivery / feed
             # replay reality): every 7th row appended again verbatim, plus
             # the first row as a 5-copy hot clump. Both engines see the
@@ -324,7 +363,7 @@ def main(argv: list[str]) -> int:
 
     variants = argv or [
         "ts_micros", "ts_nanos", "half2", "half4", "rowshuffle", "advtext",
-        "advembed", "date32", "int32", "nulls", "empty", "onerow", "duprows",
+        "advembed", "date32", "int32", "nulls", "empty", "onerow", "duprows", "advjson",
     ]
     spark = get_spark(app_name="soak-regen", shuffle_partitions=16)
     total_fail = 0
