@@ -87,6 +87,16 @@ to stay green on each:
   value fails the type (DuckDB json_keys still lists keys); VARIANT
   long extraction truncates floats toward zero.
 
+- ``colshuffle`` : every table's physical column order permuted — a regen
+  is free to emit any column order, so every reader (Spark schema'd scan,
+  DuckDB view, operator projections) must bind by NAME, never position.
+
+- ``addcols`` : additive schema evolution — two NEW columns appended to
+  every table (``_extra_v2`` int, ``_extra_note`` string). The contract's
+  output schemas must stay CLOSED: a SELECT-*-shaped passthrough on either
+  engine side would leak the new columns into the compared frame and
+  schema-mismatch (the realistic upstream-added-a-field regen).
+
 - ``duprows`` : exact duplicate rows injected — every 7th row appended
   again verbatim plus a 5-copy hot clump of the first row (the
   at-least-once delivery / feed-replay ops shape). Duplicated ids make
@@ -186,7 +196,28 @@ def build_variant(name: str, out_dir: Path) -> None:
     for t in TABLES:
         src = SF_SRC / f"{t}.parquet"
         dst = out_dir / f"{t}.parquet"
-        if name == "advjson" and t == "events":
+        if name == "colshuffle":
+            # physical column order permuted (a regen is free to emit any
+            # column order): every reader must bind by NAME, never position
+            tbl = pq.read_table(src)
+            names = list(tbl.schema.names)
+            perm = sorted(names, key=lambda n: (hash(n) % 7, n), reverse=True)
+            pq.write_table(tbl.select(perm), dst)
+        elif name == "addcols":
+            # additive schema evolution: a regen appends NEW columns the
+            # contract has never seen — explicit projections must keep the
+            # output schemas closed (no SELECT-*-shaped leakage on either
+            # engine side)
+            tbl = pq.read_table(src)
+            n = tbl.num_rows
+            tbl = tbl.append_column(
+                "_extra_v2", pa.array([i % 3 for i in range(n)], pa.int64())
+            )
+            tbl = tbl.append_column(
+                "_extra_note", pa.array(["x"] * n, pa.string())
+            )
+            pq.write_table(tbl, dst)
+        elif name == "advjson" and t == "events":
             tbl = pq.read_table(src)
             ids = tbl.column("event_id").to_pylist()
             props = tbl.column("props").to_pylist()
@@ -363,7 +394,7 @@ def main(argv: list[str]) -> int:
 
     variants = argv or [
         "ts_micros", "ts_nanos", "half2", "half4", "rowshuffle", "advtext",
-        "advembed", "date32", "int32", "nulls", "empty", "onerow", "duprows", "advjson",
+        "advembed", "date32", "int32", "nulls", "empty", "onerow", "duprows", "advjson", "colshuffle", "addcols",
     ]
     spark = get_spark(app_name="soak-regen", shuffle_partitions=16)
     total_fail = 0
