@@ -78,6 +78,15 @@ def _with_standard_grand_total(
     )
     if taken:
         raise ValueError(f"column name(s) {taken} are reserved by the grand-total repair")
+    # renaming _GID to a name an agg alias or input column already uses
+    # would yield a duplicate output column downstream
+    if keep_grouping_id and keep_grouping_id != _GID and keep_grouping_id in (
+        agg_names | set(df.columns)
+    ):
+        raise ValueError(
+            f"keep_grouping_id {keep_grouping_id!r} collides with an aggregate "
+            "alias or input column — the rename would duplicate the name"
+        )
     out = grouped_data.agg(*aggs, F.grouping_id().alias(_GID))
     maxgid = (1 << len(keys)) - 1
     rest = out.where(F.col(_GID) != maxgid)

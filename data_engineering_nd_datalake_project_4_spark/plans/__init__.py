@@ -108,6 +108,35 @@ def shuffle_count(df: DataFrame) -> int:
     return plan.count("Exchange hashpartitioning") + plan.count("Exchange rangepartitioning")
 
 
+def _cardinality_bounded(node) -> bool:
+    """True if ``node``'s output row count is bounded by a CONSTANT
+    (independent of input data size) — the property that makes a
+    single-task global window safe.
+
+    - Limit nodes bound their subtree by the limit constant.
+    - A global (no-key) Aggregate emits exactly one row.
+    - Unary nodes preserve their child's bound (a Filter/Project over
+      <= k rows is <= k rows).
+    - A Join of two constant-bounded sides is bounded by the product of
+      the constants — still a constant. A Limit on only ONE branch does
+      NOT bound the join (the other side scales with the data), which is
+      the false negative this recursion exists to close: a Limit on an
+      unrelated branch must not sanction the window.
+    - A Union is bounded iff EVERY child is bounded.
+    - Leaves (scans) scale with the data: unbounded.
+    """
+    name = node.nodeName()
+    if name in ("GlobalLimit", "LocalLimit", "Limit"):
+        return True
+    if name == "Aggregate" and node.groupingExpressions().isEmpty():
+        return True
+    n = node.children().size()
+    if n == 0:
+        # LocalRelation of literals is a compile-time constant
+        return name == "LocalRelation"
+    return all(_cardinality_bounded(node.children().apply(i)) for i in range(n))
+
+
 def global_window_sites(df: DataFrame) -> list[str]:
     """Unpartitioned Window nodes over an UNBOUNDED input — the q160 class
     of scale bug: ``Window.orderBy(...)`` without ``partitionBy`` funnels
@@ -115,10 +144,12 @@ def global_window_sites(df: DataFrame) -> list[str]:
     fatal at 100 TB.
 
     Walks the optimized logical plan (py4j); a Window with an empty
-    partitionSpec is flagged unless its subtree contains a Limit — the
-    sanctioned limit-then-rank idiom (top-k via TakeOrderedAndProject
-    FIRST, then the rank window over <= k rows; see bm25_topk and q160)
-    always has a GlobalLimit/LocalLimit below the window.
+    partitionSpec is flagged unless its INPUT cardinality is bounded by a
+    constant — the sanctioned limit-then-rank idiom (top-k via
+    TakeOrderedAndProject FIRST, then the rank window over <= k rows; see
+    bm25_topk and q160). Boundedness is computed structurally
+    (``_cardinality_bounded``): a Limit on an unrelated join/union branch
+    does NOT sanction the window.
 
     Returns one short description per offending node (empty = clean).
     """
@@ -127,15 +158,7 @@ def global_window_sites(df: DataFrame) -> list[str]:
     while stack:
         node = stack.pop()
         if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
-            sub, bounded = [node], False
-            while sub:
-                m = sub.pop()
-                if m.nodeName() in ("GlobalLimit", "LocalLimit", "Limit"):
-                    bounded = True
-                    break
-                for i in range(m.children().size()):
-                    sub.append(m.children().apply(i))
-            if not bounded:
+            if not _cardinality_bounded(node.children().apply(0)):
                 sites.append(node.simpleString(120))
         for i in range(node.children().size()):
             stack.append(node.children().apply(i))
@@ -170,25 +193,49 @@ def default_range_running_aggs(df: DataFrame) -> list[str]:
     NOT flagged: peer-inclusion is their SQL definition, identical in
     both engines. Returns the offending function names (empty = clean).
     """
-    import re
-
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     out: list[str] = []
-    # fn(args...) windowspecdefinition(... <default RANGE signature>)
-    for m in re.finditer(r"(\w+)\((?:[^()]|\([^()]*\))*\) windowspecdefinition\(", plan):
-        fn = m.group(1)
-        tail = plan[m.end() - 1 :]
-        # the frame spec is inside THIS windowspecdefinition's parens:
-        # scan to its closing paren with a depth counter
-        depth, i = 0, 0
-        for i, ch in enumerate(tail):
+    # each window expression prints as "fn(args...) windowspecdefinition(...)";
+    # both paren groups are depth-counted, so arbitrarily nested argument
+    # expressions (e.g. sum(cast(abs(x) as bigint))) are handled — a
+    # one-level regex would silently skip them (false negative)
+    marker = " windowspecdefinition("
+    pos = plan.find(marker)
+    while pos != -1:
+        # backward scan: match the function call's closing paren just
+        # before the space, depth-count back to its opening paren, then
+        # read the identifier immediately before it
+        fn = None
+        if pos > 0 and plan[pos - 1] == ")":
+            depth, j = 0, pos - 1
+            while j >= 0:
+                ch = plan[j]
+                if ch == ")":
+                    depth += 1
+                elif ch == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j -= 1
+            if j > 0:
+                k = j
+                while k > 0 and (plan[k - 1].isalnum() or plan[k - 1] == "_"):
+                    k -= 1
+                fn = plan[k:j]
+        # forward scan: the frame spec is inside THIS windowspecdefinition's
+        # parens — depth-count to its closing paren
+        start = pos + len(marker) - 1
+        depth, i = 0, start
+        for i in range(start, len(plan)):
+            ch = plan[i]
             if ch == "(":
                 depth += 1
             elif ch == ")":
                 depth -= 1
                 if depth == 0:
                     break
-        spec = tail[: i + 1]
-        if _DEFAULT_RANGE_SIG in spec and fn.lower() in _RUNNING_AGG_FNS:
+        spec = plan[start : i + 1]
+        if fn and _DEFAULT_RANGE_SIG in spec and fn.lower() in _RUNNING_AGG_FNS:
             out.append(fn)
+        pos = plan.find(marker, pos + 1)
     return out

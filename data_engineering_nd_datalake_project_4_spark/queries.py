@@ -3609,7 +3609,7 @@ def q108_bool_median_aggs(spark, sf_dir):
     """WITH v AS (SELECT event_type,
                          CASE WHEN json_type(json_extract(props, 'k'))
                                    IN ('BIGINT', 'UBIGINT')
-                                THEN CAST(props->>'k' AS BIGINT)
+                                THEN TRY_CAST(props->>'k' AS BIGINT)
                               WHEN json_type(json_extract(props, 'k')) = 'DOUBLE'
                                 THEN CAST(TRUNC(CAST(props->>'k' AS DOUBLE)) AS BIGINT)
                               WHEN json_type(json_extract(props, 'k')) = 'VARCHAR'

@@ -149,3 +149,13 @@ def test_rollup_rejects_alias_colliding_with_key(spark):
     assert aggregates.rollup(
         df, ["a"], [F.count(F.lit(1)).alias("cnt")], keep_grouping_id="__gid"
     ).collect()
+    # keep_grouping_id equal to an agg alias or an existing df column
+    # would duplicate the output column name after the rename
+    with pytest.raises(ValueError, match="duplicate the name"):
+        aggregates.rollup(
+            df, ["a"], [F.count(F.lit(1)).alias("cnt")], keep_grouping_id="cnt"
+        )
+    with pytest.raises(ValueError, match="duplicate the name"):
+        aggregates.rollup(
+            df, ["a"], [F.count(F.lit(1)).alias("cnt")], keep_grouping_id="b"
+        )

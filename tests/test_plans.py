@@ -431,6 +431,36 @@ def test_global_window_audit_catches_the_bad_plan(spark, sf_dir):
     assert not plans.global_window_sites(good_part)
 
 
+def test_global_window_audit_limit_on_wrong_branch_still_flags(spark, sf_dir):
+    """A Limit on an UNRELATED join branch must not sanction a global
+    window above the join: the other side scales with the data, so the
+    join output — and therefore the window input — is unbounded. (The
+    pre-fix audit accepted any Limit anywhere in the subtree.) A join of
+    two constant-bounded sides IS bounded (product of constants) and
+    must still pass."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ord_ = load_table(spark, sf_dir, "orders")
+
+    small = ord_.orderBy("o_orderkey").limit(5).select("o_orderkey")
+    joined = li.join(small, li.l_orderkey == small.o_orderkey)
+    bad = joined.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("l_quantity")))
+    )
+    assert plans.global_window_sites(bad), (
+        "a Limit on one join branch must not bound the window input"
+    )
+
+    left = li.orderBy("l_orderkey").limit(5).select("l_orderkey", "l_quantity")
+    right = ord_.orderBy("o_orderkey").limit(5).select("o_orderkey")
+    both = left.join(right, left.l_orderkey == right.o_orderkey)
+    good = both.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("l_quantity")))
+    )
+    assert not plans.global_window_sites(good)
+
+
 #: queries allowed an aggregate window on the DEFAULT ordered-window
 #: frame (RANGE UNBOUNDED PRECEDING .. CURRENT ROW). Empty by policy:
 #: peer-inclusive running aggregates diverge from ROWS-pinned oracles the
@@ -478,3 +508,23 @@ def test_default_range_audit_discriminates(spark, sf_dir):
     assert not plans.default_range_running_aggs(
         li.withColumn("c", F.cume_dist().over(key))
     )
+
+
+def test_default_range_audit_handles_nested_argument_parens(spark, sf_dir):
+    """A running aggregate over a DEEPLY nested argument expression
+    (e.g. sum(cast(abs(x) as bigint))) must still flag on the default
+    RANGE frame — the pre-fix regex only matched one paren level and
+    silently skipped these (false negative)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    key = Window.partitionBy("l_returnflag").orderBy("l_orderkey")
+    deep = F.sum(
+        F.abs(F.col("l_quantity")).cast("bigint")
+        + F.coalesce(F.round(F.col("l_tax"), 2).cast("bigint"), F.lit(0))
+    )
+    bad = li.withColumn("c", deep.over(key))
+    assert plans.default_range_running_aggs(bad) == ["sum"]
+
+    rows = key.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    assert not plans.default_range_running_aggs(li.withColumn("c", deep.over(rows)))

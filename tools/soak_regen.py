@@ -112,6 +112,7 @@ Exit code = number of failing (variant, query) pairs.
 
 from __future__ import annotations
 
+import hashlib
 import importlib.util
 import shutil
 import sys
@@ -201,7 +202,13 @@ def build_variant(name: str, out_dir: Path) -> None:
             # column order): every reader must bind by NAME, never position
             tbl = pq.read_table(src)
             names = list(tbl.schema.names)
-            perm = sorted(names, key=lambda n: (hash(n) % 7, n), reverse=True)
+            # deterministic permutation key: Python's hash() is salted per
+            # process (PYTHONHASHSEED), which would make the variant
+            # irreproducible across sweeps
+            def _pkey(n: str) -> int:
+                return int(hashlib.md5(n.encode()).hexdigest()[:8], 16) % 7
+
+            perm = sorted(names, key=lambda n: (_pkey(n), n), reverse=True)
             pq.write_table(tbl.select(perm), dst)
         elif name == "addcols":
             # additive schema evolution: a regen appends NEW columns the
