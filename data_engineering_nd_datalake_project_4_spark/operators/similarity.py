@@ -86,6 +86,51 @@ def brute_force_topk(
     )
 
 
+#: Hard cap on plan-folded centroid literals (doubles) for the map-side
+#: nearest-centroid expressions. Past it, fall back to the broadcast-join
+#: + window path — the pq_adc lesson: a plan that grows with the model
+#: needs an explicit budget, not hope.
+_MAX_CENTROID_PLAN_DOUBLES = 1 << 16
+
+
+def _collect_centroid_model(
+    centroids: DataFrame, centroid_id: str, centroid_vec: str
+) -> list[tuple]:
+    """``[(cid, [float, ...]), ...]`` ordered by cid — bounded driver-side
+    model state (k·dim floats), the same contract as kmeans centroids and
+    PQ codebooks."""
+    rows = centroids.select(centroid_id, centroid_vec).collect()
+    out = [(r[0], [float(x) for x in (r[1] or [])]) for r in rows]
+    out.sort(key=lambda t: (t[0] is None, t[0]))
+    return out
+
+
+def _nearest_centroid_keys(vec: Column, cents: list[tuple]) -> Column:
+    """``array<struct<k,c>>`` with ``k = -cosine(vec, centroid)`` (NULL →
+    +inf): ascending struct order is exactly ``cosine DESC NULLS LAST,
+    cid ASC`` — the order the shuffled fallback's window uses, so both
+    paths pick identical buckets (ties and zero-norm vectors included)."""
+    return F.array(
+        *[
+            F.struct(
+                F.coalesce(
+                    -cosine_similarity(vec, F.array(*[F.lit(x) for x in cv])),
+                    F.lit(float("inf")),
+                ).alias("k"),
+                F.lit(cid).alias("c"),
+            )
+            for cid, cv in cents
+        ]
+    )
+
+
+def _centroid_plan_fits(cents: list[tuple]) -> bool:
+    return (
+        not cents
+        or len(cents) * max(len(cv) for _, cv in cents) <= _MAX_CENTROID_PLAN_DOUBLES
+    )
+
+
 def assign_ivf_buckets(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -94,8 +139,48 @@ def assign_ivf_buckets(
     centroid_id: str = "centroid_id",
     centroid_vec: str = "centroid",
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid (max cosine). One broadcast
-    join + window; adds a ``bucket`` column."""
+    """Assign each vector to its nearest centroid (max cosine, ties to the
+    lowest centroid id); adds a ``bucket`` column.
+
+    MAP-SIDE: the centroid model folds into the plan as literals and every
+    row evaluates one argmin expression — ZERO shuffles, like
+    :func:`pq_encode` / :func:`_coarse_assign`. The previous shape
+    (broadcast crossJoin + row_number window) pushed |V|·C vector-carrying
+    rows through a ``hashpartitioning(id)`` exchange — C× the corpus over
+    the wire, exactly what the repo-wide wide-shuffle audit
+    (``plans.wide_shuffle_sites``) exists to catch. Models past the
+    literal budget fall back to that path (``_assign_ivf_buckets_shuffled``).
+    """
+    cents = _collect_centroid_model(centroids, centroid_id, centroid_vec)
+    if not _centroid_plan_fits(cents):
+        return _assign_ivf_buckets_shuffled(
+            vectors, centroids, id_col, vec_col, centroid_id, centroid_vec
+        )
+    if not cents:
+        # empty model (trained on zero rows): no assignments, but the
+        # output schema must still carry a typed bucket column (empty soak)
+        return vectors.limit(0).withColumn(
+            "bucket", F.lit(None).cast(centroids.schema[centroid_id].dataType)
+        )
+    from data_engineering_nd_datalake_project_4_spark.operators import ensure_map_parallelism
+
+    vectors = ensure_map_parallelism(vectors)
+    keys = _nearest_centroid_keys(F.col(vec_col), cents)
+    return vectors.withColumn("bucket", F.array_min(keys)["c"])
+
+
+def _assign_ivf_buckets_shuffled(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroid_id: str,
+    centroid_vec: str,
+) -> DataFrame:
+    """Broadcast-crossJoin + window fallback for models too large to fold
+    into the plan. Shuffles |V|·C vector-carrying rows — only acceptable
+    because a model this size (> 2^16 plan doubles) should be using
+    :func:`ivfpq_adc_topk` (LUTs ride as data rows) instead."""
     from data_engineering_nd_datalake_project_4_spark.operators import ensure_map_parallelism
 
     vectors = ensure_map_parallelism(vectors)
@@ -126,27 +211,58 @@ def ivf_topk(
 ) -> DataFrame:
     """Approximate top-k: only vectors in the query's ``nprobe`` nearest
     centroid buckets are scored. Recall < 1.0 by construction; recall vs
-    :func:`brute_force_topk` is property-tested, not oracle-hashed."""
+    :func:`brute_force_topk` is property-tested, not oracle-hashed.
+
+    Probe selection is the same map-side literal argmin as
+    :func:`assign_ivf_buckets` (sort the per-centroid key array, slice
+    ``nprobe`` — clamped to the trained cell count like FAISS): neither
+    the corpus nor the query vectors ride a keyed shuffle anywhere in
+    this plan; the only exchange is the bucket-key candidate join."""
     cid = centroids.columns[0]
     cvec = centroids.columns[1]
+    cents = _collect_centroid_model(centroids, cid, cvec)
+    if not cents:
+        # empty model: typed empty result (empty soak)
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        schema = StructType(
+            [
+                StructField("query_id", queries.schema[id_col].dataType),
+                StructField("neighbor_id", vectors.schema[id_col].dataType),
+                StructField("sim", DoubleType()),
+            ]
+        )
+        return vectors.sparkSession.createDataFrame([], schema)
     bucketed = assign_ivf_buckets(vectors, centroids, id_col, vec_col, cid, cvec)
 
-    c = F.broadcast(
-        centroids.select(F.col(cid).alias("__cid"), F.col(cvec).alias("__cv"))
-    )
-    qscored = queries.crossJoin(c).withColumn(
-        "__csim", cosine_similarity(F.col(vec_col), F.col("__cv"))
-    )
-    wq = Window.partitionBy(id_col).orderBy(F.desc("__csim"), F.asc("__cid"))
-    probes = (
-        qscored.withColumn("__rn", F.row_number().over(wq))
-        .filter(F.col("__rn") <= nprobe)
-        .select(
+    if _centroid_plan_fits(cents):
+        keys = _nearest_centroid_keys(F.col(vec_col), cents)
+        probe_buckets = F.transform(
+            F.slice(F.array_sort(keys), 1, min(nprobe, len(cents))),
+            lambda s: s["c"],
+        )
+        probes = queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("__qv"),
-            F.col("__cid").alias("bucket"),
+            F.explode(probe_buckets).alias("bucket"),
         )
-    )
+    else:
+        c = F.broadcast(
+            centroids.select(F.col(cid).alias("__cid"), F.col(cvec).alias("__cv"))
+        )
+        qscored = queries.crossJoin(c).withColumn(
+            "__csim", cosine_similarity(F.col(vec_col), F.col("__cv"))
+        )
+        wq = Window.partitionBy(id_col).orderBy(F.desc("__csim"), F.asc("__cid"))
+        probes = (
+            qscored.withColumn("__rn", F.row_number().over(wq))
+            .filter(F.col("__rn") <= nprobe)
+            .select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("__qv"),
+                F.col("__cid").alias("bucket"),
+            )
+        )
     cand = bucketed.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vv"), "bucket"
     )

@@ -52,12 +52,27 @@ def curate(
     id_col: str = "doc_id",
     min_quality: float = 0.3,
 ) -> DataFrame:
-    """Full curation flow → the surviving, scored documents."""
+    """Full curation flow → the surviving, scored documents.
+
+    Both dedup hash keys are STAGED as materialized columns in one
+    projection before the first window: a window keyed on a raw
+    ``xxhash64(text)`` expression forces ``text`` through BOTH window
+    exchanges (the second key still references it), whereas staged keys
+    let Catalyst's ColumnPruning drop ``text`` below the shuffles
+    whenever the consumer doesn't select it (q58/q140: the corpus never
+    rides an exchange — verified by the repo-wide wide-shuffle audit).
+    """
     scored = score(df, text_col)
     filtered = scored.filter(F.col("quality") >= min_quality)
-    exact = keep_first_per_key(filtered, F.xxhash64(F.col(text_col)), id_col)
-    near = keep_first_per_key(exact, F.xxhash64(canonical_text_key(text_col)), id_col)
-    return near
+    staged = filtered.withColumns(
+        {
+            "__h_exact": F.xxhash64(F.col(text_col)),
+            "__h_canon": F.xxhash64(canonical_text_key(text_col)),
+        }
+    )
+    exact = keep_first_per_key(staged, F.col("__h_exact"), id_col)
+    near = keep_first_per_key(exact, F.col("__h_canon"), id_col)
+    return near.drop("__h_exact", "__h_canon")
 
 
 def curate_annotated(
@@ -88,16 +103,26 @@ def curate_annotated(
     """
     scored = score(df, text_col)
     q_ok = F.coalesce(F.col("quality") >= min_quality, F.lit(False))
-    scored = scored.withColumn("__q_ok", q_ok)
+    # stage BOTH dedup hash keys alongside the gate flag so neither
+    # window expression references text — ColumnPruning then drops the
+    # corpus below the window exchanges when the consumer doesn't select
+    # it (see curate(); q140 shuffles 8-byte hashes + flags only)
+    scored = scored.withColumns(
+        {
+            "__q_ok": q_ok,
+            "__h_exact": F.xxhash64(F.col(text_col)),
+            "__h_canon": F.xxhash64(canonical_text_key(text_col)),
+        }
+    )
     w_exact = Window.partitionBy(
-        F.col("__q_ok"), F.xxhash64(F.col(text_col))
+        F.col("__q_ok"), F.col("__h_exact")
     ).orderBy(F.asc(id_col))
     scored = scored.withColumn("__rn_e", F.row_number().over(w_exact))
     scored = scored.withColumn(
         "__e_first", F.col("__q_ok") & (F.col("__rn_e") == 1)
     )
     w_near = Window.partitionBy(
-        F.col("__e_first"), F.xxhash64(canonical_text_key(text_col))
+        F.col("__e_first"), F.col("__h_canon")
     ).orderBy(F.asc(id_col))
     scored = scored.withColumn("__rn_n", F.row_number().over(w_near))
     reason = (
@@ -106,7 +131,7 @@ def curate_annotated(
         .when(F.col("__rn_n") > 1, F.lit("near_dup"))
     )
     return scored.withColumn("reject_reason", reason).drop(
-        "__q_ok", "__rn_e", "__e_first", "__rn_n"
+        "__q_ok", "__h_exact", "__h_canon", "__rn_e", "__e_first", "__rn_n"
     )
 
 

@@ -165,6 +165,127 @@ def global_window_sites(df: DataFrame) -> list[str]:
     return sites
 
 
+import re as _re
+
+#: column names that denote RAW WIDE PAYLOADS — document text and its
+#: direct derivatives. A shuffle whose rows carry one of these moves the
+#: corpus itself across the network; at 100 TB that is the difference
+#: between "shuffles keys" (GBs) and "shuffles the dataset" (the full
+#: 100 TB, per shuffle). Hash/key/id columns never match.
+_WIDE_STRING_RE = _re.compile(
+    r"(^|_)(text|paragraph|content|body|chunk|sentence|page|html|doc)s?\d*($|_)",
+    _re.IGNORECASE,
+)
+
+#: array<string> columns that are text fan-outs (token/gram lists are as
+#: wide as the text they came from — the q141 lesson is to hash them
+#: INSIDE the fan-out projection, before any exchange)
+_WIDE_TOKEN_RE = _re.compile(
+    r"(^|_)(token|tok|word|gram|shingle|term|para|sent)s?\d*($|_)",
+    _re.IGNORECASE,
+)
+
+
+def _wide_attr(attr) -> str | None:
+    """Describe ``attr`` if it is a wide payload column, else None."""
+    dt = attr.dataType()
+    tn = dt.typeName()
+    name = attr.name()
+    if tn == "string" and _WIDE_STRING_RE.search(name):
+        return f"{name}:string"
+    if tn == "array":
+        et = dt.elementType().typeName()
+        if et in ("float", "double"):
+            # embedding vectors: ~KBs per row; must ride at most the
+            # bounded per-id rescore join, never the candidate fan-out
+            return f"{name}:array<{et}>"
+        if et == "string" and (
+            _WIDE_TOKEN_RE.search(name) or _WIDE_STRING_RE.search(name)
+        ):
+            return f"{name}:array<string>"
+    return None
+
+
+def wide_shuffle_sites(df: DataFrame) -> list[str]:
+    """KEYED shuffle Exchange nodes whose PAYLOAD carries a wide column —
+    raw document text (or a text-named string/token-array derivative) or
+    a float vector. The single most important 100 TB property of a plan
+    is what its shuffles carry: keys and hashes are GBs; text and vectors
+    are the dataset. Every text/vector operator in this repo is designed
+    to shuffle 64-bit hashes or (id, band_key) rows instead
+    (dedup/minhash/simhash/span-scrub/semantic-dedup), so a keyed
+    Exchange carrying one of these columns is either a bug or a
+    deliberately whitelisted bounded join (see WIDE_SHUFFLE_BY_DESIGN in
+    tests/test_plans.py — EMPTY by policy).
+
+    Flags ``hashpartitioning`` / ``rangepartitioning`` /
+    ``SinglePartition`` exchanges: those implement join/agg/sort
+    semantics, so a wide payload rides the data-movement hot path (and a
+    SinglePartition one serializes the corpus through ONE task).
+    ``RoundRobinPartitioning`` exchanges are exempt: in this repo they
+    come only from ``operators.ensure_map_parallelism`` — a deliberate,
+    volume-bounded (each row moves exactly once, no fan-out)
+    compute-spreading repartition that self-disables once the scan
+    already yields enough splits, i.e. always at 100 TB.
+
+    Inspects the PRE-AQE initial physical plan (``executedPlan`` →
+    ``AdaptiveSparkPlan.initialPlan`` — ``sparkPlan`` predates
+    EnsureRequirements, so join/agg exchanges don't exist there yet) so
+    broadcast decisions reflect Catalyst's static choice at the test SF;
+    a join that broadcasts at test scale but would shuffle at 100 TB is
+    out of this audit's reach (same accepted limitation as the window
+    audits) — the per-site structural guards cover those shapes.
+
+    The FINAL presentation sort is exempt: a root-spine
+    ``Sort → Exchange rangepartitioning`` is the result contract's own
+    ORDER BY — "return the transformed corpus ordered by id" moves each
+    output row exactly once through a TeraSort-shaped range shuffle,
+    which is the correct distributed plan for that ask. Only the
+    OUTERMOST such sort (reached from the root through unary
+    Project/Filter/Limit nodes) qualifies; a range sort feeding further
+    joins/aggregates/windows still flags.
+
+    Returns one description per (exchange, wide column) pair.
+    """
+    sites: list[str] = []
+    top = df._jdf.queryExecution().executedPlan()
+    if top.nodeName() == "AdaptiveSparkPlan":
+        top = top.initialPlan()
+
+    # locate the presentation-sort exchange on the root unary spine
+    presentation_exchange = None
+    node, seen_sort = top, False
+    _spine = {"Project", "Filter", "GlobalLimit", "LocalLimit", "CollectLimit"}
+    while True:
+        name = node.nodeName()
+        if name == "Sort":
+            seen_sort = True
+        elif name == "Exchange":
+            if seen_sort and "rangepartitioning" in node.simpleString(150):
+                presentation_exchange = node.id()  # unique per plan node
+            break
+        elif name not in _spine:
+            break
+        if node.children().size() != 1:
+            break
+        node = node.children().apply(0)
+
+    stack = [top]
+    while stack:
+        node = stack.pop()
+        if node.nodeName() == "Exchange" and node.id() != presentation_exchange:
+            sig = node.simpleString(150)
+            if "RoundRobinPartitioning" not in sig:
+                out = node.output()
+                for i in range(out.size()):
+                    desc = _wide_attr(out.apply(i))
+                    if desc:
+                        sites.append(f"{desc} rides {sig}")
+        for i in range(node.children().size()):
+            stack.append(node.children().apply(i))
+    return sites
+
+
 #: aggregate window functions for which a peer-inclusive RANGE running
 #: frame is almost always the DEFAULT-frame trap, not a choice
 _RUNNING_AGG_FNS = {

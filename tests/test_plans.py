@@ -528,3 +528,95 @@ def test_default_range_audit_handles_nested_argument_parens(spark, sf_dir):
 
     rows = key.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     assert not plans.default_range_running_aggs(li.withColumn("c", deep.over(rows)))
+
+
+#: queries allowed a KEYED shuffle whose payload carries raw text /
+#: token arrays / float vectors. EMPTY by policy: shuffles carry hashes
+#: and keys, never the corpus. Every text/vector operator stages a
+#: 64-bit hash (or (id, band_key) row) before its exchange; rescore
+#: joins re-attach wide columns by id AFTER candidate pruning, and at
+#: test SF those joins broadcast (out of the audit's static reach — the
+#: per-site structural guards pin them). Add a name here ONLY with a
+#: reason comment proving the exchange volume is bounded (|V|-bounded
+#: single rescore join, never a candidate fan-out).
+WIDE_SHUFFLE_BY_DESIGN: dict[str, str] = {
+    # blocked_all_pairs_cosine IS distributed GEMM: EXACT all-pairs cosine
+    # requires every block pair to co-locate both blocks' vectors — the
+    # (bi, bj) exchange carrying vectors is the algorithm, with bounded
+    # replication factor n_blocks (block_size is the volume/parallelism
+    # dial). The approximate alternatives for when exact isn't required
+    # are q43 (sign-LSH) and q142 (semantic dedup) — both key-only.
+    "q41_embedding_near_dup": "exact all-pairs = distributed GEMM; block-pair exchange is the algorithm",
+    "q57_blocked_near_dup": "exact all-pairs = distributed GEMM; block-pair exchange is the algorithm",
+}
+
+
+def test_no_wide_payload_keyed_shuffles(spark, sf_dir):
+    """'Shuffles carry hashes, not text/vectors' as a repo-wide class
+    invariant (r9, generalizing the per-site q28/q141/q142/q147 guards):
+    every registry query's physical plan must have ZERO keyed exchanges
+    (hash/range/SinglePartition) whose payload includes raw document
+    text, a token/gram array, or an embedding vector. At 100 TB such an
+    exchange moves the dataset, not keys (see plans.wide_shuffle_sites;
+    round-robin compute-spreading from ensure_map_parallelism is exempt
+    — volume-bounded and self-disabling at scale)."""
+    offenders = {}
+    for name, query in sorted(REGISTRY.items()):
+        if name in WIDE_SHUFFLE_BY_DESIGN:
+            continue
+        sites = plans.wide_shuffle_sites(query.spark_fn(spark, sf_dir))
+        if sites:
+            offenders[name] = sites
+    assert not offenders, f"wide payloads riding keyed shuffles: {offenders}"
+
+
+def test_wide_shuffle_audit_discriminates(spark, sf_dir):
+    """Red/green cases for the audit itself: a text-carrying groupBy key
+    exchange and a text-carrying hash repartition flag; hashing the text
+    BEFORE the exchange passes; an embedding riding a hash repartition
+    flags; ensure_map_parallelism's round-robin spread is exempt; a
+    global sort carrying text (rangepartitioning) flags."""
+    from data_engineering_nd_datalake_project_4_spark import operators
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    # red: the corpus text as a shuffle KEY (it's also in the payload)
+    bad_group = docs.groupBy("text").count()
+    assert plans.wide_shuffle_sites(bad_group), "text-keyed exchange missed"
+
+    # red: text payload riding an id-keyed hash repartition
+    bad_repart = docs.repartition(8, "doc_id")
+    assert plans.wide_shuffle_sites(bad_repart), "text payload missed"
+
+    # red: embedding payload riding a keyed exchange
+    bad_vec = emb.repartition(8, "vec_id")
+    assert plans.wide_shuffle_sites(bad_vec), "vector payload missed"
+
+    # green: a bare global sort of the result is the presentation sort
+    # (root-spine Sort → rangepartitioning) — the exemption by definition
+    assert not plans.wide_shuffle_sites(docs.orderBy("doc_id"))
+
+    # green: hash the text first — the exchange carries 64-bit hashes
+    good_hash = (
+        docs.select("doc_id", F.xxhash64("text").alias("h")).groupBy("h").count()
+    )
+    assert not plans.wide_shuffle_sites(good_hash)
+
+    # green: the deliberate round-robin compute-spread is exempt
+    good_spread = operators.ensure_map_parallelism(docs, min_partitions=8)
+    assert not plans.wide_shuffle_sites(good_spread)
+
+    # green: the FINAL presentation ORDER BY of a text-bearing result is
+    # the result contract's own sort — one TeraSort-shaped move, exempt
+    good_final = docs.withColumn("n", F.length("text")).orderBy("doc_id")
+    assert not plans.wide_shuffle_sites(good_final)
+
+    # red: the SAME range sort feeding further work is interior data
+    # movement, not presentation — must still flag
+    bad_mid = (
+        docs.orderBy("doc_id")
+        .groupBy(F.col("doc_id") % 10)
+        .agg(F.first("text").alias("t"))
+    )
+    assert plans.wide_shuffle_sites(bad_mid), "mid-plan range sort missed"
