@@ -87,6 +87,19 @@ to stay green on each:
   value fails the type (DuckDB json_keys still lists keys); VARIANT
   long extraction truncates floats toward zero.
 
+- ``skewkeys`` : hot-key DISTRIBUTION attack — every prior variant attacks
+  values, types, or row multiplicity; this one attacks the key histogram,
+  the shape that actually breaks 100 TB runs. One user_id owns ~50% of
+  events (plus one event_type ~2/3 dominant), one customer owns ~50% of
+  orders (o_custkey), one part owns ~50% of lineitem rows (l_partkey),
+  one token ('the', interleaved after every token of 2/3 of documents)
+  dominates the corpus, and one embedding label owns ~50% of vectors
+  (skewed k-means/IVF cells). Primary ids stay unique, so every total
+  ORDER BY tie-break still holds — any divergence is an operator whose
+  SEMANTICS (not just speed) depend on key distribution: per-key windows,
+  greatest-n-per-group, heavy hitters, BM25 idf of a stop-word-like term,
+  span dedup over massive repeated-gram runs, single-cell ANN models.
+
 - ``colshuffle`` : every table's physical column order permuted — a regen
   is free to emit any column order, so every reader (Spark schema'd scan,
   DuckDB view, operator projections) must bind by NAME, never position.
@@ -250,6 +263,56 @@ def build_variant(name: str, out_dir: Path) -> None:
                 pa.array(new, pa.string()),
             )
             pq.write_table(tbl, dst)
+        elif name == "skewkeys":
+            tbl = pq.read_table(src)
+
+            def _hot_rewrite(key_col: str, id_col: str, mod: int = 2) -> None:
+                nonlocal tbl
+                keys = tbl.column(key_col).to_pylist()
+                ids = tbl.column(id_col).to_pylist()
+                hot = min((k for k in keys if k is not None), default=None)
+                if hot is None:
+                    return
+                new = [hot if i % mod == 0 else k for i, k in zip(ids, keys)]
+                i = tbl.schema.get_field_index(key_col)
+                tbl = tbl.set_column(
+                    i, key_col, pa.array(new, tbl.schema.field(i).type)
+                )
+
+            if t == "events":
+                _hot_rewrite("user_id", "event_id", 2)
+                # one event_type majority-dominant (group/pivot key skew)
+                _hot_rewrite("event_type", "event_id", 2)
+            elif t == "orders":
+                _hot_rewrite("o_custkey", "o_orderkey", 2)
+            elif t == "lineitem":
+                _hot_rewrite("l_partkey", "l_orderkey", 2)
+            elif t == "embeddings":
+                _hot_rewrite("label", "vec_id", 2)
+            elif t == "documents":
+                ids = tbl.column("doc_id").to_pylist()
+                texts = tbl.column("text").to_pylist()
+
+                def _dominate(doc_id: int, s):
+                    if s is None or doc_id % 3 == 2 or not s:
+                        return s
+                    return " ".join(
+                        tok for w in s.split(" ") for tok in (w, "the")
+                    )
+
+                new_texts = [_dominate(i, s) for i, s in zip(ids, texts)]
+                tbl = tbl.set_column(
+                    tbl.schema.get_field_index("text"), "text",
+                    pa.array(new_texts, pa.string()),
+                )
+                tbl = tbl.set_column(
+                    tbl.schema.get_field_index("n_chars"), "n_chars",
+                    pa.array(
+                        [len(s) if s is not None else None for s in new_texts],
+                        pa.int64(),
+                    ),
+                )
+            pq.write_table(tbl, dst)
         elif name == "duprows":
             # exact duplicate rows injected (at-least-once delivery / feed
             # replay reality): every 7th row appended again verbatim, plus
@@ -401,7 +464,8 @@ def main(argv: list[str]) -> int:
 
     variants = argv or [
         "ts_micros", "ts_nanos", "half2", "half4", "rowshuffle", "advtext",
-        "advembed", "date32", "int32", "nulls", "empty", "onerow", "duprows", "advjson", "colshuffle", "addcols",
+        "advembed", "date32", "int32", "nulls", "empty", "onerow", "duprows",
+        "advjson", "colshuffle", "addcols", "skewkeys",
     ]
     spark = get_spark(app_name="soak-regen", shuffle_partitions=16)
     total_fail = 0
