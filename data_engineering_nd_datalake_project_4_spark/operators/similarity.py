@@ -416,6 +416,7 @@ def kmeans(
     vec_col: str,
     k: int = 8,
     iters: int = 5,
+    cache: bool = True,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Lloyd's k-means over an ``array<float>`` column; returns
     ``(assignments DataFrame[id, cluster], final centroids)``.
@@ -434,10 +435,21 @@ def kmeans(
     (BASELINE.json training-data ops). Non-SQL-expressible (iterative) —
     property-tested against a numpy replication instead of the DuckDB
     oracle.
+
+    ``cache=True`` localCheckpoints the (id, double-vector) training
+    frame ONCE so the ``iters`` assignment/recompute passes read a
+    materialized copy instead of re-running the scan + projection
+    lineage per iteration — the standard iterative-training discipline
+    (Spark MLlib caches its training set the same way). Train on a
+    sample when the corpus itself is the input; pass ``cache=False``
+    when the caller already materialized the frame (e.g. pq_train's
+    shared base).
     """
     rows = df.select(
         F.col(id_col).alias("id"), as_double_array(F.col(vec_col)).alias("v")
     )
+    if cache and iters > 1:
+        rows = rows.localCheckpoint(eager=False)
     init = rows.orderBy("id").limit(k).collect()
     centroids = [list(r["v"]) for r in init]
     if not centroids:
@@ -688,6 +700,53 @@ def _pq_subspace(v: Column, s: int, sub_dim: int) -> Column:
     return F.slice(v, s * sub_dim + 1, sub_dim)
 
 
+def _collect_train_sample(df: DataFrame, id_col: str, vec_col: str, n: int):
+    """The ``n`` lowest-id vectors as a float64 matrix (None if empty).
+    One TakeOrderedAndProject job — a scalable per-partition top-k heap,
+    deterministic whatever the partitioning or physical row order."""
+    import numpy as np
+
+    rows = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("id"), as_double_array(F.col(vec_col)).alias("v"))
+        .orderBy("id")
+        .limit(n)
+        .collect()
+    )
+    if not rows:
+        return None
+    return np.array([r["v"] for r in rows], dtype=np.float64)
+
+
+def _assign_numpy(X, C, block: int = 4096):
+    """Argmin-squared-L2 cluster per row, row-blocked to bound the n·k·dim
+    distance tensor; ties break to the lowest index (numpy argmin), the
+    same rule as :func:`kmeans` / :func:`pq_encode`."""
+    import numpy as np
+
+    a = np.zeros(len(X), dtype=np.int64)
+    for lo in range(0, len(X), block):
+        blk = X[lo : lo + block]
+        d2 = ((blk[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a[lo : lo + block] = d2.argmin(axis=1)
+    return a
+
+
+def _lloyd_numpy(X, k: int, iters: int) -> list[list[float]]:
+    """Driver-side Lloyd's on a bounded training sample: init = the first
+    k rows (the k smallest ids — the sample is id-ordered), empty clusters
+    keep their previous centroid. Same algorithm as the distributed
+    :func:`kmeans`; only the mean's float association order differs."""
+    C = X[: min(k, len(X))].copy()
+    for _ in range(iters):
+        a = _assign_numpy(X, C)
+        for c in range(len(C)):
+            mask = a == c
+            if mask.any():
+                C[c] = X[mask].mean(axis=0)
+    return [[float(x) for x in row] for row in C]
+
+
 def pq_train(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -695,6 +754,7 @@ def pq_train(
     m: int = 4,
     k: int = 16,
     iters: int = 5,
+    max_train_rows: int | None = None,
 ) -> list[list[list[float]]]:
     """Train product-quantization codebooks (Jégou et al., "Product
     Quantization for Nearest Neighbor Search", TPAMI 2011): split each
@@ -704,26 +764,33 @@ def pq_train(
     k<=256) instead of ``4*dim``, a 32x storage cut at dim=64/m=8.
 
     Model state is m*k*(dim/m) = k*dim driver-side floats (same footprint
-    as one k-means model); the training scans are the m per-subspace
-    k-means passes — each iteration's only shuffle is the tiny centroid
-    recompute. dim must divide evenly by ``m``.
+    as one k-means model). dim must divide evenly by ``m``.
+
+    TRAINING IS A BOUNDED-SAMPLE DRIVER-SIDE STAGE (the FAISS-canonical
+    shape: faiss trains quantizers on ~max_points_per_centroid·k sampled
+    vectors, never the corpus): the ``max_train_rows`` lowest-id vectors
+    are collected once (one TakeOrderedAndProject job — a scalable top-k
+    heap, deterministic across runs/partitionings) and all m subspace
+    Lloyd's runs happen in numpy on that sample. At 100 TB this is the
+    honest design — iterative full-corpus training jobs would re-scan the
+    dataset iters·m times for a model whose quality saturates at a few
+    thousand samples per centroid; ENCODE and SEARCH stay fully
+    distributed (map-side literal argmin / LUT folds). Same deterministic
+    init (k smallest ids) and first-match argmin tie-break as
+    :func:`kmeans`; only the mean's float association order differs
+    (identical contract to the distributed partial+final avg — the PQ
+    gates are recall/exactness properties, not centroid bits).
     """
-    probe = df.select(as_double_array(F.col(vec_col)).alias("v")).first()
-    if probe is None:
+    X = _collect_train_sample(df, id_col, vec_col, max_train_rows or 256 * k)
+    if X is None:
         return []  # empty training input: no codebooks (empty soak)
-    dim = len(probe["v"])
+    dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     sub = dim // m
-    codebooks = []
-    for s in range(m):
-        sliced = df.select(
-            F.col(id_col).alias("id"),
-            _pq_subspace(as_double_array(F.col(vec_col)), s, sub).alias("v"),
-        )
-        _, centroids = kmeans(sliced, "id", "v", k=k, iters=iters)
-        codebooks.append(centroids)
-    return codebooks
+    return [
+        _lloyd_numpy(X[:, s * sub : (s + 1) * sub], k, iters) for s in range(m)
+    ]
 
 
 def pq_encode(
@@ -906,6 +973,7 @@ def ivfpq_train(
     m: int = 4,
     k: int = 16,
     iters: int = 5,
+    max_train_rows: int | None = None,
 ) -> tuple[list[list[float]], list[list[list[float]]]]:
     """Train the FAISS-canonical IVFADC index (Jégou et al. 2011 §V):
     ``nlist`` coarse k-means centroids, then PQ codebooks over the
@@ -913,23 +981,27 @@ def ivfpq_train(
     vector energy, so the same code budget quantizes finer than flat PQ.
 
     Returns ``(coarse_centroids, residual_codebooks)``. Model state is
-    nlist*dim + k*dim driver-side floats. The residual projection is
-    map-side (coarse centroids fold in as literals); training cost is one
-    coarse k-means + one per-subspace k-means pass over residuals.
+    nlist*dim + k*dim driver-side floats. Training is the same
+    bounded-sample driver-side stage as :func:`pq_train` (FAISS-canonical
+    — one sample collect, then coarse Lloyd's + residual projection +
+    per-subspace Lloyd's all in numpy; encode/search stay distributed).
     """
-    _, coarse = kmeans(df, id_col, vec_col, k=nlist, iters=iters)
-    if not coarse:
-        return [], []  # empty training input: no model (empty soak)
-    v = as_double_array(F.col(vec_col))
-    cell = _coarse_assign(v, coarse)
-    clit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in coarse])
-    residuals = df.select(
-        F.col(id_col).alias(id_col),
-        F.zip_with(v, F.element_at(clit, cell + 1), lambda a, b: a - b).alias(
-            "__resid"
-        ),
+    import numpy as np
+
+    X = _collect_train_sample(
+        df, id_col, vec_col, max_train_rows or 256 * max(nlist, k)
     )
-    codebooks = pq_train(residuals, id_col, "__resid", m=m, k=k, iters=iters)
+    if X is None:
+        return [], []  # empty training input: no model (empty soak)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    coarse = _lloyd_numpy(X, nlist, iters)
+    R = X - np.asarray(coarse)[_assign_numpy(X, np.asarray(coarse))]
+    sub = dim // m
+    codebooks = [
+        _lloyd_numpy(R[:, s * sub : (s + 1) * sub], k, iters) for s in range(m)
+    ]
     return coarse, codebooks
 
 
