@@ -636,12 +636,25 @@ def semantic_dedup(
     are never removed, matching DuckDB. Real deployments run threshold
     0.9+ on trained embeddings; the default is calibrated to this repo's
     synthetic near-uniform vectors.
+
+    Cost floor (profiled at the sf1.0 lane, r9): the run is CANDIDATE-
+    VOLUME-BOUND — at q142's calibration the verify set is ~14.7M pairs
+    per 200k vectors, and the pair-distinct shuffle + two rescore joins +
+    14.7M interpreted dot products are all linear in that pair count; the
+    only redundant compute was the double evaluation of the plane folds
+    (fixed: the key frame localCheckpoints once). Shrinking further means
+    shrinking the PAIR SET (higher band_bits / threshold / trained
+    embeddings), not the plan.
     """
     if blocking == "lsh":
-        # the key frame is consumed by both self-join sides; the projection
-        # is cheap once spread (see kernel note above), so re-evaluating it
-        # per side costs less than an eager materialization job would
-        keys = banded_sign_lsh_keys(vectors, id_col, vec_col, bands, band_bits)
+        # the key frame is consumed by BOTH self-join sides: materialize it
+        # once (localCheckpoint, the q136 shared-subtree pattern) so the
+        # bands×band_bits sin-weighted plane folds — the heaviest map
+        # compute in this operator — run one time, not per branch. The
+        # checkpoint holds (id, band, band_key) 16-byte rows only.
+        keys = banded_sign_lsh_keys(
+            vectors, id_col, vec_col, bands, band_bits
+        ).localCheckpoint(eager=False)
         a = keys.select(F.col(id_col).alias("__ida"), "band", "band_key")
         b = keys.select(F.col(id_col).alias("__idb"), "band", "band_key")
         cand = (
@@ -667,6 +680,13 @@ def semantic_dedup(
     # dot) instead of three. try_divide(dot, na*nb) is the exact same
     # arithmetic cosine_similarity performs per pair — same values, same
     # fold order, so the threshold comparison is bit-identical.
+    # NOTE: the rescore sides deliberately re-derive from the parquet scan
+    # (NOT a shared localCheckpoint): checkpointing would erase the scan
+    # statistics Catalyst uses to broadcast these |V|-bounded joins, and
+    # an RDD-scan join side defaults to "huge" — turning the rescores into
+    # vector-carrying shuffles (the exact shape plans.wide_shuffle_sites
+    # forbids). Re-reading the column-pruned (id, vector) projection twice
+    # costs two O(|V|·dim) map passes; each side computes its own norm.
     va = vectors.select(
         F.col(id_col).alias("__ida"),
         as_double_array(F.col(vec_col)).alias("__va"),
