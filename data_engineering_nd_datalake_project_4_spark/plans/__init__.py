@@ -286,6 +286,32 @@ def wide_shuffle_sites(df: DataFrame) -> list[str]:
     return sites
 
 
+def rowwise_python_sites(df: DataFrame) -> list[str]:
+    """Row-at-a-time Python evaluation nodes (``BatchEvalPython`` /
+    ``BatchEvalPythonUDTF``) — the pickle-per-row slow path, 10-100×
+    behind Arrow-batched evaluation on the same logic. The repo's Python
+    surfaces are vectorized by construction (``ArrowEvalPython`` pandas
+    UDFs, ``FlatMapGroupsInPandas``/``MapInPandas`` appliers); a
+    BatchEvalPython node in a registry plan is either a bug (``F.udf``
+    where a built-in or ``@pandas_udf`` fits) or a deliberately
+    whitelisted API-surface demo (see ROWWISE_PYTHON_BY_DESIGN in
+    tests/test_plans.py). Same pre-AQE initial-plan walk as
+    :func:`wide_shuffle_sites`.
+    """
+    sites: list[str] = []
+    top = df._jdf.queryExecution().executedPlan()
+    if top.nodeName() == "AdaptiveSparkPlan":
+        top = top.initialPlan()
+    stack = [top]
+    while stack:
+        node = stack.pop()
+        if "BatchEvalPython" in node.nodeName():
+            sites.append(node.simpleString(150))
+        for i in range(node.children().size()):
+            stack.append(node.children().apply(i))
+    return sites
+
+
 #: aggregate window functions for which a peer-inclusive RANGE running
 #: frame is almost always the DEFAULT-frame trap, not a choice
 _RUNNING_AGG_FNS = {

@@ -620,3 +620,50 @@ def test_wide_shuffle_audit_discriminates(spark, sf_dir):
         .agg(F.first("text").alias("t"))
     )
     assert plans.wide_shuffle_sites(bad_mid), "mid-plan range sort missed"
+
+
+#: queries allowed a row-at-a-time Python evaluation node. One entry by
+#: policy: the UDTF API-surface demo — OSS Spark plans a non-arrow UDTF
+#: as BatchEvalPythonUDTF (spark.sql.execution.pythonUDTF.arrow.enabled
+#: defaults false), and flipping the transport conf engine-wide for one
+#: demo isn't worth the cross-type-coercion risk. Everything else that
+#: crosses into Python must be Arrow-batched (pandas_udf / mapInPandas /
+#: applyInPandas).
+ROWWISE_PYTHON_BY_DESIGN: dict[str, str] = {
+    "q122_udtf_chunking": "UDTF surface demo; OSS plans non-arrow UDTFs row-at-a-time",
+}
+
+
+def test_no_rowwise_python_udfs(spark, sf_dir):
+    """'UDFs are the slow path — and row-at-a-time Python is the slowest'
+    as a repo-wide class invariant (r9): no registry plan may contain a
+    BatchEvalPython node (pickle-per-row, 10-100x behind Arrow batching)
+    outside the one whitelisted API-surface demo (see
+    plans.rowwise_python_sites)."""
+    offenders = {}
+    for name, query in sorted(REGISTRY.items()):
+        if name in ROWWISE_PYTHON_BY_DESIGN:
+            continue
+        sites = plans.rowwise_python_sites(query.spark_fn(spark, sf_dir))
+        if sites:
+            offenders[name] = sites
+    assert not offenders, f"row-at-a-time Python evaluation: {offenders}"
+
+
+def test_rowwise_python_audit_discriminates(spark, sf_dir):
+    """Red/green for the audit: a row-at-a-time F.udf plan flags; the
+    Arrow-batched pandas_udf twin of the same logic passes."""
+    from pyspark.sql.functions import pandas_udf, udf
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_quantity")
+
+    slow = udf(lambda x: x * 2.0, "double")
+    assert plans.rowwise_python_sites(li.select(slow("l_quantity"))), (
+        "row-at-a-time UDF missed"
+    )
+
+    # no type hints: this module has `from __future__ import annotations`,
+    # which turns hints into strings pandas_udf can't infer (the udfs.py
+    # module-note trap) — pass a plain lambda to the decorator instead
+    fast = pandas_udf(lambda s: s * 2.0, "double")
+    assert not plans.rowwise_python_sites(li.select(fast("l_quantity")))
