@@ -1138,27 +1138,40 @@ def q41_embedding_near_dup(spark, sf_dir):
                 FROM u GROUP BY label, pos),
          cent AS (SELECT label AS cid, list(m ORDER BY pos) AS cv
                   FROM cm GROUP BY label),
-         q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-               FROM embeddings WHERE vec_id IN (0, 1, 2)),
-         qc AS (SELECT q.vec_id AS query_id, q.emb AS qemb, c.cid,
-                  list_dot_product(q.emb, c.cv)
-                  / (sqrt(list_dot_product(q.emb, q.emb))
+         -- probe/bucket selection is a PER-ROW map in the engine (literal
+         -- argmin per input row): compute it per DISTINCT vector, then
+         -- join back per input row so exact-duplicate feed rows each carry
+         -- their own probes/bucket (the q43 duprows join-back pattern —
+         -- a per-id window here would rank ACROSS copies instead)
+         qd AS (SELECT DISTINCT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                FROM embeddings WHERE vec_id IN (0, 1, 2)),
+         qc AS (SELECT qd.vec_id, c.cid,
+                  list_dot_product(qd.emb, c.cv)
+                  / (sqrt(list_dot_product(qd.emb, qd.emb))
                      * sqrt(list_dot_product(c.cv, c.cv))) AS csim
-                FROM q CROSS JOIN cent c),
-         probes AS (SELECT query_id, qemb, cid FROM (
-             SELECT *, row_number() OVER (PARTITION BY query_id
+                FROM qd CROSS JOIN cent c),
+         probe_ids AS (SELECT vec_id, cid FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
                           ORDER BY csim DESC NULLS LAST, cid) AS rn FROM qc)
            WHERE rn <= 3),
-         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-         vc AS (SELECT v.vec_id, v.emb, c.cid,
-                  list_dot_product(v.emb, c.cv)
-                  / (sqrt(list_dot_product(v.emb, v.emb))
+         q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings WHERE vec_id IN (0, 1, 2)),
+         probes AS (SELECT q.vec_id AS query_id, q.emb AS qemb, p.cid
+                    FROM q JOIN probe_ids p ON p.vec_id = q.vec_id),
+         vd AS (SELECT DISTINCT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                FROM embeddings),
+         vc AS (SELECT vd.vec_id, c.cid,
+                  list_dot_product(vd.emb, c.cv)
+                  / (sqrt(list_dot_product(vd.emb, vd.emb))
                      * sqrt(list_dot_product(c.cv, c.cv))) AS csim
-                FROM v CROSS JOIN cent c),
-         buckets AS (SELECT vec_id, emb, cid FROM (
+                FROM vd CROSS JOIN cent c),
+         bucket_ids AS (SELECT vec_id, cid FROM (
              SELECT *, row_number() OVER (PARTITION BY vec_id
                           ORDER BY csim DESC NULLS LAST, cid) AS rn FROM vc)
            WHERE rn = 1),
+         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         buckets AS (SELECT v.vec_id, v.emb, b.cid
+                     FROM v JOIN bucket_ids b ON b.vec_id = v.vec_id),
          scored AS (SELECT p.query_id, c.vec_id AS neighbor_id,
                       list_dot_product(p.qemb, c.emb)
                       / (sqrt(list_dot_product(p.qemb, p.qemb))
