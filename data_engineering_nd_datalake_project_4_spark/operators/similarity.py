@@ -217,7 +217,14 @@ def ivf_topk(
     :func:`assign_ivf_buckets` (sort the per-centroid key array, slice
     ``nprobe`` — clamped to the trained cell count like FAISS): neither
     the corpus nor the query vectors ride a keyed shuffle anywhere in
-    this plan; the only exchange is the bucket-key candidate join."""
+    this plan; the only exchange is the bucket-key candidate join.
+
+    REPLAY SEMANTICS: every step is a per-ROW map/join — exact duplicate
+    feed rows (at-least-once delivery) each probe and each candidate
+    independently, so duplicated ids surface as duplicated result rows.
+    Dedup the feed first (``dedup.exact_dedup``) when ids may repeat;
+    the q42 oracle replicates the per-row contract via the
+    compute-per-distinct-then-join-back pattern (duprows soak)."""
     cid = centroids.columns[0]
     cvec = centroids.columns[1]
     cents = _collect_centroid_model(centroids, cid, cvec)
