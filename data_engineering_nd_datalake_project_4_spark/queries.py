@@ -2573,7 +2573,14 @@ def q81_array_set_ops(spark, sf_dir):
     a = d.filter(F.col("doc_id") % 100 == 0).select(
         "doc_id", F.col("toks").alias("toks_a")
     )
-    b = d.select((F.col("doc_id") - 1).alias("doc_id"), F.col("toks").alias("toks_b"))
+    # hand-propagated join-key constraint: a.doc_id ≡ 0 (mod 100) and the
+    # key is b.doc_id - 1, so only b rows with doc_id ≡ 1 (mod 100) can
+    # match — Catalyst can't push modular arithmetic through the key, and
+    # without this the token arrays of the WHOLE corpus ride the join
+    # shuffle for a 1%-selectivity probe side
+    b = d.filter(F.col("doc_id") % 100 == 1).select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("toks").alias("toks_b")
+    )
     return (
         a.join(b, "doc_id")
         .select(
@@ -2866,9 +2873,19 @@ def q88_tfidf(spark, sf_dir):
                          string_split(text, ' ') AS toks,
                          len(string_split(text, ' ')) AS ntok
                   FROM documents WHERE doc_id < 60),
+            -- top-token dominance is a property of the DOCUMENT TEXT, so
+            -- it's computed per DISTINCT (doc_id, text) and joined back
+            -- per input row (the q43 duprows join-back pattern) — the
+            -- engine side is a per-row map fold; counting across exact
+            -- duplicate feed rows would leak feed multiplicity into a
+            -- per-document signal
+            dd AS (SELECT DISTINCT doc_id, text FROM documents
+                   WHERE doc_id < 60),
             top AS (SELECT doc_id, MAX(c) AS top_cnt FROM (
                       SELECT doc_id, COUNT(*) AS c
-                      FROM (SELECT doc_id, unnest(toks) AS token FROM d)
+                      FROM (SELECT doc_id,
+                                   unnest(string_split(text, ' ')) AS token
+                            FROM dd)
                       GROUP BY doc_id, token)
                     GROUP BY doc_id)
        SELECT d.doc_id,
@@ -2890,24 +2907,38 @@ def q88_tfidf(spark, sf_dir):
     "gates composed into one pass flag",
 )
 def q89_quality_signals(spark, sf_dir):
+    # PURE MAP (r9): top-token dominance = max run length over the SORTED
+    # token array, folded map-side — the previous explode → groupBy(doc,
+    # token) → max → join-back shape shuffled the token strings AND (with
+    # broadcast off, i.e. at 100 TB sizes) re-shuffled the text-carrying
+    # doc table by id for the join. Now the only exchange is the
+    # presentation sort. NULL-text docs are filtered explicitly — the old
+    # inner join dropped them (explode of NULL emits no rows) and the
+    # oracle's unnest+JOIN twin does the same.
     d = (
         _t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 60)
+        .filter((F.col("doc_id") < 60) & F.col("text").isNotNull())
         .select("doc_id", "text", tokens("text").alias("toks"))
         .withColumn("ntok", F.size("toks"))
     )
-    top = (
-        d.select("doc_id", F.explode("toks").alias("token"))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("top_cnt"))
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
     )
+
+    def _step(s, x):
+        run = F.when(x.eqNullSafe(s["prev"]), s["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(s["best"], run).alias("best")
+        )
+
+    top_cnt = F.aggregate(F.array_sort("toks"), zero, _step, lambda s: s["best"])
     ndistinct = F.size(F.array_distinct("toks"))
     stop_cnt = F.size(
         F.filter("toks", lambda x: (x == "the") | (x == "a"))
     )
-    out = d.join(top, "doc_id").select(
+    out = d.withColumn("top_cnt", top_cnt).select(
         "doc_id",
         "ntok",
         ndistinct.alias("ndistinct"),

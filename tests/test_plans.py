@@ -684,3 +684,55 @@ def test_query_registry_is_declarative():
     src = pathlib.Path(qmod.__file__).read_text()
     assert ".collect()" not in src
     assert ".toPandas()" not in src
+
+
+#: tier-2 whitelist: queries whose wide payload legitimately rides a
+#: keyed shuffle ONCE the data outgrows every broadcast (the 100 TB
+#: regime, simulated by autoBroadcastJoinThreshold=-1). Every entry must
+#: be a BOUNDED ONE-MOVE join — volume linear in its input/output, never
+#: a candidate fan-out.
+WIDE_SHUFFLE_AT_SCALE_BY_DESIGN: dict[str, str] = {
+    "q41_embedding_near_dup": "distributed GEMM (tier-1 entry)",
+    "q57_blocked_near_dup": "distributed GEMM (tier-1 entry)",
+    "q142_semantic_dedup": (
+        "cosine rescore: vectors re-attach by id once per pair side — "
+        "|V|-bounded single move; the pair GENERATION is key-only"
+    ),
+    "q143_strip_duplicate_spans": (
+        "scrub join-back: the output IS the rewritten text, which must "
+        "meet its duplicate-position rows once (one corpus move)"
+    ),
+    "q147_paragraph_dedup": (
+        "reassembly join-back: surviving paragraph text re-attaches by "
+        "doc once (one corpus move); dedup keys were hash-only"
+    ),
+    "q81_array_set_ops": (
+        "adjacent-doc set ops: the token arrays ARE the operands and must "
+        "meet at the join; both sides filtered to the 1% key classes "
+        "(hand-propagated modular key constraint)"
+    ),
+}
+
+
+def test_no_wide_payload_keyed_shuffles_at_scale(spark, sf_dir):
+    """Tier 2 of the wide-shuffle audit (r9): re-plan every registry query
+    with autoBroadcastJoinThreshold=-1 — simulating the 100 TB regime
+    where NO side fits a broadcast — and require that wide payloads ride
+    only the whitelisted bounded one-move joins. This closes the tier-1
+    audit's documented blind spot: a join that broadcasts at test SF but
+    would shuffle text/vectors at scale (found q89's text-carrying
+    stats join-back, now a pure map, and q81's unfiltered corpus-wide
+    probe side, now 1%)."""
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    offenders = {}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for name, query in sorted(REGISTRY.items()):
+            if name in WIDE_SHUFFLE_AT_SCALE_BY_DESIGN:
+                continue
+            sites = plans.wide_shuffle_sites(query.spark_fn(spark, sf_dir))
+            if sites:
+                offenders[name] = sites
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    assert not offenders, f"wide payloads on at-scale keyed shuffles: {offenders}"
