@@ -6188,8 +6188,12 @@ def q166_max_dup_spans(spark, sf_dir):
     "is a real group; NULLS FIRST pinned",
 )
 def q167_grouped_heavy_hitters(spark, sf_dir):
+    from data_engineering_nd_datalake_project_4_spark.operators import ensure_map_parallelism
+
+    # the sketch build hashes md5 once per token INSTANCE — compute-dense
+    # map work that must not serialize onto a single-row-group scan task
     tok = (
-        _t(spark, sf_dir, "documents")
+        ensure_map_parallelism(_t(spark, sf_dir, "documents"))
         .filter(F.col("text").isNotNull())
         .select("lang", F.explode(tokens("text")).alias("token"))
     )
