@@ -7,11 +7,26 @@ top-k without global sort, codegen coverage).
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from data_engineering_nd_datalake_project_4_spark import plans
 from data_engineering_nd_datalake_project_4_spark.catalog import load_table
 from data_engineering_nd_datalake_project_4_spark.queries import REGISTRY
+
+
+@pytest.fixture(scope="module")
+def registry_frames(spark, sf_dir):
+    """Every registry query constructed ONCE for the registry-wide plan
+    audits: construction is the expensive half (driver-side model fits,
+    localCheckpoint materializations) and the audits only READ the
+    resulting plans, so five audit classes share one construction pass.
+    The tier-2 at-scale audit builds its own frames — it must construct
+    under a modified broadcast threshold."""
+    return {
+        name: query.spark_fn(spark, sf_dir)
+        for name, query in sorted(REGISTRY.items())
+    }
 
 
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
@@ -96,7 +111,7 @@ NON_EQUI_BY_DESIGN = {
 }
 
 
-def test_no_accidental_nested_loop_joins(spark, sf_dir):
+def test_no_accidental_nested_loop_joins(registry_frames):
     """Every equi-join query must plan hash/sort-merge/broadcast-hash, never
     BroadcastNestedLoop — a silent BNLJ regression is an O(N·M) scale bug
     that still returns correct answers at test size. And NO query may plan
@@ -104,8 +119,8 @@ def test_no_accidental_nested_loop_joins(spark, sf_dir):
     sites must stay broadcast-bounded (1-row stats or capped probe sets),
     never an unbounded all-pairs product."""
     offenders, cartesian = [], []
-    for name, query in sorted(REGISTRY.items()):
-        plan = plans.explain_str(query.spark_fn(spark, sf_dir), "simple")
+    for name, df in registry_frames.items():
+        plan = plans.explain_str(df, "simple")
         if "BroadcastNestedLoopJoin" in plan and name not in NON_EQUI_BY_DESIGN:
             offenders.append(name)
         if "CartesianProduct" in plan:
@@ -387,17 +402,17 @@ def test_q155_bm25_filters_terms_before_shuffle_and_heaps_topk(spark, sf_dir):
 GLOBAL_WINDOW_BY_DESIGN: set[str] = set()
 
 
-def test_no_unbounded_global_rank_windows(spark, sf_dir):
+def test_no_unbounded_global_rank_windows(registry_frames):
     """The q160 class of scale bug, pinned repo-wide: a Window.orderBy
     without partitionBy over an unbounded frame serializes every input
     row through ONE task — correct at test SF, fatal at 100 TB. Every
     registry query's optimized plan must have zero unpartitioned Window
     nodes without a Limit below them (see plans.global_window_sites)."""
     offenders = {}
-    for name, query in sorted(REGISTRY.items()):
+    for name, df in registry_frames.items():
         if name in GLOBAL_WINDOW_BY_DESIGN:
             continue
-        sites = plans.global_window_sites(query.spark_fn(spark, sf_dir))
+        sites = plans.global_window_sites(df)
         if sites:
             offenders[name] = sites
     assert not offenders, f"unbounded global windows: {offenders}"
@@ -471,17 +486,17 @@ def test_global_window_audit_limit_on_wrong_branch_still_flags(spark, sf_dir):
 DEFAULT_RANGE_BY_DESIGN: set[str] = set()
 
 
-def test_no_default_range_running_aggregates(spark, sf_dir):
+def test_no_default_range_running_aggregates(registry_frames):
     """The duprows trap, pinned repo-wide: Spark's default frame for an
     ordered window is RANGE, which aggregates ALL order-key peers at once
     — a 'running' sum over it silently diverges from ROWS semantics when
     keys tie. Every registry query must pin its running-aggregate frames
     (see plans.default_range_running_aggs)."""
     offenders = {}
-    for name, query in sorted(REGISTRY.items()):
+    for name, df in registry_frames.items():
         if name in DEFAULT_RANGE_BY_DESIGN:
             continue
-        fns = plans.default_range_running_aggs(query.spark_fn(spark, sf_dir))
+        fns = plans.default_range_running_aggs(df)
         if fns:
             offenders[name] = fns
     assert not offenders, f"default-RANGE running aggregates: {offenders}"
@@ -551,7 +566,7 @@ WIDE_SHUFFLE_BY_DESIGN: dict[str, str] = {
 }
 
 
-def test_no_wide_payload_keyed_shuffles(spark, sf_dir):
+def test_no_wide_payload_keyed_shuffles(registry_frames):
     """'Shuffles carry hashes, not text/vectors' as a repo-wide class
     invariant (r9, generalizing the per-site q28/q141/q142/q147 guards):
     every registry query's physical plan must have ZERO keyed exchanges
@@ -561,10 +576,10 @@ def test_no_wide_payload_keyed_shuffles(spark, sf_dir):
     round-robin compute-spreading from ensure_map_parallelism is exempt
     — volume-bounded and self-disabling at scale)."""
     offenders = {}
-    for name, query in sorted(REGISTRY.items()):
+    for name, df in registry_frames.items():
         if name in WIDE_SHUFFLE_BY_DESIGN:
             continue
-        sites = plans.wide_shuffle_sites(query.spark_fn(spark, sf_dir))
+        sites = plans.wide_shuffle_sites(df)
         if sites:
             offenders[name] = sites
     assert not offenders, f"wide payloads riding keyed shuffles: {offenders}"
@@ -634,17 +649,17 @@ ROWWISE_PYTHON_BY_DESIGN: dict[str, str] = {
 }
 
 
-def test_no_rowwise_python_udfs(spark, sf_dir):
+def test_no_rowwise_python_udfs(registry_frames):
     """'UDFs are the slow path — and row-at-a-time Python is the slowest'
     as a repo-wide class invariant (r9): no registry plan may contain a
     BatchEvalPython node (pickle-per-row, 10-100x behind Arrow batching)
     outside the one whitelisted API-surface demo (see
     plans.rowwise_python_sites)."""
     offenders = {}
-    for name, query in sorted(REGISTRY.items()):
+    for name, df in registry_frames.items():
         if name in ROWWISE_PYTHON_BY_DESIGN:
             continue
-        sites = plans.rowwise_python_sites(query.spark_fn(spark, sf_dir))
+        sites = plans.rowwise_python_sites(df)
         if sites:
             offenders[name] = sites
     assert not offenders, f"row-at-a-time Python evaluation: {offenders}"
