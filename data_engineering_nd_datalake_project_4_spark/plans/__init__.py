@@ -83,7 +83,14 @@ def has_take_ordered(df: DataFrame) -> bool:
 def codegen_stage_count(df: DataFrame) -> int:
     """Number of WholeStageCodegen subtrees — zero means everything fell
     back to interpreted mode. Uses the ``codegen`` explain mode because an
-    un-executed AQE plan doesn't annotate codegen stages in ``simple``."""
+    un-executed AQE plan doesn't annotate codegen stages in ``simple``.
+
+    ORDER-SENSITIVE: must be the FIRST planning performed on ``df``. A
+    DataFrame caches its queryExecution at first explain/plan access; if
+    that happened with AQE on, the cached plan is an un-executed
+    AdaptiveSparkPlan whose codegen explain reports 0 subtrees, and the
+    AQE flip below can no longer help. Call this on a freshly-built
+    frame (tools/plan_lint.py rebuilds one for exactly this reason)."""
     spark = df.sparkSession
     aqe = spark.conf.get("spark.sql.adaptive.enabled")
     try:
