@@ -130,6 +130,10 @@ def _cardinality_bounded(node) -> bool:
       the false negative this recursion exists to close: a Limit on an
       unrelated branch must not sanction the window.
     - A Union is bounded iff EVERY child is bounded.
+    - Fan-out nodes (Generate/explode, Expand for rollup/cube) multiply
+      rows by a DATA-DEPENDENT factor (array length, grouping-set count
+      times values) — a limit(k) below them does NOT bound their output
+      by a constant, so they are unbounded regardless of their child.
     - Leaves (scans) scale with the data: unbounded.
     """
     name = node.nodeName()
@@ -137,6 +141,8 @@ def _cardinality_bounded(node) -> bool:
         return True
     if name == "Aggregate" and node.groupingExpressions().isEmpty():
         return True
+    if name in ("Generate", "Expand"):
+        return False
     n = node.children().size()
     if n == 0:
         # LocalRelation of literals is a compile-time constant
@@ -187,6 +193,18 @@ _WIDE_STRING_RE = _re.compile(
 #: array<string> columns that are text fan-outs (token/gram lists are as
 #: wide as the text they came from — the q141 lesson is to hash them
 #: INSIDE the fan-out projection, before any exchange)
+#:
+#: NAMING-CONVENTION DEPENDENCY (known, deliberate): string and
+#: array<string> payloads are detected by NAME, so a token array aliased
+#: outside this vocabulary (``items``, ``vals``, ``__tmp``) escapes both
+#: audit tiers — unlike float vectors, which are caught by TYPE alone
+#: (every array<float|double> is wide; not every string is). The repo
+#: convention is therefore: name text-derived columns with one of the
+#: stems below. tests/test_plans.py::test_wide_name_vocabulary_convention
+#: enforces the convention's other half — every array<string> column that
+#: reaches a keyed exchange in the registry today matches the vocabulary,
+#: so an escapee is a NEW column someone aliased around the audit, which
+#: code review catches at the naming site rather than the plan site.
 _WIDE_TOKEN_RE = _re.compile(
     r"(^|_)(token|tok|word|gram|shingle|term|para|sent)s?\d*($|_)",
     _re.IGNORECASE,
@@ -288,6 +306,51 @@ def wide_shuffle_sites(df: DataFrame) -> list[str]:
                     desc = _wide_attr(out.apply(i))
                     if desc:
                         sites.append(f"{desc} rides {sig}")
+        for i in range(node.children().size()):
+            stack.append(node.children().apply(i))
+    return sites
+
+
+def unvocabularied_string_array_shuffle_payloads(df: DataFrame) -> list[str]:
+    """The other half of the wide-payload audit's naming convention:
+    every ``array<string>`` column riding a keyed exchange that does NOT
+    match the wide-name vocabulary (``_WIDE_TOKEN_RE``/``_WIDE_STRING_RE``).
+
+    ``wide_shuffle_sites`` detects string payloads by NAME, so a token
+    array aliased ``items``/``vals``/``__tmp`` would escape both audit
+    tiers. This helper makes such an escape VISIBLE: the repo-wide test
+    (tests/test_plans.py::test_wide_name_vocabulary_convention) asserts
+    that the registry has zero unvocabularied array<string> shuffle
+    payloads beyond an explicitly-reviewed narrow whitelist — so adding
+    one is a deliberate, reviewed act, not a silent audit bypass.
+
+    Same keyed-exchange walk and exemptions (RoundRobin, presentation
+    sort is irrelevant here — a range presentation sort carrying an
+    array<string> still reports, since the caller decides narrowness).
+    Returns one ``name rides <exchange sig>`` entry per (exchange,
+    column) pair.
+    """
+    sites: list[str] = []
+    top = df._jdf.queryExecution().executedPlan()
+    if top.nodeName() == "AdaptiveSparkPlan":
+        top = top.initialPlan()
+    stack = [top]
+    while stack:
+        node = stack.pop()
+        if node.nodeName() == "Exchange":
+            sig = node.simpleString(150)
+            if "RoundRobinPartitioning" not in sig:
+                out = node.output()
+                for i in range(out.size()):
+                    attr = out.apply(i)
+                    dt = attr.dataType()
+                    if (
+                        dt.typeName() == "array"
+                        and dt.elementType().typeName() == "string"
+                        and not _WIDE_TOKEN_RE.search(attr.name())
+                        and not _WIDE_STRING_RE.search(attr.name())
+                    ):
+                        sites.append(f"{attr.name()} rides {sig}")
         for i in range(node.children().size()):
             stack.append(node.children().apply(i))
     return sites

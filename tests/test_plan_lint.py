@@ -54,11 +54,26 @@ def test_lint_at_scale_uses_rebuild_and_restores_conf(spark, sf_dir, capsys):
     pl = _mod()
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     agg = emb.groupBy("vec_id").agg(F.first("embedding").alias("embedding"))
-    agg._lint_rebuild = lambda: emb.groupBy("vec_id").agg(
-        F.first("embedding").alias("embedding")
-    )
     before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    n = pl.lint(agg, label="vec-agg", at_scale=True)
+    n = pl.lint(
+        agg,
+        label="vec-agg",
+        at_scale=True,
+        rebuild=lambda: emb.groupBy("vec_id").agg(
+            F.first("embedding").alias("embedding")
+        ),
+    )
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
     # a vector-carrying keyed aggregate flags in both tiers
     assert n >= 2
+
+
+def test_lint_at_scale_without_rebuild_raises(spark, sf_dir):
+    # the silent-fallback hole: at_scale over a cached plan would re-audit
+    # tier 1 and report clean — the API must refuse instead
+    import pytest
+
+    pl = _mod()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    with pytest.raises(ValueError, match="rebuild"):
+        pl.lint(docs.groupBy("doc_id").count(), label="no-thunk", at_scale=True)

@@ -476,6 +476,28 @@ def test_global_window_audit_limit_on_wrong_branch_still_flags(spark, sf_dir):
     assert not plans.global_window_sites(good)
 
 
+def test_global_window_audit_fanout_below_limit_still_flags(spark, sf_dir):
+    """A Generate (explode) or Expand node between a Limit and a global
+    window multiplies rows by a DATA-DEPENDENT factor — array length
+    times k rows is not a constant, so the limit must NOT sanction the
+    window (the r9 advisor's _cardinality_bounded hole). An explode of a
+    bounded LITERAL below the limit keeps the product data-dependent all
+    the same (the audit is structural, not value-aware) — the sanctioned
+    pattern remains limit-then-rank with no fan-out in between."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    fanned = (
+        docs.orderBy("doc_id")
+        .limit(5)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    )
+    bad = fanned.withColumn("rk", F.row_number().over(Window.orderBy("tok")))
+    assert plans.global_window_sites(bad), (
+        "explode below a limit must not bound the window input"
+    )
+
+
 #: queries allowed an aggregate window on the DEFAULT ordered-window
 #: frame (RANGE UNBOUNDED PRECEDING .. CURRENT ROW). Empty by policy:
 #: peer-inclusive running aggregates diverge from ROWS-pinned oracles the
@@ -583,6 +605,56 @@ def test_no_wide_payload_keyed_shuffles(registry_frames):
         if sites:
             offenders[name] = sites
     assert not offenders, f"wide payloads riding keyed shuffles: {offenders}"
+
+
+#: array<string> shuffle payloads whose names are OUTSIDE the wide-name
+#: vocabulary but are reviewed-narrow (bounded element count/width, not
+#: text derivatives). EMPTY by policy — name text-derived arrays with a
+#: vocabulary stem (tokens/grams/shingles/words/terms/paras/sents)
+#: instead of whitelisting them here.
+NARROW_STRING_ARRAYS_BY_DESIGN: dict[str, str] = {}
+
+
+def test_wide_name_vocabulary_convention(registry_frames):
+    """The wide-payload audit detects string/token-array payloads by NAME
+    (plans._WIDE_TOKEN_RE/_WIDE_STRING_RE), so an array<string> aliased
+    outside the vocabulary ('items', 'vals', '__tmp') would escape both
+    audit tiers. This is the convention's enforcement half: ZERO
+    array<string> columns ride keyed exchanges anywhere in the registry
+    without matching the vocabulary (beyond the reviewed-narrow
+    whitelist, empty by policy) — so a future escapee is a loud test
+    failure at the naming site, not a silent audit bypass."""
+    offenders = {}
+    for name, df in registry_frames.items():
+        if name in NARROW_STRING_ARRAYS_BY_DESIGN:
+            continue
+        sites = plans.unvocabularied_string_array_shuffle_payloads(df)
+        if sites:
+            offenders[name] = sites
+    assert not offenders, (
+        "array<string> shuffle payloads named outside the wide-name "
+        f"vocabulary (invisible to the wide-payload audit): {offenders}"
+    )
+
+
+def test_wide_name_vocabulary_detector_discriminates(spark, sf_dir):
+    """Red/green for the convention detector itself: a token array
+    aliased outside the vocabulary riding a keyed exchange reports; the
+    same array named 'tokens' does not (it is then the WIDE audit's
+    jurisdiction); a round-robin spread is exempt."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    esc = docs.select("doc_id", F.split("text", " ").alias("items"))
+
+    bad = esc.repartition(8, "doc_id")
+    assert plans.unvocabularied_string_array_shuffle_payloads(bad)
+
+    named = docs.select("doc_id", F.split("text", " ").alias("tokens"))
+    ok = named.repartition(8, "doc_id")
+    assert not plans.unvocabularied_string_array_shuffle_payloads(ok)
+    assert plans.wide_shuffle_sites(ok)  # and the wide audit now sees it
+
+    rr = esc.repartition(8)  # round-robin: exempt as in the wide audit
+    assert not plans.unvocabularied_string_array_shuffle_payloads(rr)
 
 
 def test_wide_shuffle_audit_discriminates(spark, sf_dir):

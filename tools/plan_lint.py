@@ -36,15 +36,31 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DEFAULT = "/root/testdata/sf0.01"
 
 
-def lint(df, *, label: str, at_scale: bool = False) -> int:
+def lint(df, *, label: str, at_scale: bool = False, rebuild=None) -> int:
+    """Lint one frame. ``rebuild`` is a zero-arg thunk that re-derives the
+    SAME logical plan from scratch — required for ``at_scale=True``
+    (the tier-2 audit flips the broadcast threshold, and a plan cached on
+    ``df`` before the flip would be silently re-audited unchanged, i.e.
+    the at-scale tier would report clean without having looked). The
+    legacy ``df._lint_rebuild`` attribute is still honored as a fallback
+    so existing callers keep working."""
     from data_engineering_nd_datalake_project_4_spark import plans
+
+    rebuild = rebuild or getattr(df, "_lint_rebuild", None)
+    if at_scale and rebuild is None:
+        raise ValueError(
+            "lint(at_scale=True) needs a rebuild thunk: the broadcast-"
+            "threshold flip only affects FRESHLY planned frames, so "
+            "auditing the cached plan would silently report the tier-1 "
+            "result as the at-scale result. Pass rebuild=lambda: <re-"
+            "derive the same frame>."
+        )
 
     findings = 0
     print(f"== {label} ==")
     # codegen count must come from a FRESH frame BEFORE any other explain:
     # the first planning of a df is cached, and a plan first computed with
     # AQE on reports 0 codegen subtrees forever after (helper docstring)
-    rebuild = getattr(df, "_lint_rebuild", None)
     cg = plans.codegen_stage_count(rebuild() if rebuild else df)
     simple = plans.explain_str(df, "simple")
 
@@ -78,11 +94,9 @@ def lint(df, *, label: str, at_scale: bool = False) -> int:
         thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         try:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-            # re-derive a fresh plan under the modified threshold: the
-            # caller passes a rebuild thunk via the attribute when the
-            # frame was built before the conf flip
-            rebuild = getattr(df, "_lint_rebuild", None)
-            scaled = rebuild() if rebuild else df
+            # re-derive a fresh plan under the modified threshold (the
+            # rebuild thunk was validated non-None above)
+            scaled = rebuild()
             for s in plans.wide_shuffle_sites(scaled):
                 findings += 1
                 print(f"FINDING [at-scale wide shuffle]: {str(s)[:200]}")
@@ -112,26 +126,32 @@ def main() -> int:
     spark = get_spark(app_name="plan_lint", shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
 
-    def frame_for(name):
+    def lint_query(name):
         q = REGISTRY[name]
-        df = q.spark_fn(spark, args.sf)
-        df._lint_rebuild = lambda: q.spark_fn(spark, args.sf)
-        return df
+        return lint(
+            q.spark_fn(spark, args.sf),
+            label=name,
+            at_scale=args.at_scale,
+            rebuild=lambda: q.spark_fn(spark, args.sf),
+        )
 
     total = 0
     if args.sql:
         register_views(spark, args.sf)
         sql = args.sql
-        df = spark.sql(sql)
-        df._lint_rebuild = lambda: spark.sql(sql)
-        total += lint(df, label="(ad-hoc sql)", at_scale=args.at_scale)
+        total += lint(
+            spark.sql(sql),
+            label="(ad-hoc sql)",
+            at_scale=args.at_scale,
+            rebuild=lambda: spark.sql(sql),
+        )
     elif args.all:
         for name in sorted(REGISTRY):
-            total += lint(frame_for(name), label=name, at_scale=args.at_scale)
+            total += lint_query(name)
     elif args.query:
         if args.query not in REGISTRY:
             raise SystemExit(f"unknown query {args.query!r}; names: q01..{sorted(REGISTRY)[-1]}")
-        total += lint(frame_for(args.query), label=args.query, at_scale=args.at_scale)
+        total += lint_query(args.query)
     else:
         ap.error("give a query name, --sql, or --all")
     print(f"total findings: {total}")

@@ -90,7 +90,8 @@ to stay green on each:
 - ``skewkeys`` : hot-key DISTRIBUTION attack — every prior variant attacks
   values, types, or row multiplicity; this one attacks the key histogram,
   the shape that actually breaks 100 TB runs. One user_id owns ~50% of
-  events (plus one event_type ~2/3 dominant), one customer owns ~50% of
+  events (plus one event_type rewritten onto every even event_id — ~50%
+  of rows plus the hot type's prior share), one customer owns ~50% of
   orders (o_custkey), one part owns ~50% of lineitem rows (l_partkey),
   one token ('the', interleaved after every token of 2/3 of documents)
   dominates the corpus, and one embedding label owns ~50% of vectors
