@@ -119,6 +119,13 @@ def main() -> None:
         reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")))
     except ValueError:
         reps = 1
+    # SPARK_GRAFT_BENCH_BYTES=1 additionally records each query's MEASURED
+    # shuffle read/write bytes (plans.observed_shuffle_bytes — the volume
+    # the plan audits can only bound). One extra untimed execution per
+    # query, so it's opt-in for the round-end regeneration, not the
+    # driver's per-round 1-rep run.
+    record_bytes = os.environ.get("SPARK_GRAFT_BENCH_BYTES", "") == "1"
+    shuffle_bytes: dict[str, dict] = {}
     timings: dict[str, float] = {}
     all_samples: dict[str, list[float]] = {}
     for name in sorted(REGISTRY):
@@ -131,6 +138,12 @@ def main() -> None:
         all_samples[name] = list(samples)
         samples.sort()
         timings[name] = samples[len(samples) // 2]  # median
+        if record_bytes:
+            from data_engineering_nd_datalake_project_4_spark import plans
+
+            shuffle_bytes[name] = plans.observed_shuffle_bytes(
+                REGISTRY[name].spark_fn(spark, sf_dir)
+            )
         print(f"{name:28s} {timings[name]:7.3f}s", file=sys.stderr)
 
     pipeline = _bench_sparkify_pipeline(spark)
@@ -151,16 +164,15 @@ def main() -> None:
     }
     os.makedirs("bench", exist_ok=True)
     with open("bench/results.json", "w") as f:
-        json.dump(
-            {
-                "headline": headline,
-                "queries_full": timings,
-                "samples": all_samples,
-                "sparkify_pipeline": pipeline,
-            },
-            f,
-            indent=1,
-        )
+        payload = {
+            "headline": headline,
+            "queries_full": timings,
+            "samples": all_samples,
+            "sparkify_pipeline": pipeline,
+        }
+        if shuffle_bytes:
+            payload["shuffle_bytes"] = shuffle_bytes
+        json.dump(payload, f, indent=1)
     line = json.dumps(headline, separators=(",", ":"))
     print(line)
     print(f"[bench] line length: {len(line)} bytes; full map in bench/results.json",

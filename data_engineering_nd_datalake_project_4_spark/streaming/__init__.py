@@ -443,6 +443,28 @@ def run_topk_candidate_stream(
     candidates from THIS sink, estimates from the cell state, zero
     raw-data rescans (see ``heavy_hitters_from_cms``).
 
+    QUANTIFIED error bound (the lossy-counting ε·N shape, Manku &
+    Motwani 2002): define per truncation j the eviction threshold
+    ``θ_j`` = the pool-th largest merged count if the merge overflowed
+    the pool, else 0 (observable as ``min(cnt)`` of snapshot ``v_j``
+    when it holds exactly ``pool`` rows). Every count an item loses, it
+    loses at an eviction, and an evicted item's accumulated-since-last-
+    eviction count is ≤ θ_j (it ranked below every kept row under the
+    (cnt desc, item asc) total order) — so for EVERY item x, over B
+    processed batches with stream mass N:
+
+        true(x) − cnt(x)  ≤  Σ_{j∈evictions(x)} θ_j  ≤  Σ_j θ_j
+                          ≤  B·N/pool        (θ_j ≤ M_j/pool ≤ N/pool,
+                                              since ≥ pool items tie or
+                                              out-count an evicted one)
+
+    i.e. the lossy-counting bound with ε = B/pool — items absent from
+    the state implicitly carry cnt 0 and satisfy the same bound. The
+    Σθ_j certificate is computable from the committed snapshots alone;
+    tests/test_cms_stream.py::test_candidate_stream_lossy_counting_bound
+    measures the worst-case undercount against exact counts across 24
+    churning micro-batches and asserts both inequalities.
+
     Scale shape: per batch the state moved is the batch's own item
     counts (one map-side-combining groupBy) plus ≤ pool state rows;
     NULL items are dropped (the build_cms NULL contract).

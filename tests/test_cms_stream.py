@@ -229,6 +229,89 @@ def test_heavy_hitters_entirely_from_streamed_state(spark, tmp_path_factory):
     assert got == want
 
 
+def test_candidate_stream_lossy_counting_bound(spark, tmp_path_factory):
+    """The quantified lossy-counting contract (run_topk_candidate_stream
+    docstring): across 24 churning micro-batches — items evicted and
+    RE-ENTERING, the case simple pool-bound tests never exercise — the
+    worst-case undercount vs exact counts satisfies BOTH
+
+        undercount(x) <= sum_j theta_j        (the snapshot certificate:
+                                               theta_j = min cnt of a FULL
+                                               pool snapshot, else 0)
+        undercount(x) <= (B/pool) * N         (the eps*N corollary)
+
+    and cnt is one-sided (never overcounts). The churner item appears
+    every 3rd batch with a small count while unique-per-batch noise
+    floods the pool in between, forcing genuine evict/re-enter cycles."""
+    import os
+
+    from data_engineering_nd_datalake_project_4_spark.streaming import run_topk_candidate_stream
+
+    src = str(tmp_path_factory.mktemp("lc_src"))
+    root = str(tmp_path_factory.mktemp("lc_snap"))
+    chk = str(tmp_path_factory.mktemp("lc_chk"))
+    POOL, B = 8, 24
+
+    exact: dict[str, int] = {}
+    for j in range(B):
+        rows = []
+        # two persistent head items: always out-count everything
+        rows += [("head_a", "d")] * 50 + [("head_b", "d")] * 40
+        # the churner: present every 3rd batch with a small count
+        if j % 3 == 0:
+            rows += [("churn", "d")] * 3
+        # unique-per-batch noise: 8 fresh items x 5 > churn's 3, so the
+        # merge overflows the pool and evicts the churner's state
+        rows += [(f"noise_{j}_{i}", "d") for i in range(8) for _ in range(5)]
+        for item, _ in rows:
+            exact[item] = exact.get(item, 0) + 1
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+            f"{src}/b{j:02d}"
+        )
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    run_topk_candidate_stream(stream, root, "token", chk, pool=POOL,
+                              query_name="lc_bound")
+
+    # every batch j produced committed snapshot v_j (one file per trigger)
+    versions = sorted(
+        int(d[1:]) for d in os.listdir(root)
+        if d.startswith("v") and os.path.exists(f"{root}/{d}/_SUCCESS")
+    )
+    assert len(versions) == B
+
+    theta_sum = 0
+    for v in versions:
+        snap = spark.read.parquet(f"{root}/v{v}").collect()
+        if len(snap) == POOL:  # a truncation can only have dropped rows
+            theta_sum += min(r["cnt"] for r in snap)
+
+    final = {r["item"]: r["cnt"] for r in _state(spark, root).collect()}
+    assert len(final) <= POOL
+    N = sum(exact.values())
+
+    worst = 0
+    for item, true_cnt in exact.items():
+        got = final.get(item, 0)
+        assert got <= true_cnt, f"{item}: overcount {got} > {true_cnt}"
+        worst = max(worst, true_cnt - got)
+
+    # the churner genuinely churned: it re-entered after evictions, so its
+    # final cnt (if present) is a strict undercount — the bound is doing
+    # real work, not vacuously holding on an exact state
+    assert final.get("churn", 0) < exact["churn"]
+    # persistent head items stayed pooled and carry EXACT totals
+    assert final["head_a"] == exact["head_a"]
+    assert final["head_b"] == exact["head_b"]
+
+    assert worst <= theta_sum, f"undercount {worst} > certificate {theta_sum}"
+    assert worst <= (B / POOL) * N
+
+
 def test_candidate_stream_replay_exactly_once(spark, tmp_path_factory):
     """SUM-merge double-counts under blind replay; the versioning makes a
     re-fired batch overwrite its own version — counts unchanged."""

@@ -40,6 +40,7 @@ from data_engineering_nd_datalake_project_4_spark.queries import REGISTRY  # noq
 
 SF01 = "/root/testdata/sf0.1"
 SF10 = "/tmp/spark_graft_scale/sf1.0"
+SF100 = "/tmp/spark_graft_scale/sf10"
 
 
 def _jaccard_full(spark, sf_dir):
@@ -100,8 +101,294 @@ HEAVY = {
 }
 
 
+#: the SECOND measured decade (sf1.0 → sf10; documents/embeddings only —
+#: tools/gen_scale.py --tables documents,embeddings keeps disk bounded).
+#: One decade of slope can hide a superlinear constant: q142's 3.5× or
+#: q36's 4.8× at 10× rows both fit "linear + fixed overhead + fan-out",
+#: but if decade-2 slope exceeds decade-1 slope the growth is compounding
+#: — the creeping-quadratic signature. The heavy text/vector family gets
+#: both decades; any op whose decade-2/decade-1 ratio exceeds 1.3 is
+#: flagged for written analysis or a fix (VERDICT r9 task 1).
+DECADE2 = [
+    "q34_jaccard_fullcorpus",
+    "q36_simhash_fullcorpus",
+    "q40_fingerprints",
+    "q141_span_detect",
+    "q142_semantic_dedup",
+    "q143_span_scrub",
+    "q147_paragraph_dedup",
+    "q166_max_dup_spans",
+]
+
+
 def _run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _measure(spark, fn, sf_dir: str, reps: int) -> dict:
+    """Two untimed warm-ups (page cache + C2 JIT of the wide codegen
+    methods — see the comment at the call site in the decade-1 lane),
+    then ``reps`` timed noop-writer runs; cardinality counted untimed."""
+    for _ in range(2):
+        _run(fn(spark, sf_dir))
+    samples = []
+    for _ in range(reps):
+        df = fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        _run(df)
+        samples.append(round(time.perf_counter() - t0, 3))
+    samples.sort()
+    return {
+        "median_sec": samples[len(samples) // 2],
+        "samples": samples,
+        "rows_out": fn(spark, sf_dir).count(),
+    }
+
+
+def run_decade2(spark, reps: int, only: list[str] | None = None) -> None:
+    """sf1.0 → sf10 for the DECADE2 family; writes bench/results_sf10.json
+    with per-decade slopes (decade 1 read from bench/results_sf1.json).
+    ``only`` runs a subset and MERGES into the existing results file (the
+    same chunking contract as the decade-1 lane's --only)."""
+    with open("bench/results_sf1.json") as f:
+        decade1 = json.load(f)["operators"]
+
+    out: dict[str, dict] = {}
+    todo = DECADE2
+    if only:
+        unknown = [n for n in only if n not in DECADE2]
+        if unknown:
+            raise SystemExit(f"unknown DECADE2 ops {unknown}; known: {DECADE2}")
+        todo = only
+        if os.path.exists("bench/results_sf10.json"):
+            with open("bench/results_sf10.json") as f:
+                out = json.load(f).get("operators", {})
+    for name in todo:
+        fn = HEAVY[name]
+        entry: dict = {}
+        for label, sf_dir in (("sf1.0", SF10), ("sf10", SF100)):
+            entry[label] = _measure(spark, fn, sf_dir, reps)
+        s2 = round(entry["sf10"]["median_sec"] / max(entry["sf1.0"]["median_sec"], 1e-9), 2)
+        s1 = decade1[name]["slope_10x_data"]
+        entry["slope_decade1"] = s1
+        entry["slope_decade2"] = s2
+        entry["decade_ratio"] = round(s2 / max(s1, 1e-9), 2)
+        entry["rows_out_growth"] = round(
+            entry["sf10"]["rows_out"] / max(entry["sf1.0"]["rows_out"], 1), 2
+        )
+        entry["compounding"] = entry["decade_ratio"] > 1.3
+        out[name] = entry
+        print(
+            f"[decade2] {name:24s} sf1.0={entry['sf1.0']['median_sec']:7.2f}s "
+            f"sf10={entry['sf10']['median_sec']:7.2f}s d2={s2:5.1f}x d1={s1:5.1f}x "
+            f"ratio={entry['decade_ratio']:4.2f} rows "
+            f"{entry['sf1.0']['rows_out']}->{entry['sf10']['rows_out']}"
+            f"{'  ** COMPOUNDING' if entry['compounding'] else ''}",
+            file=sys.stderr, flush=True,
+        )
+
+    result = {
+        "description": "second-decade lane: heavy text/vector family at "
+        "generated sf1.0 vs generated sf10 (documents/embeddings only; "
+        "tools/gen_scale.py applied twice), local[32]. decade_ratio = "
+        "slope_decade2 / slope_decade1; > 1.3 flags compounding "
+        "(creeping-quadratic) growth that one decade can hide.",
+        "reps": reps,
+        "operators": out,
+        "max_decade_ratio": max(e["decade_ratio"] for e in out.values()),
+    }
+    os.makedirs("bench", exist_ok=True)
+    with open("bench/results_sf10.json", "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps({"metric": "scale_lane_max_decade_ratio",
+                      "value": result["max_decade_ratio"],
+                      "unit": "slope2_over_slope1"}, separators=(",", ":")))
+
+
+def run_sparkify_scale(spark, reps: int) -> None:
+    """The reference's actual workload (the 5-table Sparkify build,
+    pipelines/sparkify.py) as the 23rd scale-lane entry (VERDICT r9 task
+    5): the synthetic FIXTURES generator at its bench size (100k events /
+    100 songs — the sf0.1-comparable point benched in bench.py) and at
+    10× both inputs. The pipeline times its own ingest→build→write wall
+    internally (input synthesis excluded), so the slope is the pipeline's
+    own. Merged into bench/results_sf1.json under 'sparkify_pipeline'."""
+    from bench import _bench_sparkify_pipeline
+
+    entry: dict = {}
+    for label, n_events, n_songs in (("sf0.1", 100_000, 100),
+                                     ("sf1.0", 1_000_000, 1_000)):
+        samples = []
+        for _ in range(reps):
+            samples.append(_bench_sparkify_pipeline(spark, n_events, n_songs)["seconds"])
+        samples.sort()
+        entry[label] = {
+            "median_sec": samples[len(samples) // 2],
+            "samples": samples,
+            "n_events": n_events,
+            "n_songs": n_songs,
+        }
+    slope = round(entry["sf1.0"]["median_sec"] / max(entry["sf0.1"]["median_sec"], 1e-9), 2)
+    entry["slope_10x_data"] = slope
+    entry["super_linear"] = slope > 15.0
+    print(f"[scale] sparkify_pipeline       sf0.1={entry['sf0.1']['median_sec']:7.2f}s "
+          f"sf1.0={entry['sf1.0']['median_sec']:7.2f}s slope={slope:5.1f}x",
+          file=sys.stderr, flush=True)
+
+    with open("bench/results_sf1.json") as f:
+        res = json.load(f)
+    res["sparkify_pipeline"] = entry
+    with open("bench/results_sf1.json", "w") as f:
+        json.dump(res, f, indent=1)
+    print(json.dumps({"metric": "sparkify_pipeline_slope", "value": slope,
+                      "unit": "x_per_10x_rows"}, separators=(",", ":")))
+
+
+def run_model_persistence_bench(spark, reps: int) -> None:
+    """Retrain-vs-reload (VERDICT r9 task 2): the PQ and IVFPQ serve path
+    (encode + ADC top-k at sf0.1) timed with the model TRAINED in-line vs
+    LOADED from a persisted parquet model table (operators/models.py).
+    The delta is what every job after the first pays for not persisting —
+    at 100 TB the index is trained once and served forever, like the
+    sketch state tables. Results merge into bench/results_sf1.json under
+    'ann_model_persistence' (search results are bit-identical either way;
+    tests/test_models.py pins that)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_nd_datalake_project_4_spark.catalog import load_table
+    from data_engineering_nd_datalake_project_4_spark.operators import models
+    from data_engineering_nd_datalake_project_4_spark.operators.similarity import (
+        ivfpq_adc_topk,
+        ivfpq_encode,
+        ivfpq_train,
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = load_table(spark, SF01, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 3)
+    root = tempfile.mkdtemp(prefix="bench_models_")
+
+    def pq_retrain():
+        cbs = pq_train(emb, m=4, k=16, iters=5)
+        _run(pq_adc_topk(pq_encode(emb, cbs), queries, cbs, k=5))
+
+    cbs = pq_train(emb, m=4, k=16, iters=5)
+    models.save_pq_model(spark, cbs, f"{root}/pq")
+
+    def pq_reload():
+        loaded = models.load_pq_model(spark, f"{root}/pq")
+        _run(pq_adc_topk(pq_encode(emb, loaded), queries, loaded, k=5))
+
+    def ivfpq_retrain():
+        coarse, books = ivfpq_train(emb, nlist=8, m=4, k=16, iters=5)
+        _run(ivfpq_adc_topk(ivfpq_encode(emb, coarse, books), queries,
+                            coarse, books, k=5, nprobe=2))
+
+    coarse, books = ivfpq_train(emb, nlist=8, m=4, k=16, iters=5)
+    models.save_ivfpq_model(spark, coarse, books, f"{root}/ivfpq")
+
+    def ivfpq_reload():
+        lc, lb = models.load_ivfpq_model(spark, f"{root}/ivfpq")
+        _run(ivfpq_adc_topk(ivfpq_encode(emb, lc, lb), queries,
+                            lc, lb, k=5, nprobe=2))
+
+    entry: dict = {}
+    for label, fn in (("pq_retrain", pq_retrain), ("pq_reload", pq_reload),
+                      ("ivfpq_retrain", ivfpq_retrain),
+                      ("ivfpq_reload", ivfpq_reload)):
+        fn()  # warm-up
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            samples.append(round(time.perf_counter() - t0, 3))
+        samples.sort()
+        entry[label] = {"median_sec": samples[len(samples) // 2],
+                        "samples": samples}
+        print(f"[models] {label:14s} {entry[label]['median_sec']:6.2f}s",
+              file=sys.stderr, flush=True)
+    entry["pq_reload_speedup"] = round(
+        entry["pq_retrain"]["median_sec"]
+        / max(entry["pq_reload"]["median_sec"], 1e-9), 2)
+    entry["ivfpq_reload_speedup"] = round(
+        entry["ivfpq_retrain"]["median_sec"]
+        / max(entry["ivfpq_reload"]["median_sec"], 1e-9), 2)
+
+    with open("bench/results_sf1.json") as f:
+        res = json.load(f)
+    res["ann_model_persistence"] = entry
+    with open("bench/results_sf1.json", "w") as f:
+        json.dump(res, f, indent=1)
+    print(json.dumps({"metric": "ann_reload_speedup",
+                      "value": entry["pq_reload_speedup"], "unit": "x"},
+                     separators=(",", ":")))
+
+
+def run_bytes_annotation(spark, only: list[str] | None = None) -> None:
+    """Annotate bench/results_sf1.json lane entries with MEASURED shuffle
+    read/write bytes at both scale points (plans.observed_shuffle_bytes)
+    and the growth ratio — the volume half of the shuffle story (plan
+    audits pin what exchanges carry; this pins how much they moved). The
+    lane invariant: shuffle bytes grow no faster than input rows (10×
+    here, with 1.3× slack for partition-count framing effects) unless the
+    operator's OUTPUT itself grows faster (quadratic-output semantics,
+    e.g. interval overlap — those compare against rows_out_growth).
+    One untimed execution per (op, scale point); bytes are plan+data
+    deterministic, no reps needed."""
+    from data_engineering_nd_datalake_project_4_spark import plans
+
+    with open("bench/results_sf1.json") as f:
+        res = json.load(f)
+    ops = res["operators"]
+    todo = [n for n in (only or ops) if n in ops]
+    for name in todo:
+        fn = HEAVY[name]
+        for label, sf_dir in (("sf0.1", SF01), ("sf1.0", SF10)):
+            b = plans.observed_shuffle_bytes(fn(spark, sf_dir))
+            ops[name][label]["shuffle_written_bytes"] = b["written"]
+            ops[name][label]["shuffle_read_bytes"] = b["read"]
+            ops[name][label]["shuffle_records"] = b["records"]
+            ops[name][label]["shuffle_exchanges"] = b["exchanges"]
+        b0, b1 = (ops[name][s]["shuffle_written_bytes"] for s in ("sf0.1", "sf1.0"))
+        r0, r1 = (ops[name][s]["shuffle_records"] for s in ("sf0.1", "sf1.0"))
+        growth = round(b1 / max(b0, 1), 2)
+        rec_growth = round(r1 / max(r0, 1), 2)
+        # the regression this gate exists for: a shuffled ROW getting
+        # WIDER (text/vector sneaking into an exchange payload) — bytes
+        # per record across the decade. Record-COUNT growth beyond input
+        # growth is an algorithmic property (candidate-pair sets grow
+        # with collision density), judged via the separate volume budget
+        # against input and record growth.
+        width_growth = round(
+            (b1 / max(r1, 1)) / max(b0 / max(r0, 1), 1e-9), 2
+        )
+        ops[name]["shuffle_bytes_growth"] = growth
+        ops[name]["shuffle_records_growth"] = rec_growth
+        ops[name]["shuffle_payload_width_growth"] = width_growth
+        flagged = width_growth > 1.3 or growth > 1.3 * max(10.0, rec_growth)
+        ops[name]["bytes_exceed_growth_budget"] = flagged
+        print(
+            f"[bytes] {name:26s} written {b0:>12,} -> {b1:>14,}"
+            f"  growth {growth:6.2f}x recs {rec_growth:6.2f}x width {width_growth:5.2f}x"
+            f"{'  ** EXCEEDS BUDGET' if flagged else ''}",
+            file=sys.stderr, flush=True,
+        )
+    annotated = [n for n in ops if "shuffle_bytes_growth" in ops[n]]
+    res["max_shuffle_bytes_growth"] = max(
+        ops[n]["shuffle_bytes_growth"] for n in annotated
+    )
+    res["max_shuffle_payload_width_growth"] = max(
+        ops[n]["shuffle_payload_width_growth"] for n in annotated
+    )
+    with open("bench/results_sf1.json", "w") as f:
+        json.dump(res, f, indent=1)
+    print(json.dumps({"metric": "lane_max_shuffle_bytes_growth",
+                      "value": res["max_shuffle_bytes_growth"],
+                      "unit": "x_per_10x_rows"}, separators=(",", ":")))
 
 
 def main() -> None:
@@ -114,12 +401,38 @@ def main() -> None:
         "the existing bench/results_sf1.json (lets the full lane run in "
         "timeout-sized chunks; max_slope is recomputed over the merged set)",
     )
+    ap.add_argument(
+        "--decade2", action="store_true",
+        help="run the second decade (sf1.0 -> sf10) for the DECADE2 family "
+        "and write bench/results_sf10.json (needs bench/results_sf1.json "
+        "for decade-1 slopes)",
+    )
+    ap.add_argument(
+        "--bytes", action="store_true",
+        help="annotate bench/results_sf1.json with measured shuffle "
+        "read/write bytes at sf0.1 and sf1.0 + the growth ratio (no "
+        "timing; combinable with --only for chunking)",
+    )
+    ap.add_argument(
+        "--sparkify", action="store_true",
+        help="bench the Sparkify 5-table pipeline at its bench size and "
+        "10x (the 23rd lane entry; merged into bench/results_sf1.json)",
+    )
+    ap.add_argument(
+        "--models", action="store_true",
+        help="retrain-vs-reload bench for persisted ANN models "
+        "(operators/models.py); merged into bench/results_sf1.json",
+    )
     args = ap.parse_args()
 
     if not args.skip_gen and not os.path.exists(f"{SF10}/lineitem.parquet"):
         from tools.gen_scale import generate
 
         generate(SF01, SF10, 10)
+    if args.decade2 and not os.path.exists(f"{SF100}/documents.parquet"):
+        from tools.gen_scale import generate
+
+        generate(SF10, SF100, 10, tables=["documents", "embeddings"])
 
     # the default local JVM heap (1g) is bench-scale for sf0.1; the sf1.0
     # lane is a 10x-bigger job and gets sized like a real deployment would
@@ -133,6 +446,25 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     _run(spark.read.parquet(f"{SF01}/region.parquet"))  # warm-up
+
+    if args.decade2:
+        only = [n.strip() for n in args.only.split(",") if n.strip()] if args.only else None
+        run_decade2(spark, args.reps, only=only)
+        spark.stop()
+        return
+    if args.bytes:
+        only = [n.strip() for n in args.only.split(",") if n.strip()] if args.only else None
+        run_bytes_annotation(spark, only=only)
+        spark.stop()
+        return
+    if args.sparkify:
+        run_sparkify_scale(spark, args.reps)
+        spark.stop()
+        return
+    if args.models:
+        run_model_persistence_bench(spark, args.reps)
+        spark.stop()
+        return
 
     todo = dict(HEAVY)
     out: dict[str, dict] = {}

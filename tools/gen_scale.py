@@ -49,7 +49,23 @@ def _union_k(con, k: int, select_per_replica: str) -> str:
     return " UNION ALL ".join(select_per_replica.format(k=i) for i in range(k))
 
 
-def generate(src: str, out: str, k: int = 10) -> None:
+def generate(src: str, out: str, k: int = 10, tables: list[str] | None = None) -> None:
+    """Materialize a k× replica-perturbed copy of ``src`` into ``out``.
+
+    ``tables`` restricts the output (default: everything) — the
+    second-decade lane (sf1.0 → sf10, tools/bench_scale.py --decade2)
+    only needs ``documents``/``embeddings``, keeping disk bounded while
+    the heavy text/vector family gets a second measured decade. The
+    replica salt is the replica index, so applying the generator to its
+    own sf1.0 output composes cleanly: an sf1.0 token variant ``tok~3``
+    becomes ``tok~3~7`` in sf10 replica 7 — still hash-deterministic,
+    still decorrelated across replicas (survival 0.7³ per 3-gram per
+    decade).
+    """
+
+    def want(name: str) -> bool:
+        return tables is None or name in tables
+
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads TO {max(4, os.cpu_count() or 4)}")
@@ -63,31 +79,45 @@ def generate(src: str, out: str, k: int = 10) -> None:
         print(f"[gen_scale] {name}: {n} rows")
 
     for name in COPY_TABLES:
-        if os.path.exists(f"{src}/{name}.parquet"):
+        if want(name) and os.path.exists(f"{src}/{name}.parquet"):
             write(name, f"SELECT * FROM {t(name)}")
 
-    ko = con.execute(f"SELECT MAX(o_orderkey) + 1 FROM {t('orders')}").fetchone()[0]
-    kc = con.execute(f"SELECT MAX(c_custkey) + 1 FROM {t('customer')}").fetchone()[0]
-    ks = con.execute(f"SELECT MAX(s_suppkey) + 1 FROM {t('supplier')}").fetchone()[0]
-    kd = con.execute(f"SELECT MAX(doc_id) + 1 FROM {t('documents')}").fetchone()[0]
-    kv = con.execute(f"SELECT MAX(vec_id) + 1 FROM {t('embeddings')}").fetchone()[0]
+    if want("customer") or want("orders"):
+        kc = con.execute(f"SELECT MAX(c_custkey) + 1 FROM {t('customer')}").fetchone()[0]
+    if want("orders") or want("lineitem"):
+        ko = con.execute(f"SELECT MAX(o_orderkey) + 1 FROM {t('orders')}").fetchone()[0]
+    if want("supplier") or want("lineitem"):
+        ks = con.execute(f"SELECT MAX(s_suppkey) + 1 FROM {t('supplier')}").fetchone()[0]
+    if want("documents"):
+        kd = con.execute(f"SELECT MAX(doc_id) + 1 FROM {t('documents')}").fetchone()[0]
+    if want("embeddings"):
+        kv = con.execute(f"SELECT MAX(vec_id) + 1 FROM {t('embeddings')}").fetchone()[0]
 
-    write("customer", _union_k(con, k,
-        f"SELECT c_custkey + {{k}}*{kc} AS c_custkey, c_name, c_nationkey, "
-        f"c_acctbal, c_mktsegment FROM {t('customer')}"))
-    write("supplier", _union_k(con, k,
-        f"SELECT s_suppkey + {{k}}*{ks} AS s_suppkey, "
-        f"printf('Supplier#%09d', s_suppkey + {{k}}*{ks}) AS s_name, "
-        f"s_nationkey, s_acctbal FROM {t('supplier')}"))
-    write("orders", _union_k(con, k,
-        f"SELECT o_orderkey + {{k}}*{ko} AS o_orderkey, "
-        f"o_custkey + {{k}}*{kc} AS o_custkey, o_orderstatus, o_totalprice, "
-        f"o_orderdate, o_orderpriority FROM {t('orders')}"))
-    write("lineitem", _union_k(con, k,
-        f"SELECT l_orderkey + {{k}}*{ko} AS l_orderkey, l_partkey, "
-        f"l_suppkey + {{k}}*{ks} AS l_suppkey, l_linenumber, l_quantity, "
-        f"l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, "
-        f"l_shipdate FROM {t('lineitem')}"))
+    if want("customer"):
+        write("customer", _union_k(con, k,
+            f"SELECT c_custkey + {{k}}*{kc} AS c_custkey, c_name, c_nationkey, "
+            f"c_acctbal, c_mktsegment FROM {t('customer')}"))
+    if want("supplier"):
+        write("supplier", _union_k(con, k,
+            f"SELECT s_suppkey + {{k}}*{ks} AS s_suppkey, "
+            f"printf('Supplier#%09d', s_suppkey + {{k}}*{ks}) AS s_name, "
+            f"s_nationkey, s_acctbal FROM {t('supplier')}"))
+    if want("orders"):
+        write("orders", _union_k(con, k,
+            f"SELECT o_orderkey + {{k}}*{ko} AS o_orderkey, "
+            f"o_custkey + {{k}}*{kc} AS o_custkey, o_orderstatus, o_totalprice, "
+            f"o_orderdate, o_orderpriority FROM {t('orders')}"))
+    if want("lineitem"):
+        write("lineitem", _union_k(con, k,
+            f"SELECT l_orderkey + {{k}}*{ko} AS l_orderkey, l_partkey, "
+            f"l_suppkey + {{k}}*{ks} AS l_suppkey, l_linenumber, l_quantity, "
+            f"l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, "
+            f"l_shipdate FROM {t('lineitem')}"))
+
+    if not want("documents"):
+        if want("embeddings"):
+            write("embeddings", _emb_union(con, k, kv, t("embeddings")))
+        return
 
     doc_sel = (
         "SELECT doc_id + {{k}}*{kd} AS doc_id, "
@@ -104,6 +134,11 @@ def generate(src: str, out: str, k: int = 10) -> None:
         "COALESCE(__keep_nc, len(text)) AS n_chars FROM ("
         + _union_k(con, k, doc_sel) + ")")
 
+    if want("embeddings"):
+        write("embeddings", _emb_union(con, k, kv, t("embeddings")))
+
+
+def _emb_union(con, k: int, kv: int, src_emb: str) -> str:
     emb_sel = (
         "SELECT vec_id + {{k}}*{kv} AS vec_id, "
         "CASE WHEN {{k}} = 0 THEN embedding ELSE "
@@ -112,8 +147,8 @@ def generate(src: str, out: str, k: int = 10) -> None:
         "         ((hash(vec_id * 131 + i * 7 + {{k}}) % 1000) / 1000.0 - 0.5) * 0.6 "
         "         AS FLOAT)) "
         "END AS embedding, label FROM {src_emb}"
-    ).format(kv=kv, src_emb=t("embeddings"))
-    write("embeddings", _union_k(con, k, emb_sel))
+    ).format(kv=kv, src_emb=src_emb)
+    return _union_k(con, k, emb_sel)
 
 
 def main() -> None:
@@ -121,8 +156,10 @@ def main() -> None:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/tmp/spark_graft_scale/sf1.0")
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--tables", help="comma-separated subset (e.g. documents,embeddings)")
     args = ap.parse_args()
-    generate(args.src, args.out, args.k)
+    tables = [s.strip() for s in args.tables.split(",")] if args.tables else None
+    generate(args.src, args.out, args.k, tables=tables)
 
 
 if __name__ == "__main__":

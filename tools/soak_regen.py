@@ -206,10 +206,14 @@ def _null_slice(tbl: pa.Table, col: str, id_col: str, mod: int) -> pa.Table:
     return tbl.set_column(i, col, pa.array(new, tbl.schema.field(i).type))
 
 
-def build_variant(name: str, out_dir: Path) -> None:
+def build_variant(name: str, out_dir: Path, src_dir: Path | None = None) -> None:
+    """Materialize variant ``name`` from ``src_dir`` (default: the sf0.01
+    soak source). ``src_dir`` lets other lanes reuse a variant at a
+    different scale — tools/bench_skew.py builds ``skewkeys`` at sf0.1 to
+    measure hot-key wall-time, not just semantics."""
     out_dir.mkdir(parents=True, exist_ok=True)
     for t in TABLES:
-        src = SF_SRC / f"{t}.parquet"
+        src = (src_dir or SF_SRC) / f"{t}.parquet"
         dst = out_dir / f"{t}.parquet"
         if name == "colshuffle":
             # physical column order permuted (a regen is free to emit any
