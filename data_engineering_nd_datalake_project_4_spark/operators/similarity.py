@@ -16,6 +16,8 @@ no Python on the data path.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -529,6 +531,34 @@ def dequantize(qvec: Column, qscale: Column) -> Column:
     return F.transform(qvec, lambda c: c.cast("double") * qscale)
 
 
+def sized_band_bits(
+    n_vectors: int, target_bucket_rows: int = 256, floor: int = 6
+) -> int:
+    """The LSH banding SIZING DISCIPLINE as a function: band_bits =
+    max(floor, ceil(log2(n / target_bucket_rows))) keeps expected bucket
+    occupancy — and therefore candidate-pair volume per vector — flat as
+    the corpus grows (pairs per band ~ n²/2^band_bits; holding n/2^bits
+    constant makes that ~n·target/2, linear).
+
+    This is not a tuning nicety but the difference between linear and
+    quadratic: the round-10 second-decade lane ran :func:`semantic_dedup`
+    at a FIXED band_bits=6 from 20k to 200k vectors and the candidate set
+    grew ~100× (≈1.25G pairs whose two vector-attaching rescore joins
+    spilled past the machine's disk — the run died on SPILL_OUT_OF_MEMORY
+    before producing a number). Fixed-key-space LSH saturates; real
+    deployments (and the lane, via this helper) grow the key space
+    ~log2(N). Recall at cosine c moves with bits as
+    1-(1-p^bits)^bands, p = 1-acos(c)/pi — tighten ``bands`` upward when
+    raising bits if per-pair recall must hold.
+
+    n <= target (or n = 0) returns ``floor`` — small corpora keep the
+    calibrated test-scale banding.
+    """
+    if n_vectors <= target_bucket_rows:
+        return floor
+    return max(floor, math.ceil(math.log2(n_vectors / target_bucket_rows)))
+
+
 def banded_sign_lsh_keys(
     vectors: DataFrame,
     id_col: str = "vec_id",
@@ -598,6 +628,63 @@ def banded_sign_lsh_keys(
     ).select(id_col, F.col("__bk.band").alias("band"), F.col("__bk.band_key").alias("band_key"))
 
 
+def _bucket_removal_udf(id_col: str, threshold: float):
+    """Per-bucket removal scan for :func:`semantic_dedup`'s bucket
+    rescore: inside one (band, band_key) group, find every id that has a
+    SMALLER-id partner with cosine >= threshold.
+
+    BIT-EXACT twin of the pair-mode Catalyst arithmetic: the JVM path is
+    ``try_divide(dot(a,b), norm(a)*norm(b)) >= t`` with left-to-right
+    fold order. Here the dot is accumulated ONE DIMENSION AT A TIME
+    across the whole pair block (``acc += Vi[:,d] * Vj[:,d]``) — each
+    pair's scalar sequence is the identical chain of IEEE mul/adds, and
+    the norm/divide/compare are single IEEE ops — so every threshold
+    comparison lands on the same side in both modes (the equality test
+    and q142's unchanged DuckDB oracle pin this). NaNs (NULL vector
+    elements) and zero denominators (zero-norm vectors) compare False =
+    never removed, matching try_divide's NULL.
+
+    Pair blocks are row/column-chunked (2048²) so a pathological bucket
+    cannot allocate an unbounded matrix.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def scan(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf[pdf["__vd"].notna()]
+        if len(pdf) < 2:
+            return pd.DataFrame({id_col: pdf[id_col][:0]})
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        ids = pdf[id_col].to_numpy()
+        V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["__vd"]])
+        n, dim = V.shape
+        nrm = np.zeros(n)
+        for d in range(dim):  # left-to-right, matching l2_norm's fold
+            nrm += V[:, d] * V[:, d]
+        nrm = np.sqrt(nrm)
+        removed = np.zeros(n, dtype=bool)
+        B = 2048
+        for lo_j in range(0, n, B):
+            hi_j = min(lo_j + B, n)
+            for lo_i in range(0, hi_j, B):
+                hi_i = min(lo_i + B, hi_j)
+                acc = np.zeros((hi_i - lo_i, hi_j - lo_j))
+                for d in range(dim):  # left-to-right, matching dot_product
+                    acc += np.multiply.outer(V[lo_i:hi_i, d], V[lo_j:hi_j, d])
+                denom = np.multiply.outer(nrm[lo_i:hi_i], nrm[lo_j:hi_j])
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(denom == 0.0, np.nan, acc / denom)
+                # strict id order (not position): duplicate-id copies
+                # (at-least-once feeds) must never remove each other
+                qual = (cos >= threshold) & np.less.outer(
+                    ids[lo_i:hi_i], ids[lo_j:hi_j]
+                )
+                removed[lo_j:hi_j] |= qual.any(axis=0)
+        return pd.DataFrame({id_col: pdf[id_col].iloc[removed]})
+
+    return scan
+
+
 def semantic_dedup(
     vectors: DataFrame,
     id_col: str = "vec_id",
@@ -608,6 +695,7 @@ def semantic_dedup(
     blocking: str = "lsh",
     clusters: int = 8,
     kmeans_iters: int = 3,
+    rescore: str = "bucket",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): a vector
     is REMOVED when some candidate with a SMALLER id has cosine similarity
@@ -633,26 +721,77 @@ def semantic_dedup(
     Use :func:`blocked_all_pairs_cosine` for the exact variant at oracle
     scale.
 
+    ``rescore`` picks the physical verification strategy — SAME removal
+    set either way (bit-identical threshold comparisons; see
+    :func:`_bucket_removal_udf` and the equality test):
+
+    - ``"bucket"`` (default since round 10): vectors ride the blocking
+      exchange ONCE PER BAND/cluster (a bands-bounded, fan-out-free
+      replication) and each bucket's pairs are scanned by an
+      Arrow-batched numpy kernel that replicates the Catalyst fold order
+      exactly. Candidate PAIRS never carry vectors. Found necessary by
+      the second-decade lane: at sf10 (200k vectors, ~86M candidate
+      pairs) the pair-mode rescore joins pushed ~45 GB of vector-carrying
+      pair rows through the shuffle and fell off the memory cliff —
+      219 s (after spilling past the disk entirely at fixed banding);
+      bucket mode moves ~0.4 GB and runs the same step in seconds.
+      A pair appearing in several bands rescored once per band — harmless
+      (removal is an EXISTS; results distinct'd).
+    - ``"pair"``: the round-9 shape — distinct the (ida, idb) pair set,
+      then re-join each side's vector by id. Fine while the pair set is
+      small enough that pairs×dim fits comfortably in executor memory;
+      kept as the cross-check twin and for oracle-shaped debugging.
+
     Returns the input plus a ``sem_removed`` boolean — every row is
     accounted for (quarantine-style observability, q140 pattern).
 
-    Scale shape: the candidate self-join shuffles only (id, band, key) /
-    (id, cluster) 16-byte rows; vectors are re-joined by id ONCE per pair
-    side for the cosine rescore (not bands× — the LSH pair set is
-    distinct'd first); zero-norm vectors get NULL cosine (try_divide) and
-    are never removed, matching DuckDB. Real deployments run threshold
-    0.9+ on trained embeddings; the default is calibrated to this repo's
-    synthetic near-uniform vectors.
-
-    Cost floor (profiled at the sf1.0 lane, r9): the run is CANDIDATE-
-    VOLUME-BOUND — at q142's calibration the verify set is ~14.7M pairs
-    per 200k vectors, and the pair-distinct shuffle + two rescore joins +
-    14.7M interpreted dot products are all linear in that pair count; the
-    only redundant compute was the double evaluation of the plane folds
-    (fixed: the key frame localCheckpoints once). Shrinking further means
-    shrinking the PAIR SET (higher band_bits / threshold / trained
-    embeddings), not the plan.
+    Scale shape (bucket mode): the blocking exchange carries
+    (id, band, key, vector) rows — bands× the corpus, the operator's
+    whole data motion (whitelisted in the wide-payload audit with the
+    q41/q57 bounded-replication reasoning); zero-norm vectors get NULL
+    cosine (try_divide) and are never removed, matching DuckDB. Real
+    deployments run threshold 0.9+ on trained embeddings; the default is
+    calibrated to this repo's synthetic near-uniform vectors. Size
+    ``band_bits`` with :func:`sized_band_bits` — candidate volume is
+    quadratic in bucket occupancy, and a FIXED key space saturates as
+    the corpus grows (the round-10 second-decade lesson).
     """
+    if blocking not in ("lsh", "kmeans"):
+        raise ValueError(f"blocking must be 'lsh' or 'kmeans', got {blocking!r}")
+    if rescore not in ("bucket", "pair"):
+        raise ValueError(f"rescore must be 'bucket' or 'pair', got {rescore!r}")
+
+    if rescore == "bucket":
+        from pyspark.sql.types import StructField, StructType
+
+        vproj = vectors.select(
+            F.col(id_col), as_double_array(F.col(vec_col)).alias("__vd")
+        )
+        if blocking == "lsh":
+            keys = banded_sign_lsh_keys(vectors, id_col, vec_col, bands, band_bits)
+            kv = keys.join(vproj, id_col)
+            group_cols = ["band", "band_key"]
+        else:
+            assignments, _ = kmeans(
+                vectors, id_col, vec_col, k=clusters, iters=kmeans_iters
+            )
+            kv = assignments.withColumnRenamed("id", id_col).join(vproj, id_col)
+            group_cols = ["cluster"]
+        out_schema = StructType([StructField(id_col, vectors.schema[id_col].dataType)])
+        removed = (
+            kv.groupBy(*group_cols)
+            .applyInPandas(
+                _bucket_removal_udf(id_col, threshold), schema=out_schema
+            )
+            .distinct()
+        )
+        marker = removed.withColumn("__rm", F.lit(True))
+        return (
+            vectors.join(marker, id_col, "left")
+            .withColumn("sem_removed", F.coalesce(F.col("__rm"), F.lit(False)))
+            .drop("__rm")
+        )
+
     if blocking == "lsh":
         # the key frame is consumed by BOTH self-join sides: materialize it
         # once (localCheckpoint, the q136 shared-subtree pattern) so the
@@ -670,7 +809,7 @@ def semantic_dedup(
             .select("__ida", "__idb")
             .distinct()
         )
-    elif blocking == "kmeans":
+    else:
         assignments, _ = kmeans(vectors, id_col, vec_col, k=clusters, iters=kmeans_iters)
         a = assignments.select(F.col("id").alias("__ida"), "cluster")
         b = assignments.select(F.col("id").alias("__idb"), "cluster")
@@ -680,8 +819,6 @@ def semantic_dedup(
             .filter(F.col("__ida") < F.col("__idb"))
             .select("__ida", "__idb")
         )
-    else:
-        raise ValueError(f"blocking must be 'lsh' or 'kmeans', got {blocking!r}")
     # Precompute each vector's L2 norm ONCE (per vector, not per pair):
     # the rescore then costs one interpreted HOF aggregate per pair (the
     # dot) instead of three. try_divide(dot, na*nb) is the exact same

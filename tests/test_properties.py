@@ -97,6 +97,31 @@ def test_prefix_filter_candidates_are_exact_superset(spark, sf_dir):
     assert got == truth
 
 
+def test_prefix_filter_orders_verify_to_identical_pairs(spark, sf_dir):
+    """The two global shingle orders — 'df' (ascending document
+    frequency, the PPJoin ordering that keeps candidate buckets flat as
+    the corpus grows; the round-10 second-decade fix) and 'hash'
+    (order-by-value) — are both valid total orders, so both candidate
+    sets are exact supersets and verification lands on the SAME final
+    pair set. The df order must also produce no more candidates than
+    hash on a skew-heavy corpus (its entire point)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+
+    results = {}
+    counts = {}
+    for order in ("df", "hash"):
+        cand = dedup.prefix_filter_candidate_pairs(
+            d, "text", "doc_id", n=3, threshold=0.8, order=order
+        )
+        counts[order] = cand.count()
+        verified = dedup.ngram_jaccard_pairs(
+            d, "text", "doc_id", n=3, threshold=0.8, candidates=cand
+        )
+        results[order] = {(r["id_a"], r["id_b"]) for r in verified.collect()}
+    assert results["df"] == results["hash"]
+    assert counts["df"] <= counts["hash"], counts
+
+
 def test_simhash_banding_equals_all_pairs(spark, sf_dir):
     """Pigeonhole banding (k = max_hamming+1 bands) must reproduce the
     all-pairs hamming<=d result EXACTLY — a pair within d bit flips cannot

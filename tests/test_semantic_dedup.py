@@ -122,3 +122,82 @@ def test_blocking_validation(spark):
     df = _vecs(spark, [(1, [1.0, 2.0])])
     with pytest.raises(ValueError, match="blocking"):
         S.semantic_dedup(df, blocking="ann")
+
+
+def test_sized_band_bits_discipline():
+    """band_bits must grow ~log2(N) above the target occupancy and hold
+    the floor below it — the sizing rule that keeps semantic-dedup
+    candidate volume linear across decades (at a FIXED 6 bits the
+    sf1.0->sf10 lane step built a ~1.25G-pair candidate set and died on
+    disk spill; see sized_band_bits docstring)."""
+    assert S.sized_band_bits(0) == 6
+    assert S.sized_band_bits(256) == 6
+    assert S.sized_band_bits(2_000) == 6      # sf0.1: registry calibration
+    assert S.sized_band_bits(20_000) == 7     # sf1.0
+    assert S.sized_band_bits(200_000) == 10   # sf10
+    assert S.sized_band_bits(2_000_000) == 13
+    # expected occupancy n/2^bits never exceeds 2x the target above it
+    for n in (300, 1_000, 50_000, 1_000_000, 10**9):
+        bits = S.sized_band_bits(n)
+        assert n / (1 << bits) <= 2 * 256 or bits == 6
+    # and removals stay consistent: higher bits only SHRINK the candidate
+    # set (monotone key refinement), never widen it
+    assert S.sized_band_bits(10**12) >= S.sized_band_bits(10**9)
+
+
+def test_bucket_and_pair_rescore_identical(spark, sf_dir):
+    """The two rescore strategies are bit-identical in OUTCOME: the numpy
+    bucket kernel accumulates dots one dimension at a time, replicating
+    Catalyst's left-to-right fold per pair, so every threshold comparison
+    lands identically (this is what lets q142 keep its unchanged DuckDB
+    oracle after the r10 bucket-rescore switch). Checked for both
+    blockings on the real embeddings table."""
+    from data_engineering_nd_datalake_project_4_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    for blocking in ("lsh", "kmeans"):
+        got = {}
+        for mode in ("bucket", "pair"):
+            out = S.semantic_dedup(
+                emb, threshold=0.45, bands=4, band_bits=6,
+                blocking=blocking, clusters=4, rescore=mode,
+            )
+            got[mode] = {
+                (r["vec_id"], r["sem_removed"])
+                for r in out.select("vec_id", "sem_removed").collect()
+            }
+        assert got["bucket"] == got["pair"], blocking
+
+
+def test_rescore_validation(spark):
+    df = _vecs(spark, [(1, [1.0, 2.0])])
+    with pytest.raises(ValueError, match="rescore"):
+        S.semantic_dedup(df, rescore="gpu")
+
+
+def test_bucket_rescore_empty_and_null_inputs(spark):
+    """Empty frame -> typed empty result; NULL vectors are never removed
+    and never remove others (cosine NULL on the JVM side, NaN in the
+    bucket kernel — both compare False)."""
+    from pyspark.sql.types import (
+        ArrayType, FloatType, LongType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ])
+    empty = spark.createDataFrame([], schema)
+    out = S.semantic_dedup(empty, rescore="bucket")
+    assert out.count() == 0 and "sem_removed" in out.columns
+
+    rows = [(1, [1.0, 0.0]), (2, None), (3, [1.0, 0.0]), (4, [0.0, 0.0])]
+    out = {r["vec_id"]: r["sem_removed"]
+           for r in S.semantic_dedup(
+               spark.createDataFrame(rows, schema),
+               threshold=0.99, band_bits=2, rescore="bucket"
+           ).collect()}
+    assert out[3] is True       # exact duplicate of id 1
+    assert out[2] is False      # NULL vector never removed
+    assert out[4] is False      # zero norm -> NULL cosine -> kept
+    assert out[1] is False      # keep-earliest

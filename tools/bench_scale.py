@@ -55,6 +55,30 @@ def _simhash_full(spark, sf_dir):
     return dedup.simhash_near_dup_pairs(fp, "doc_id", "fp", max_hamming=3)
 
 
+def _semantic_dedup_sized(spark, sf_dir):
+    """q142's operator under the documented banding SIZING DISCIPLINE
+    (similarity.sized_band_bits): band_bits grows ~log2(N) so candidate
+    volume stays linear in vectors. The registry q142 keeps its fixed
+    band_bits=6 oracle-checked calibration; the lane measures the
+    operator as a growing corpus must run it — at a fixed 6 bits the
+    sf10 step built a ~1.25G-pair candidate set whose rescore joins
+    spilled past the disk (the second-decade lane's first real finding,
+    alongside q34's prefix order). The count() here is the one cheap
+    sizing job a real deployment runs before banding."""
+    from data_engineering_nd_datalake_project_4_spark.operators import similarity
+
+    e = load_table(spark, sf_dir, "embeddings")
+    bits = similarity.sized_band_bits(e.count(), target_bucket_rows=256, floor=6)
+    ann = similarity.semantic_dedup(
+        e, "vec_id", "embedding", threshold=0.45, bands=4, band_bits=bits
+    )
+    return ann.select(
+        "vec_id",
+        "label",
+        F.when(F.col("sem_removed"), F.lit("removed")).otherwise(F.lit("kept")).alias("status"),
+    ).orderBy("vec_id")
+
+
 HEAVY = {
     "q02_agg_lineitem": REGISTRY["q02"].spark_fn,
     "q08_snowflake_join": REGISTRY["q08"].spark_fn,
@@ -98,6 +122,10 @@ HEAVY = {
     "q98_volume_shipping": REGISTRY["q98_volume_shipping"].spark_fn,
     "q121_grouped_pandas_running": REGISTRY["q121_grouped_pandas_running"].spark_fn,
     "q153_ivfpq_adc_topk": REGISTRY["q153_ivfpq_adc_topk"].spark_fn,
+    # round-10: q142 under the log2(N) banding sizing discipline — the
+    # form that survives the second decade (the fixed-bits registry
+    # calibration stays as the oracle-checked q142_semantic_dedup entry)
+    "q142_semantic_dedup_sized": _semantic_dedup_sized,
 }
 
 
@@ -114,7 +142,7 @@ DECADE2 = [
     "q36_simhash_fullcorpus",
     "q40_fingerprints",
     "q141_span_detect",
-    "q142_semantic_dedup",
+    "q142_semantic_dedup_sized",  # sized banding — see _semantic_dedup_sized
     "q143_span_scrub",
     "q147_paragraph_dedup",
     "q166_max_dup_spans",
@@ -178,6 +206,8 @@ def run_decade2(spark, reps: int, only: list[str] | None = None) -> None:
         )
         entry["compounding"] = entry["decade_ratio"] > 1.3
         out[name] = entry
+        _write_decade2(out, reps)  # incremental: a later op's crash (e.g.
+        # a spill blowing the disk) must not lose finished measurements
         print(
             f"[decade2] {name:24s} sf1.0={entry['sf1.0']['median_sec']:7.2f}s "
             f"sf10={entry['sf10']['median_sec']:7.2f}s d2={s2:5.1f}x d1={s1:5.1f}x "
@@ -187,12 +217,21 @@ def run_decade2(spark, reps: int, only: list[str] | None = None) -> None:
             file=sys.stderr, flush=True,
         )
 
+    result = _write_decade2(out, reps)
+    print(json.dumps({"metric": "scale_lane_max_decade_ratio",
+                      "value": result["max_decade_ratio"],
+                      "unit": "slope2_over_slope1"}, separators=(",", ":")))
+
+
+def _write_decade2(out: dict, reps: int) -> dict:
     result = {
         "description": "second-decade lane: heavy text/vector family at "
         "generated sf1.0 vs generated sf10 (documents/embeddings only; "
         "tools/gen_scale.py applied twice), local[32]. decade_ratio = "
         "slope_decade2 / slope_decade1; > 1.3 flags compounding "
-        "(creeping-quadratic) growth that one decade can hide.",
+        "(creeping-quadratic) growth that one decade can hide — each "
+        "flagged op gets a fix or a written analysis (the 'analysis' "
+        "key).",
         "reps": reps,
         "operators": out,
         "max_decade_ratio": max(e["decade_ratio"] for e in out.values()),
@@ -200,9 +239,7 @@ def run_decade2(spark, reps: int, only: list[str] | None = None) -> None:
     os.makedirs("bench", exist_ok=True)
     with open("bench/results_sf10.json", "w") as f:
         json.dump(result, f, indent=1)
-    print(json.dumps({"metric": "scale_lane_max_decade_ratio",
-                      "value": result["max_decade_ratio"],
-                      "unit": "slope2_over_slope1"}, separators=(",", ":")))
+    return result
 
 
 def run_sparkify_scale(spark, reps: int) -> None:
