@@ -131,34 +131,27 @@ def minhash_coeffs(num_hashes: int) -> tuple[list[int], list[int]]:
     return rng_a, rng_b
 
 
-def minhash_lsh_candidate_pairs(
+def minhash_band_rows(
     df: DataFrame,
     text_col: str,
     id_col: str,
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
-    max_bucket_size: int | None = None,
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """LSH banding: docs sharing any band of the MinHash signature become a
-    candidate pair ``(id_a, id_b)`` with ``id_a < id_b``.
+    """The banded-MinHash fan-out shared by :func:`minhash_lsh_candidate_
+    pairs` (batch all-pairs) and :func:`incremental.incremental_lsh_dedup`
+    (batch-vs-persisted-store): one ``(__id, __band, __bucket)`` row per
+    document per band, where ``__bucket`` is the hash of that band's
+    signature slice. Entirely map-side — the fan-out rows are ~24 bytes
+    (two longs + an int); document text never leaves the projection.
 
-    Scale shape: explode to ``bands`` rows/doc (band hash = 8 bytes), shuffle
-    on band hash, self-join within buckets. Skewed buckets (boilerplate or a
-    tiny shingle vocabulary) make the within-bucket self-join O(|bucket|²) —
-    ``max_bucket_size`` drops oversized buckets before the join (standard
-    practice: a bucket with thousands of members is boilerplate, not
-    near-duplication; route it to exact dedup instead). AQE skew-join splits
-    what remains.
-
-    ``hash_fn``: ``"xxhash64"`` (default — fastest; engine-internal, so the
-    result is property-tested, not oracle-hashed) or ``"portable"``
+    ``hash_fn``: ``"xxhash64"`` (fastest; engine-internal) or ``"portable"``
     (:func:`functions.portable_hash60` — MD5-derived, bit-identical in
-    DuckDB, making the ENTIRE candidate-pair set exactly oracle-checkable;
-    same banded plan shape, ~2-3× hashing cost). NULL text hashes to NULL
-    under portable (vs xxhash64's NULL→seed class) — filter NULLs upstream
-    when comparing modes.
+    DuckDB, so downstream results are exactly oracle-checkable). NULL text
+    hashes to NULL under portable (vs xxhash64's NULL→seed class) — filter
+    NULLs upstream when the NULL class must not bucket together.
     """
     if bands <= 0 or num_hashes % bands != 0:
         raise ValueError(
@@ -229,6 +222,35 @@ def minhash_lsh_candidate_pairs(
                 ]
             )
         ).alias("__band", "__bucket"),
+    )
+    return banded
+
+
+def minhash_lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = None,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """LSH banding: docs sharing any band of the MinHash signature become a
+    candidate pair ``(id_a, id_b)`` with ``id_a < id_b``.
+
+    Scale shape: explode to ``bands`` rows/doc (band hash = 8 bytes, via
+    :func:`minhash_band_rows`), shuffle on band hash, self-join within
+    buckets. Skewed buckets (boilerplate or a tiny shingle vocabulary) make
+    the within-bucket self-join O(|bucket|²) — ``max_bucket_size`` drops
+    oversized buckets before the join (standard practice: a bucket with
+    thousands of members is boilerplate, not near-duplication; route it to
+    exact dedup instead). AQE skew-join splits what remains.
+
+    See :func:`minhash_band_rows` for the ``hash_fn`` contract.
+    """
+    banded = minhash_band_rows(
+        df, text_col, id_col, num_hashes, bands, shingle_n, hash_fn
     )
     if max_bucket_size is not None:
         # window (not agg + anti-join): banded rows are already tiny

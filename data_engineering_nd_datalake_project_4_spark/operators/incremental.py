@@ -187,6 +187,218 @@ def incremental_dedup(
     return survivors.drop("__fp")
 
 
+#: band store schema: one row per distinct (band, bucket) in the corpus;
+#: bkt_part is the partition column (pmod of the 8-byte bucket hash)
+_BAND_STORE_SCHEMA = "band INT, bucket LONG, first_id LONG"
+
+
+def _band_part(bucket: Column, num_buckets: int) -> Column:
+    # pmod keeps negative xxhash64 bucket values in [0, num_buckets)
+    return F.pmod(bucket, F.lit(num_buckets)).cast("int")
+
+
+def band_store_rows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
+    num_buckets: int = 64,
+) -> DataFrame:
+    """One ``(band, bucket, first_id, bkt_part)`` row per distinct MinHash
+    band bucket occupied by the corpus — ``first_id`` is the minimum
+    ``id_col`` that claimed it. NULL-text rows contribute nothing (no
+    signature — see :func:`incremental_lsh_dedup` for the contract).
+    Single groupBy shuffle on (int, 8-byte hash) keys; text never moves."""
+    from data_engineering_nd_datalake_project_4_spark.operators.dedup import minhash_band_rows
+
+    banded = minhash_band_rows(
+        df.filter(F.col(text_col).isNotNull()),
+        text_col, id_col, num_hashes, bands, shingle_n, hash_fn,
+    )
+    return (
+        banded.groupBy("__band", "__bucket")
+        .agg(F.min("__id").alias("first_id"))
+        .select(
+            F.col("__band").cast("int").alias("band"),
+            F.col("__bucket").cast("long").alias("bucket"),
+            F.col("first_id").cast("long").alias("first_id"),
+            _band_part(F.col("__bucket"), num_buckets).alias("bkt_part"),
+        )
+    )
+
+
+def build_band_store(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    store_path: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
+    num_buckets: int = 64,
+) -> None:
+    """Materialize the corpus MinHash band-bucket store, hash-partitioned
+    by ``bkt_part``. One-time full scan of the corpus; every later batch
+    reads only the store partitions its own band buckets could live in —
+    the near-dup twin of :func:`build_fingerprint_store`. On disk the
+    store is ~bands·20 bytes per distinct corpus document signature, never
+    the corpus itself."""
+    (
+        band_store_rows(
+            df, text_col, id_col, num_hashes, bands, shingle_n, hash_fn, num_buckets
+        )
+        .repartition("bkt_part")
+        .write.mode("overwrite")
+        .partitionBy("bkt_part")
+        .parquet(store_path)
+    )
+
+
+def incremental_lsh_dedup(
+    spark: SparkSession,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    store_path: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
+    num_buckets: int = 64,
+    update_store: bool = False,
+) -> DataFrame:
+    """NEAR-duplicate incremental dedup: rows of ``batch`` that are not
+    LSH-near-duplicates of the persisted corpus, nor of a lower-``id_col``
+    document within the batch itself. The MinHash+LSH twin of
+    :func:`incremental_dedup` — "dedupe today's crawl against the 100 TB
+    historical corpus" without rescanning (or even storing) corpus text:
+    only band-bucket hashes persist (~bands·20 B/doc).
+
+    Drop rule (pairwise-greedy, deliberately non-iterative so the full
+    operator is exactly expressible in ANSI SQL — the q169 oracle):
+    a batch document is dropped iff ANY of its ``bands`` band buckets
+    (a) exists in the corpus store, or (b) contains a smaller-id batch
+    document. Every survivor is therefore the minimum id in all of its
+    buckets; two survivors never share a bucket. This is the pairwise
+    variant of :func:`..dedup.lsh_near_dedup`'s connected-components
+    keep-min (q152): a chain a<b<c with buckets {a,b} and {b,c} keeps
+    {a} under CC but {a, c} here — c has no DIRECT candidate with a
+    smaller id. Within one batch that difference is the standard
+    greedy-vs-transitive dedup policy choice; across batches CC would
+    require corpus-wide component state, which is exactly what an
+    incremental operator must not maintain.
+
+    NULL-text rows PASS THROUGH (no signature, nothing recorded): with
+    ``hash_fn="portable"`` NULL hashes to NULL, and under xxhash64 a
+    NULL→seed class would near-dup "no content" against every other NULL
+    doc, which is not near-duplication — route NULL/empty docs to
+    :func:`incremental_dedup` (exact mode) instead. Consequence: replay
+    idempotence (re-running the identical batch with ``update_store=True``
+    yields zero survivors) holds for the non-NULL-text rows only.
+
+    Each surviving document is emitted ONCE even when the feed delivered
+    duplicate copies of the row (at-least-once delivery — the duprows
+    soak): exact copies share an id and collapse to one row.
+
+    Data motion per batch at any corpus scale: the batch maps to
+    ~24-byte ``(id, band, bucket)`` rows (text stays in the projection);
+    the store scan is pruned to the batch's touched ``bkt_part``
+    partitions (at most ``num_buckets`` driver-side ints); every shuffle
+    carries hash/id keys; the final anti-join on ``id_col`` is the one
+    move that carries batch payload columns — batch-sized, and column
+    pruning keeps ``text_col`` out of it whenever the caller's projection
+    drops it (the q169 shape).
+
+    Multi-consumer consistency (the :func:`incremental_dedup` rule): the
+    batch is frozen once up front, the band rows once after the map, and
+    the dropped-id set once before the store append, so the touched-bucket
+    collect, the survivor set the caller actions, and the store append all
+    read the same materialized rows. All three checkpoints hold
+    batch-sized (never corpus-sized) rows. Single-writer store assumption,
+    as for the fingerprint store.
+    """
+    from data_engineering_nd_datalake_project_4_spark.operators.dedup import minhash_band_rows
+
+    keyed = batch.localCheckpoint(eager=True)
+    banded = minhash_band_rows(
+        keyed.filter(F.col(text_col).isNotNull()),
+        text_col, id_col, num_hashes, bands, shingle_n, hash_fn,
+    ).localCheckpoint(eager=True)
+
+    # prune the store scan to the partitions this batch can touch
+    touched = [
+        r[0]
+        for r in banded.select(_band_part(F.col("__bucket"), num_buckets).alias("b"))
+        .distinct()
+        .collect()
+    ]
+    try:
+        # declared schema: a store built from an empty corpus is a valid
+        # directory with zero data files (empty soak — round-7 rule)
+        store = spark.read.schema(
+            _BAND_STORE_SCHEMA + ", bkt_part INT"
+        ).parquet(store_path)
+    except AnalysisException as e:
+        # ONLY a missing store means "first batch" — anything else must
+        # propagate or every batch doc silently passes dedup
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
+        store = None
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__band", "__bucket")
+    killed_in_batch = (
+        banded.withColumn("__min", F.min("__id").over(w))
+        .filter(F.col("__min") < F.col("__id"))
+        .select("__id")
+    )
+    if store is not None:
+        seen = store.filter(F.col("bkt_part").isin(touched)).select("band", "bucket")
+        hit_store = (
+            banded.join(
+                seen,
+                (banded["__band"] == seen["band"])
+                & (banded["__bucket"] == seen["bucket"]),
+                "left_semi",
+            ).select("__id")
+        )
+        dropped = killed_in_batch.union(hit_store)
+    else:
+        dropped = killed_in_batch
+    dropped = dropped.distinct().localCheckpoint(eager=True)
+
+    if update_store:
+        surv_banded = banded.join(
+            dropped, banded["__id"] == dropped["__id"], "left_anti"
+        )
+        (
+            surv_banded.groupBy("__band", "__bucket")
+            .agg(F.min("__id").alias("first_id"))
+            .select(
+                F.col("__band").cast("int").alias("band"),
+                F.col("__bucket").cast("long").alias("bucket"),
+                F.col("first_id").cast("long").alias("first_id"),
+                _band_part(F.col("__bucket"), num_buckets).alias("bkt_part"),
+            )
+            .repartition("bkt_part")
+            .write.mode("append")
+            .partitionBy("bkt_part")
+            .parquet(store_path)
+        )
+
+    survivors = keyed.join(
+        dropped, keyed[id_col] == dropped["__id"], "left_anti"
+    )
+    # one output row per surviving id (exact feed copies collapse; ties
+    # are identical rows, so the row_number pick is deterministic content)
+    return latest_per_key(survivors, [id_col], [F.col(id_col)])
+
+
 def corpus_diff(
     old: DataFrame,
     new: DataFrame,

@@ -1,0 +1,196 @@
+"""Incremental MinHash-LSH near-dedup vs a persisted band-bucket store:
+equivalence to the band-candidate rule computed from scratch, idempotent
+store replay, NULL-text pass-through, empty-corpus store, duplicate feed
+rows, multi-batch sequencing, and the partitioned store layout."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_nd_datalake_project_4_spark.operators import incremental
+from data_engineering_nd_datalake_project_4_spark.operators.dedup import minhash_band_rows
+
+_KW = dict(num_hashes=32, bands=8, shingle_n=3, num_buckets=16)
+
+
+@pytest.fixture()
+def corpus_and_batch(spark):
+    """Corpus ids 0..9; batch ids 100..109. Planted: 100/101 are exact
+    copies of corpus texts (identical signature — every band collides,
+    deterministically dropped); 104/105 are exact in-batch copies (105
+    deterministically dropped); 106 is a near-copy of corpus doc 2 (one
+    token changed — dropped iff a band collides, decided by the
+    equivalence rule, not asserted directly); 108 has NULL text."""
+    # token-DISJOINT corpus docs: no two corpus docs (hence no two of
+    # their batch copies) share a shingle, so only the planted relations
+    # can produce band collisions
+    def doc(i):
+        return " ".join(f"w{i}t{j}" for j in range(10))
+
+    corpus_rows = [(i, doc(i)) for i in range(10)]
+    batch_rows = [
+        (100, doc(0)),                        # exact dup of corpus 0
+        (101, doc(3)),                        # exact dup of corpus 3
+        (102, "completely fresh text one with enough tokens"),
+        (103, "another fresh document two with enough tokens"),
+        (104, "same in batch twice with enough tokens here"),
+        (105, "same in batch twice with enough tokens here"),
+        (106, doc(2).replace("w2t5", "CHANGED")),  # near-copy of corpus 2
+        (107, "yet another fresh document three tokens here"),
+        (108, None),
+        (109, "final fresh document four with tokens here"),
+    ]
+    schema = "doc_id LONG, text STRING"
+    return (
+        spark.createDataFrame(corpus_rows, schema),
+        spark.createDataFrame(batch_rows, schema),
+    )
+
+
+def _ids(df):
+    return sorted(r["doc_id"] for r in df.select("doc_id").collect())
+
+
+def _expected_survivors(corpus, batch):
+    """The pairwise-greedy rule computed from scratch via the same
+    minhash_band_rows fan-out: drop a batch doc iff any of its band
+    buckets exists in the corpus or holds a smaller batch id; NULL-text
+    docs pass through."""
+    cb = minhash_band_rows(
+        corpus.filter(F.col("text").isNotNull()), "text", "doc_id",
+        num_hashes=32, bands=8, shingle_n=3,
+    ).collect()
+    bb = minhash_band_rows(
+        batch.filter(F.col("text").isNotNull()), "text", "doc_id",
+        num_hashes=32, bands=8, shingle_n=3,
+    ).collect()
+    corpus_buckets = {(r["__band"], r["__bucket"]) for r in cb}
+    bucket_min: dict[tuple, int] = {}
+    for r in bb:
+        k = (r["__band"], r["__bucket"])
+        bucket_min[k] = min(bucket_min.get(k, r["__id"]), r["__id"])
+    dropped = {
+        r["__id"]
+        for r in bb
+        if (r["__band"], r["__bucket"]) in corpus_buckets
+        or bucket_min[(r["__band"], r["__bucket"])] < r["__id"]
+    }
+    nn_ids = {r["__id"] for r in bb}
+    null_ids = [
+        r["doc_id"]
+        for r in batch.filter(F.col("text").isNull()).select("doc_id").collect()
+    ]
+    return sorted((nn_ids - dropped) | set(null_ids))
+
+
+def test_equivalent_to_band_candidate_rule(spark, corpus_and_batch, tmp_path):
+    corpus, batch = corpus_and_batch
+    store = str(tmp_path / "store")
+    incremental.build_band_store(corpus, "text", "doc_id", store, **_KW)
+    got = _ids(
+        incremental.incremental_lsh_dedup(spark, batch, "text", "doc_id", store, **_KW)
+    )
+    assert got == _expected_survivors(corpus, batch)
+    # the deterministic subset: exact copies share every band bucket
+    assert 100 not in got and 101 not in got  # exact dups of corpus docs
+    assert 105 not in got                     # exact in-batch dup of 104
+    assert 104 in got                         # first copy wins
+    assert 108 in got                         # NULL text passes through
+    assert {102, 103, 107, 109} <= set(got)   # fresh docs survive
+
+
+def test_update_store_replay_is_idempotent(spark, corpus_and_batch, tmp_path):
+    corpus, batch = corpus_and_batch
+    store = str(tmp_path / "store")
+    incremental.build_band_store(corpus, "text", "doc_id", store, **_KW)
+    first = _ids(
+        incremental.incremental_lsh_dedup(
+            spark, batch, "text", "doc_id", store, update_store=True, **_KW
+        )
+    )
+    replay = _ids(
+        incremental.incremental_lsh_dedup(
+            spark, batch, "text", "doc_id", store, update_store=True, **_KW
+        )
+    )
+    # every non-NULL-text survivor's buckets are now in the store; only the
+    # documented NULL-text pass-through re-survives
+    assert replay == [108]
+    assert 108 in first
+
+
+def test_multi_batch_sequencing(spark, corpus_and_batch, tmp_path):
+    """A second batch near-dup of a FIRST-batch survivor is dropped: the
+    store accumulated the survivors' band buckets."""
+    corpus, batch = corpus_and_batch
+    store = str(tmp_path / "store")
+    incremental.build_band_store(corpus, "text", "doc_id", store, **_KW)
+    first = incremental.incremental_lsh_dedup(
+        spark, batch, "text", "doc_id", store, update_store=True, **_KW
+    )
+    assert 102 in _ids(first)
+    batch2 = spark.createDataFrame(
+        [
+            (200, "completely fresh text one with enough tokens"),  # = doc 102
+            (201, "a genuinely new second batch document here"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    second = _ids(
+        incremental.incremental_lsh_dedup(spark, batch2, "text", "doc_id", store, **_KW)
+    )
+    assert second == [201]
+
+
+def test_missing_store_is_first_batch(spark, corpus_and_batch, tmp_path):
+    """No store at all = first batch: in-batch rule only."""
+    _, batch = corpus_and_batch
+    store = str(tmp_path / "never_built")
+    got = _ids(
+        incremental.incremental_lsh_dedup(spark, batch, "text", "doc_id", store, **_KW)
+    )
+    empty = batch.filter(F.lit(False))
+    assert got == _expected_survivors(empty, batch)
+    assert 100 in got and 101 in got  # corpus no longer exists to drop them
+
+
+def test_empty_corpus_store_reads_with_declared_schema(spark, corpus_and_batch, tmp_path):
+    """A store built from an EMPTY corpus is a directory with zero data
+    files (round-7 rule) — the batch must still dedup in-batch."""
+    corpus, batch = corpus_and_batch
+    store = str(tmp_path / "store")
+    incremental.build_band_store(
+        corpus.filter(F.lit(False)), "text", "doc_id", store, **_KW
+    )
+    got = _ids(
+        incremental.incremental_lsh_dedup(spark, batch, "text", "doc_id", store, **_KW)
+    )
+    assert 105 not in got and 104 in got
+    assert 100 in got  # nothing stored, exact corpus copies survive
+
+
+def test_duplicate_feed_rows_emit_once(spark, corpus_and_batch, tmp_path):
+    """At-least-once delivery (duprows): exact copies of a surviving row
+    collapse to ONE output row; copies never kill their own id."""
+    corpus, batch = corpus_and_batch
+    store = str(tmp_path / "store")
+    incremental.build_band_store(corpus, "text", "doc_id", store, **_KW)
+    fed = batch.unionByName(batch.filter(F.col("doc_id").isin(102, 108)))
+    out = incremental.incremental_lsh_dedup(spark, fed, "text", "doc_id", store, **_KW)
+    ids = [r["doc_id"] for r in out.select("doc_id").collect()]
+    assert sorted(ids) == sorted(set(ids))  # one row per id
+    assert 102 in ids and 108 in ids
+    assert sorted(set(ids)) == _expected_survivors(corpus, batch)
+
+
+def test_store_layout_is_bucket_partitioned(spark, corpus_and_batch, tmp_path):
+    corpus, _ = corpus_and_batch
+    store = tmp_path / "store"
+    incremental.build_band_store(corpus, "text", "doc_id", str(store), **_KW)
+    parts = {p.name for p in Path(store).iterdir() if p.name.startswith("bkt_part=")}
+    assert parts  # hash-partitioned layout on disk
+    for p in parts:
+        assert 0 <= int(p.split("=")[1]) < _KW["num_buckets"]
