@@ -557,7 +557,11 @@ def q20(spark, sf_dir):
 @q(
     "q21",
     """SELECT c_custkey,
-              UPPER(c_name) AS name_upper,
+              -- full-casing pre-expansion: Java UPPER maps ß->SS and the fi
+              -- ligature->FI (SpecialCasing.txt) where utf8proc simple-maps
+              -- ß->U+1E9E and leaves the ligature; expand before upper so
+              -- DuckDB produces Spark's codepoints (unicode soak)
+              UPPER(replace(replace(c_name, 'ß', 'ss'), 'ﬁ', 'fi')) AS name_upper,
               LOWER(c_mktsegment) AS seg_lower,
               substring(c_name, -3, 3) AS name_tail,
               CAST(length(c_name) AS INT) AS name_len,
@@ -1017,14 +1021,19 @@ def q37_lang_id(spark, sf_dir):
 @q(
     "q38_quality",
     """WITH s AS (
+         -- CAST (not ROUND): the aligned VARCHAR-routed decimal cast
+         -- matches Spark's shortest-repr HALF_UP per-row quantize; DuckDB
+         -- ROUND rounds the binary double and disagrees exactly on
+         -- x.xxxx5 half-boundaries (alpha ratio 69/80 -> 0.65875, found
+         -- by the unicode soak)
          SELECT lang,
-                ROUND(0.4 * (CASE WHEN len(string_split(text,' ')) BETWEEN 5 AND 10000
+                CAST(0.4 * (CASE WHEN len(string_split(text,' ')) BETWEEN 5 AND 10000
                                   THEN 1.0 ELSE 0.0 END)
                     + 0.3 * (CAST(len(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
                              / GREATEST(len(text), 1))
                     + 0.3 * LEAST(1.0,
                         len(list_intersect(list_distinct(string_split(text,' ')),
-                            ['the','and','of','to','in'])) / 2.0), 4) AS quality
+                            ['the','and','of','to','in'])) / 2.0) AS DECIMAL(18,4)) AS quality
          FROM documents)
        SELECT lang, COUNT(*) AS n_docs,
               CAST(SUM(CAST(quality AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_quality
@@ -1779,13 +1788,16 @@ def q57_blocked_near_dup(spark, sf_dir):
     "q58_training_curation",
     """WITH scored AS (
          SELECT doc_id, text, lang,
-                ROUND(0.4 * (CASE WHEN len(string_split(text,' ')) BETWEEN 5 AND 10000
+                -- CAST (not ROUND): aligned shortest-repr HALF_UP quantize
+                -- (the q38 half-boundary fix); this value also gates the
+                -- quality filter, so both engines must quantize identically
+                CAST(0.4 * (CASE WHEN len(string_split(text,' ')) BETWEEN 5 AND 10000
                                   THEN 1.0 ELSE 0.0 END)
                     + 0.3 * (CAST(len(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
                              / GREATEST(len(text), 1))
                     + 0.3 * LEAST(1.0,
                         len(list_intersect(list_distinct(string_split(text,' ')),
-                            ['the','and','of','to','in'])) / 2.0), 4) AS quality,
+                            ['the','and','of','to','in'])) / 2.0) AS DECIMAL(18,4)) AS quality,
                 len(string_split(text, ' ')) AS n_tokens
          FROM documents),
        filtered AS (SELECT * FROM scored WHERE quality >= 0.3),
@@ -1869,8 +1881,15 @@ def q60_approx_percentile(spark, sf_dir):
 @q(
     "q61_normalize",
     """SELECT doc_id,
-              trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 \t\n\r]+', ' ', 'g'),
-                                  '[ \t\n\r]+', ' ', 'g')) AS norm_text
+              -- replace(İ -> i + U+0307) BEFORE lower: Spark applies Java's
+              -- full case mapping (U+0130 lowers to TWO codepoints, i plus a
+              -- combining dot) where utf8proc simple-maps to plain 'i'; the
+              -- combining dot then becomes a token split under de-punct, so
+              -- the oracle must produce the same codepoints (unicode soak)
+              trim(regexp_replace(regexp_replace(
+                       lower(replace(text, chr(304), 'i' || chr(775))),
+                       '[^a-z0-9 \t\n\r]+', ' ', 'g'),
+                   '[ \t\n\r]+', ' ', 'g')) AS norm_text
        FROM documents WHERE doc_id < 50 ORDER BY doc_id""",
     "canonical text normalization (lower, de-punctuate, collapse whitespace)",
 )
@@ -2606,7 +2625,11 @@ def q81_array_set_ops(spark, sf_dir):
               length(trim(concat('  ', c_name, '  '))) AS trim_len,
               translate(c_name, '0123456789', 'abcdefghij') AS translated,
               repeat(substring(c_name, -2, 2), 3) AS repeated,
-              reverse(c_name) AS reversed,
+              -- codepoint-granularity reverse: Spark reverses raw codepoints
+              -- (an NFD combining mark or ZWJ detaches from its base) while
+              -- DuckDB's native reverse keeps grapheme clusters intact; RE2
+              -- '.' matches one codepoint, so this emulates Spark exactly
+              array_to_string(list_reverse(regexp_extract_all(c_name, '.')), '') AS reversed,
               position('1' IN c_name) AS pos1,
               upper(substring(lower(c_mktsegment), 1, 1))
                 || lower(substring(c_mktsegment, 2)) AS segment_title,
@@ -4469,10 +4492,6 @@ def q129_contamination(spark, sf_dir):
     "(equal absent a ~2^-64 hash collision)",
 )
 def q130_incremental_dedup(spark, sf_dir):
-    import hashlib
-    import tempfile
-    from pathlib import Path
-
     from data_engineering_nd_datalake_project_4_spark.operators import incremental
 
     d = _t(spark, sf_dir, "documents")
@@ -4480,18 +4499,33 @@ def q130_incremental_dedup(spark, sf_dir):
     batch = d.filter(F.col("doc_id") >= 250).select(
         "doc_id", "text", "source", "n_chars"
     )
-    # deterministic per-dataset, per-process store location; rebuilt
-    # (overwritten) each call so the query stays a pure function of sf_dir,
-    # and PID-scoped so concurrent harnesses (driver bench + driver-sim)
-    # never overwrite each other's store mid-read. Best-effort reap of
-    # sibling stores whose owning process is gone keeps /tmp bounded
-    # across repeated harness runs.
+    store = _pid_scoped_store(sf_dir, "q130")
+    incremental.build_fingerprint_store(
+        corpus, "text", "doc_id", store, mode="canonical", num_buckets=16
+    )
+    survivors = incremental.incremental_dedup(
+        spark, batch, "text", "doc_id", store, mode="canonical", num_buckets=16
+    )
+    return survivors.select("doc_id", "source", "n_chars").orderBy("doc_id")
+
+
+def _pid_scoped_store(sf_dir, name: str) -> str:
+    """Deterministic per-dataset, per-process temp store location for
+    queries that exercise a persisted-store operator: rebuilt (overwritten)
+    each call so the query stays a pure function of sf_dir, and PID-scoped
+    so concurrent harnesses (driver bench + driver-sim) never overwrite
+    each other's store mid-read. Best-effort reap of sibling stores whose
+    owning process is gone keeps /tmp bounded across repeated harness
+    runs."""
+    import hashlib
     import os
     import shutil
+    import tempfile
+    from pathlib import Path
 
     tag = hashlib.sha256(str(sf_dir).encode()).hexdigest()[:12]
     base = Path(tempfile.gettempdir())
-    for stale in base.glob("spark_graft_q130_store_*_*"):
+    for stale in base.glob(f"spark_graft_{name}_store_*_*"):
         try:
             pid = int(stale.name.rsplit("_", 1)[1])
         except ValueError:
@@ -4504,14 +4538,7 @@ def q130_incremental_dedup(spark, sf_dir):
             shutil.rmtree(stale, ignore_errors=True)
         except PermissionError:
             pass  # PID exists under another user: ALIVE — do not reap
-    store = str(base / f"spark_graft_q130_store_{tag}_{os.getpid()}")
-    incremental.build_fingerprint_store(
-        corpus, "text", "doc_id", store, mode="canonical", num_buckets=16
-    )
-    survivors = incremental.incremental_dedup(
-        spark, batch, "text", "doc_id", store, mode="canonical", num_buckets=16
-    )
-    return survivors.select("doc_id", "source", "n_chars").orderBy("doc_id")
+    return str(base / f"spark_graft_{name}_store_{tag}_{os.getpid()}")
 
 
 @q(
@@ -4925,13 +4952,16 @@ def q139_epoch_sample(spark, sf_dir):
     "q140_curation_quarantine",
     """WITH scored AS (
          SELECT doc_id, text,
-                ROUND(0.4 * (CASE WHEN len(string_split(text,' ')) BETWEEN 5 AND 10000
+                -- CAST (not ROUND): aligned shortest-repr HALF_UP quantize
+                -- (the q38 half-boundary fix); this value also gates the
+                -- quality filter, so both engines must quantize identically
+                CAST(0.4 * (CASE WHEN len(string_split(text,' ')) BETWEEN 5 AND 10000
                                   THEN 1.0 ELSE 0.0 END)
                     + 0.3 * (CAST(len(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
                              / GREATEST(len(text), 1))
                     + 0.3 * LEAST(1.0,
                         len(list_intersect(list_distinct(string_split(text,' ')),
-                            ['the','and','of','to','in'])) / 2.0), 4) AS quality,
+                            ['the','and','of','to','in'])) / 2.0) AS DECIMAL(18,4)) AS quality,
                 len(string_split(text, ' ')) AS n_tokens
          FROM documents),
        g AS (SELECT *, COALESCE(quality >= 0.3, FALSE) AS q_ok FROM scored),
@@ -6246,3 +6276,68 @@ def q168_sketch_state_rollup(spark, sf_dir):
     return est.select(
         "event_type", F.col("est").alias("est_users")
     ).orderBy("event_type")
+
+
+@q(
+    "q169_incremental_lsh_dedup",
+    f"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents WHERE text IS NOT NULL),
+         sh AS (SELECT doc_id,
+                  list_distinct(CASE WHEN len(toks) >= 3
+                    THEN list_transform(range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                    ELSE [array_to_string(toks, ' ')] END) AS shs
+                FROM d),
+         h AS (SELECT doc_id,
+                 list_transform(shs, s -> {_ph60('s')} % 2147483647) AS hs
+               FROM sh),
+         sig AS (SELECT doc_id, [{_MH_SIG_SQL}] AS sg FROM h),
+         banded AS (
+           SELECT doc_id, bb.band,
+                  {_ph60("array_to_string(list_transform("
+                         "list_slice(sg, bb.band*4 + 1, bb.band*4 + 4), "
+                         "x -> CAST(x AS VARCHAR)), ',')")} AS bucket
+           FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS band) bb),
+         corpus_b AS (SELECT DISTINCT band, bucket FROM banded WHERE doc_id < 250),
+         batch_b AS (SELECT * FROM banded WHERE doc_id >= 250),
+         dropped AS (
+           SELECT DISTINCT bb.doc_id FROM batch_b bb
+           WHERE EXISTS (SELECT 1 FROM corpus_b c
+                         WHERE c.band = bb.band AND c.bucket = bb.bucket)
+              OR EXISTS (SELECT 1 FROM batch_b o
+                         WHERE o.band = bb.band AND o.bucket = bb.bucket
+                           AND o.doc_id < bb.doc_id))
+       SELECT DISTINCT doc_id, source, n_chars FROM documents
+       WHERE doc_id >= 250
+         AND doc_id NOT IN (SELECT doc_id FROM dropped)
+       ORDER BY doc_id""",
+    "incremental NEAR-dup dedup against a persisted MinHash band-bucket "
+    "store (the LSH twin of q130): docs < 250 are the historical corpus — "
+    "only their (band, bucket) hashes persist (~bands·20 B/doc, "
+    "hash-partitioned by bkt_part); the new batch (>= 250) is dropped on "
+    "any band-bucket hit against the bucket-pruned store or a smaller-id "
+    "batch doc (pairwise-greedy rule — deliberately non-iterative, so "
+    "the ENTIRE operator is this exact SQL twin; CC keep-min stays in "
+    "q152). NULL-text docs pass through (no signature). Portable "
+    "MD5-60bit hash family makes every bucket bit-identical in DuckDB; "
+    "corpus text is never rescanned and batch text rides no keyed "
+    "exchange (output omits it; band rows are 24-byte hashes)",
+)
+def q169_incremental_lsh_dedup(spark, sf_dir):
+    from data_engineering_nd_datalake_project_4_spark.operators import incremental
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") < 250)
+    batch = d.filter(F.col("doc_id") >= 250).select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    store = _pid_scoped_store(sf_dir, "q169")
+    incremental.build_band_store(
+        corpus, "text", "doc_id", store,
+        num_hashes=32, bands=8, shingle_n=3, hash_fn="portable", num_buckets=16,
+    )
+    survivors = incremental.incremental_lsh_dedup(
+        spark, batch, "text", "doc_id", store,
+        num_hashes=32, bands=8, shingle_n=3, hash_fn="portable", num_buckets=16,
+    )
+    return survivors.select("doc_id", "source", "n_chars").orderBy("doc_id")
