@@ -120,6 +120,33 @@ to stay green on each:
   copies as one class, and per-row aggregates count instances — on BOTH
   engines identically.
 
+- ``unicode`` : full-Unicode attack on the string surface — the classes
+  where the JVM (Spark: Java full case mapping, codepoint strings) and
+  utf8proc/RE2 (DuckDB: simple case mapping, grapheme-aware reverse,
+  byte-based levenshtein) GENUINELY diverge, measured empirically:
+  documents.text gains Turkish İ (U+0130: Spark lower → i+U+0307 TWO
+  codepoints, DuckDB simple-maps → i), Greek final-sigma words (Spark
+  lower applies the contextual Σ→ς rule, utf8proc doesn't), ß / ﬁ /
+  titlecase-digraph ǅ, NFD combining sequences, RTL runs, ZWJ emoji
+  families, fullwidth + astral-plane letters (n_chars recomputed as
+  codepoint length); customer.c_name gains a per-class multibyte infix
+  between 'Customer#' and the digits (tail digits and prefix preserved —
+  the q22/q86 conventions hold). Cross-engine traps this space holds,
+  and the oracle patterns that close them: UPPER over ß/ﬁ needs the
+  full-casing pre-expansion (replace ß→ss, ﬁ→fi before DuckDB upper);
+  reverse() must be emulated at codepoint granularity
+  (list_reverse(regexp_extract_all(s, '.')) — DuckDB's native reverse
+  keeps NFD/ZWJ grapheme clusters intact where Spark reverses raw
+  codepoints); LOWER over İ needs replace('İ', 'i'||chr(775)) so the
+  combining dot survives into downstream tokenization. Verified equal
+  under the attack WITHOUT emulation: substring (incl. negative start),
+  translate, position/locate, length (both codepoint counts), lpad/rpad,
+  trim family, regexp classes, md5/hash families, binary collation
+  ORDER BY. levenshtein is byte-based in DuckDB vs codepoint-based in
+  Spark — equal-infix pairs (the only ones within any small threshold)
+  agree, so q70's contract holds; a query comparing DIFFERENT multibyte
+  strings at threshold >= 2 would need a UDF-side twin instead.
+
 Usage: ``python tools/soak_regen.py [variant ...]`` (default: all).
 Exit code = number of failing (variant, query) pairs.
 """
@@ -186,6 +213,47 @@ def _advtext_rewrite(doc_id: int, text: str) -> str:
         # tab/newline whitespace inside "tokens" (split is on ' ' only)
         return "tab\tseparated new\nline " + text
     return text
+
+
+#: unicode variant: documents.text rewrites keyed by doc_id % 13 (classes
+#: 6..12 keep the original text so the bulk of the corpus and every dedup
+#: candidate pair still exists). Each class plants one measured
+#: JVM-vs-utf8proc divergence risk (see module docstring).
+def _unicode_text_rewrite(doc_id: int, text: str) -> str:
+    cls = doc_id % 13
+    if cls == 0:
+        # Turkish dotted capital + Greek final-sigma words (case mapping)
+        return text + " İstanbul ΛΌΓΟΣ λόγος"
+    if cls == 1:
+        # sharp s, fi ligature, titlecase digraph (full vs simple casing)
+        return text + " straße ﬁle ǅungla"
+    if cls == 2:
+        # NFD combining sequences (é as e + U+0301, explicit escapes so a
+        # source-file normalization can never silently compose them)
+        return "cafe\u0301 e\u0301migre\u0301 " + text
+    if cls == 3:
+        # RTL Hebrew + Arabic runs
+        return "שלום עולם مرحبا بالعالم " + text
+    if cls == 4:
+        # ZWJ emoji families (multi-codepoint grapheme clusters)
+        return "👩‍💻 👨‍👩‍👧‍👦 " + text
+    if cls == 5:
+        # fullwidth + astral-plane (surrogate-pair) letters
+        return "ＡＢＣ 𝔘𝔫𝔦 𠀀𠀁 " + text
+    return text  # classes 6..12: unchanged
+
+
+#: customer.c_name infix classes (c_custkey % 10; 6..9 keep the original).
+#: The 'Customer#' prefix and the trailing digit run are preserved — q22's
+#: regex-tail convention and q86's last-digit grouping stay meaningful.
+_UNICODE_NAME_INFIX = ["ß", "ﬁ", "İ", "é", "👩‍💻", "Ａ𝔘"]
+
+
+def _unicode_name_rewrite(custkey: int, name: str) -> str:
+    cls = custkey % 10
+    if cls < len(_UNICODE_NAME_INFIX) and name.startswith("Customer#"):
+        return "Customer#" + _UNICODE_NAME_INFIX[cls] + name[len("Customer#"):]
+    return name
 
 
 #: nulls variant: (column, id_column, modulus) — NULL where id % mod == 0.
@@ -371,6 +439,33 @@ def build_variant(name: str, out_dir: Path, src_dir: Path | None = None) -> None
                 pa.array([len(s) for s in new_texts], pa.int64()),
             )
             pq.write_table(tbl, dst)
+        elif name == "unicode" and t == "documents":
+            tbl = pq.read_table(src)
+            ids = tbl.column("doc_id").to_pylist()
+            texts = tbl.column("text").to_pylist()
+            new_texts = [_unicode_text_rewrite(i, s) for i, s in zip(ids, texts)]
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index("text"), "text",
+                pa.array(new_texts, pa.string()),
+            )
+            # codepoint length — what BOTH engines' length() counts
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index("n_chars"), "n_chars",
+                pa.array([len(s) for s in new_texts], pa.int64()),
+            )
+            pq.write_table(tbl, dst)
+        elif name == "unicode" and t == "customer":
+            tbl = pq.read_table(src)
+            keys = tbl.column("c_custkey").to_pylist()
+            names = tbl.column("c_name").to_pylist()
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index("c_name"), "c_name",
+                pa.array(
+                    [_unicode_name_rewrite(k, n) for k, n in zip(keys, names)],
+                    pa.string(),
+                ),
+            )
+            pq.write_table(tbl, dst)
         elif name == "date32" and t in ("lineitem", "orders"):
             tbl = pq.read_table(src)
             col = "l_shipdate" if t == "lineitem" else "o_orderdate"
@@ -470,7 +565,7 @@ def main(argv: list[str]) -> int:
     variants = argv or [
         "ts_micros", "ts_nanos", "half2", "half4", "rowshuffle", "advtext",
         "advembed", "date32", "int32", "nulls", "empty", "onerow", "duprows",
-        "advjson", "colshuffle", "addcols", "skewkeys",
+        "advjson", "colshuffle", "addcols", "skewkeys", "unicode",
     ]
     spark = get_spark(app_name="soak-regen", shuffle_partitions=16)
     total_fail = 0
