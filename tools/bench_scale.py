@@ -365,6 +365,95 @@ def run_model_persistence_bench(spark, reps: int) -> None:
                      separators=(",", ":")))
 
 
+def run_incremental_dedup_scale(spark, reps: int) -> None:
+    """q169's operator under its defining 100 TB claim: a FIXED-size batch
+    near-dup-deduped against a corpus that grows ~16x (sf0.1 documents
+    minus the batch -> sf1.0). The one-time store build (the only
+    corpus-scan stage) is timed separately; the per-batch wall times the
+    COMPLETE operator call (band fan-out, bucket-pruned store probe,
+    in-batch rule, survivor join — the operator materializes its
+    decision set eagerly, so the fn call itself is the work). The honest
+    expectation is NEAR-FLAT, not O(1): the corpus-linear term is the
+    probe join over ~20 B/doc band-hash rows — the store holds hashes,
+    never text, so the 10x corpus adds KBs of shuffle, not the corpus.
+    Merged into bench/results_sf1.json under 'incremental_lsh_dedup'."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_nd_datalake_project_4_spark.catalog import load_table
+    from data_engineering_nd_datalake_project_4_spark.operators import incremental
+
+    BATCH = 2000
+    entry: dict = {}
+    for label, sf_dir in (("sf0.1", SF01), ("sf1.0", SF10)):
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "source", "n_chars"
+        )
+        # the BATCH highest doc_ids are "today's crawl"; the rest is corpus
+        cut = (
+            d.select("doc_id").orderBy(F.desc("doc_id")).limit(BATCH)
+            .agg(F.min("doc_id")).first()[0]
+        )
+        corpus = d.filter(F.col("doc_id") < cut)
+        batch = d.filter(F.col("doc_id") >= cut)
+        store = tempfile.mkdtemp(prefix=f"bench_inc_{label}_") + "/store"
+        t0 = time.perf_counter()
+        incremental.build_band_store(
+            corpus, "text", "doc_id", store, num_hashes=32, bands=8,
+            shingle_n=3, hash_fn="xxhash64", num_buckets=64,
+        )
+        build_sec = round(time.perf_counter() - t0, 3)
+
+        def run_batch():
+            surv = incremental.incremental_lsh_dedup(
+                spark, batch, "text", "doc_id", store, num_hashes=32,
+                bands=8, shingle_n=3, hash_fn="xxhash64", num_buckets=64,
+            )
+            _run(surv.select("doc_id", "source", "n_chars"))
+            return surv
+
+        run_batch()  # warm-up (page cache + codegen JIT)
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            run_batch()
+            samples.append(round(time.perf_counter() - t0, 3))
+        samples.sort()
+        entry[label] = {
+            "median_sec": samples[len(samples) // 2],
+            "samples": samples,
+            "corpus_rows": corpus.count(),
+            "batch_rows": batch.count(),
+            "store_build_sec": build_sec,
+            "survivors": run_batch().count(),
+        }
+        print(
+            f"[incremental] {label}: corpus={entry[label]['corpus_rows']:,} "
+            f"batch={BATCH} build={build_sec:.2f}s "
+            f"batch_wall={entry[label]['median_sec']:.2f}s",
+            file=sys.stderr, flush=True,
+        )
+    ratio = round(
+        entry["sf1.0"]["median_sec"] / max(entry["sf0.1"]["median_sec"], 1e-9), 2
+    )
+    corpus_growth = round(
+        entry["sf1.0"]["corpus_rows"] / max(entry["sf0.1"]["corpus_rows"], 1), 2
+    )
+    entry["batch_wall_ratio"] = ratio
+    entry["corpus_growth"] = corpus_growth
+    # flat-in-corpus contract: fixed batch wall may not scale with corpus
+    entry["corpus_coupled"] = ratio > 2.0
+    with open("bench/results_sf1.json") as f:
+        res = json.load(f)
+    res["incremental_lsh_dedup"] = entry
+    with open("bench/results_sf1.json", "w") as f:
+        json.dump(res, f, indent=1)
+    print(json.dumps({"metric": "incremental_dedup_batch_wall_ratio",
+                      "value": ratio, "unit": f"x_per_{corpus_growth}x_corpus"},
+                     separators=(",", ":")))
+
+
 def run_bytes_annotation(spark, only: list[str] | None = None) -> None:
     """Annotate bench/results_sf1.json lane entries with MEASURED shuffle
     read/write bytes at both scale points (plans.observed_shuffle_bytes)
@@ -460,6 +549,11 @@ def main() -> None:
         help="retrain-vs-reload bench for persisted ANN models "
         "(operators/models.py); merged into bench/results_sf1.json",
     )
+    ap.add_argument(
+        "--incremental", action="store_true",
+        help="fixed-batch incremental LSH dedup wall vs a 10x-grown corpus "
+        "(q169's flat-in-corpus claim); merged into bench/results_sf1.json",
+    )
     args = ap.parse_args()
 
     if not args.skip_gen and not os.path.exists(f"{SF10}/lineitem.parquet"):
@@ -500,6 +594,10 @@ def main() -> None:
         return
     if args.models:
         run_model_persistence_bench(spark, args.reps)
+        spark.stop()
+        return
+    if args.incremental:
+        run_incremental_dedup_scale(spark, args.reps)
         spark.stop()
         return
 
