@@ -194,3 +194,54 @@ def test_store_layout_is_bucket_partitioned(spark, corpus_and_batch, tmp_path):
     assert parts  # hash-partitioned layout on disk
     for p in parts:
         assert 0 <= int(p.split("=")[1]) < _KW["num_buckets"]
+
+
+def test_streaming_ingest_with_incremental_lsh_dedup(spark, tmp_path):
+    """The production composition (q130's streaming test, near-dup twin):
+    a file stream ingested via foreachBatch, each micro-batch deduped
+    against the band store (update_store=True) and survivors appended to
+    the corpus. Token-disjoint base texts make every planted relation an
+    exact copy, so the pairwise-greedy rule's expectations are
+    deterministic: first occurrence wins within and across batches."""
+    import os
+
+    from data_engineering_nd_datalake_project_4_spark.streaming import (
+        read_file_stream,
+        run_foreach_batch,
+    )
+
+    def doc(w):
+        return " ".join(f"{w}{j}" for j in range(8))
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    corpus = str(tmp_path / "corpus")
+    chk = str(tmp_path / "chk")
+    os.makedirs(src)
+
+    files = [
+        [(1, doc("alpha")), (2, doc("beta")), (3, doc("alpha"))],   # intra-batch dup
+        [(4, doc("beta")), (5, doc("gamma"))],                      # inter-batch dup
+        [(6, doc("gamma")), (7, doc("delta")), (8, doc("alpha"))],  # both
+    ]
+    for i, rows in enumerate(files):
+        spark.createDataFrame(rows, "doc_id LONG, text STRING").coalesce(
+            1
+        ).write.parquet(os.path.join(src, f"b{i}"))
+
+    def ingest(batch_df, batch_id):
+        survivors = incremental.incremental_lsh_dedup(
+            spark, batch_df, "text", "doc_id", store, update_store=True, **_KW
+        )
+        survivors.write.mode("append").parquet(corpus)
+
+    stream = read_file_stream(
+        spark, src + "/*", "doc_id LONG, text STRING", "parquet",
+        max_files_per_trigger=1,
+    )
+    run_foreach_batch(stream, ingest, chk, query_name="inc_lsh_ingest")
+
+    got = {(r["doc_id"], r["text"]) for r in spark.read.parquet(corpus).collect()}
+    assert got == {
+        (1, doc("alpha")), (2, doc("beta")), (5, doc("gamma")), (7, doc("delta"))
+    }
