@@ -385,8 +385,13 @@ def run_incremental_dedup_scale(spark, reps: int) -> None:
     from data_engineering_nd_datalake_project_4_spark.operators import incremental
 
     BATCH = 2000
+    points = [("sf0.1", SF01), ("sf1.0", SF10)]
+    if os.path.exists(f"{SF100}/documents.parquet"):
+        # third decade when the sf10 corpus is materialized (gen_scale
+        # --tables documents): ~498k corpus docs vs the same 2000-doc batch
+        points.append(("sf10", SF100))
     entry: dict = {}
-    for label, sf_dir in (("sf0.1", SF01), ("sf1.0", SF10)):
+    for label, sf_dir in points:
         d = load_table(spark, sf_dir, "documents").select(
             "doc_id", "text", "source", "n_chars"
         )
@@ -434,11 +439,12 @@ def run_incremental_dedup_scale(spark, reps: int) -> None:
             f"batch_wall={entry[label]['median_sec']:.2f}s",
             file=sys.stderr, flush=True,
         )
+    last = points[-1][0]
     ratio = round(
-        entry["sf1.0"]["median_sec"] / max(entry["sf0.1"]["median_sec"], 1e-9), 2
+        entry[last]["median_sec"] / max(entry["sf0.1"]["median_sec"], 1e-9), 2
     )
     corpus_growth = round(
-        entry["sf1.0"]["corpus_rows"] / max(entry["sf0.1"]["corpus_rows"], 1), 2
+        entry[last]["corpus_rows"] / max(entry["sf0.1"]["corpus_rows"], 1), 2
     )
     entry["batch_wall_ratio"] = ratio
     entry["corpus_growth"] = corpus_growth
