@@ -85,7 +85,17 @@ def quality_score(text_col: Column | str, stopwords: tuple[str, ...] = LANG_MARK
         F.length(c).cast("double"), F.lit(1.0)
     )
     hits = F.size(F.array_intersect(F.array_distinct(tokens(c)), F.array(*[F.lit(s) for s in stopwords]))).cast("double")
-    return F.round(F.lit(0.4) * len_ok + F.lit(0.3) * alpha + F.lit(0.3) * F.least(F.lit(1.0), hits / 2), 4)
+    raw = F.lit(0.4) * len_ok + F.lit(0.3) * alpha + F.lit(0.3) * F.least(F.lit(1.0), hits / 2)
+    # scale-then-quantize (NOT F.round): the 4-dp quantize must be the
+    # same op sequence as the oracle's VARCHAR-routed decimal cast. A raw
+    # ROUND/CAST at scale 4 breaks cross-engine for quality < 1e-4 — the
+    # alpha term of a huge low-alpha doc lands there, its shortest repr
+    # goes scientific, and DuckDB's sci-notation→DECIMAL parse mis-rounds
+    # mantissas >= 5 up a quantum (9.9e-06 → 0.0001; longdoc soak).
+    # Scaling by 1e4 first keeps every nonzero quantize input in plain
+    # notation (quality >= ~1e-8, i.e. docs < ~30M chars), and the final
+    # value is an exact small-int/1e4 division — bit-identical cross-engine.
+    return (raw * 10000).cast("decimal(18,0)").cast("double") / 10000
 
 
 def lang_id(text_col: Column | str) -> Column:

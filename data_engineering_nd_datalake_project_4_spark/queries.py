@@ -1021,19 +1021,20 @@ def q37_lang_id(spark, sf_dir):
 @q(
     "q38_quality",
     """WITH s AS (
-         -- CAST (not ROUND): the aligned VARCHAR-routed decimal cast
-         -- matches Spark's shortest-repr HALF_UP per-row quantize; DuckDB
-         -- ROUND rounds the binary double and disagrees exactly on
-         -- x.xxxx5 half-boundaries (alpha ratio 69/80 -> 0.65875, found
-         -- by the unicode soak)
+         -- scale-then-quantize via the aligned VARCHAR-routed decimal
+         -- cast (same op sequence as text.quality_score): raw ROUND
+         -- disagrees on x.xxxx5 half-boundaries (69/80 -> 0.65875,
+         -- unicode soak) and a raw 4-dp CAST mis-parses sub-quantum
+         -- sci-notation reprs (9.9e-06 -> 0.0001, longdoc soak)
          SELECT lang,
-                CAST(0.4 * (CASE WHEN len(string_split(text,' ')) BETWEEN 5 AND 10000
+                CAST((0.4 * (CASE WHEN len(string_split(text,' ')) BETWEEN 5 AND 10000
                                   THEN 1.0 ELSE 0.0 END)
                     + 0.3 * (CAST(len(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
                              / GREATEST(len(text), 1))
                     + 0.3 * LEAST(1.0,
                         len(list_intersect(list_distinct(string_split(text,' ')),
-                            ['the','and','of','to','in'])) / 2.0) AS DECIMAL(18,4)) AS quality
+                            ['the','and','of','to','in'])) / 2.0)) * 10000
+                     AS DECIMAL(18,0)) / CAST(10000 AS DOUBLE) AS quality
          FROM documents)
        SELECT lang, COUNT(*) AS n_docs,
               CAST(SUM(CAST(quality AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_quality
@@ -1788,16 +1789,16 @@ def q57_blocked_near_dup(spark, sf_dir):
     "q58_training_curation",
     """WITH scored AS (
          SELECT doc_id, text, lang,
-                -- CAST (not ROUND): aligned shortest-repr HALF_UP quantize
-                -- (the q38 half-boundary fix); this value also gates the
-                -- quality filter, so both engines must quantize identically
-                CAST(0.4 * (CASE WHEN len(string_split(text,' ')) BETWEEN 5 AND 10000
+                -- scale-then-quantize (see q38) — this value also gates
+                -- the quality filter; both engines must quantize identically
+                CAST((0.4 * (CASE WHEN len(string_split(text,' ')) BETWEEN 5 AND 10000
                                   THEN 1.0 ELSE 0.0 END)
                     + 0.3 * (CAST(len(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
                              / GREATEST(len(text), 1))
                     + 0.3 * LEAST(1.0,
                         len(list_intersect(list_distinct(string_split(text,' ')),
-                            ['the','and','of','to','in'])) / 2.0) AS DECIMAL(18,4)) AS quality,
+                            ['the','and','of','to','in'])) / 2.0)) * 10000
+                     AS DECIMAL(18,0)) / CAST(10000 AS DOUBLE) AS quality,
                 len(string_split(text, ' ')) AS n_tokens
          FROM documents),
        filtered AS (SELECT * FROM scored WHERE quality >= 0.3),
@@ -4952,16 +4953,16 @@ def q139_epoch_sample(spark, sf_dir):
     "q140_curation_quarantine",
     """WITH scored AS (
          SELECT doc_id, text,
-                -- CAST (not ROUND): aligned shortest-repr HALF_UP quantize
-                -- (the q38 half-boundary fix); this value also gates the
-                -- quality filter, so both engines must quantize identically
-                CAST(0.4 * (CASE WHEN len(string_split(text,' ')) BETWEEN 5 AND 10000
+                -- scale-then-quantize (see q38) — this value also gates
+                -- the quality filter; both engines must quantize identically
+                CAST((0.4 * (CASE WHEN len(string_split(text,' ')) BETWEEN 5 AND 10000
                                   THEN 1.0 ELSE 0.0 END)
                     + 0.3 * (CAST(len(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
                              / GREATEST(len(text), 1))
                     + 0.3 * LEAST(1.0,
                         len(list_intersect(list_distinct(string_split(text,' ')),
-                            ['the','and','of','to','in'])) / 2.0) AS DECIMAL(18,4)) AS quality,
+                            ['the','and','of','to','in'])) / 2.0)) * 10000
+                     AS DECIMAL(18,0)) / CAST(10000 AS DOUBLE) AS quality,
                 len(string_split(text, ' ')) AS n_tokens
          FROM documents),
        g AS (SELECT *, COALESCE(quality >= 0.3, FALSE) AS q_ok FROM scored),

@@ -147,6 +147,21 @@ to stay green on each:
   agree, so q70's contract holds; a query comparing DIFFERENT multibyte
   strings at threshold >= 2 would need a UDF-side twin instead.
 
+- ``longdoc`` : document-length attack — the shipped generator emits
+  uniformly short docs, so every per-doc fan-out and every ratio-of-
+  lengths metric was untested at outlier lengths. Five docs per sf0.01
+  (doc_id % 1000 == 7) rotate four classes: a ~30k-char single token
+  with ONE alpha char (its quality score lands at 9.9e-06 — in the
+  sub-quantum window where DuckDB's scientific-notation→DECIMAL parse
+  mis-rounds mantissas >= 5 up a full quantum, the round-6 trap made
+  reachable; fixed by scale-then-quantize in text.quality_score and the
+  q38/q58/q140 oracles), a 30k-token doc over a 7-word vocabulary
+  (massive repeated-gram runs: span dedup, winnowing, LSH bucket
+  stress), a 20k-token doc of all-unique tokens (vocabulary explosion:
+  shingle arrays, signature builds, distinct counts), and a 50k-char
+  whitespace-free blob (degenerate single-token tokenization).
+  ``n_chars`` recomputed as codepoint length.
+
 Usage: ``python tools/soak_regen.py [variant ...]`` (default: all).
 Exit code = number of failing (variant, query) pairs.
 """
@@ -254,6 +269,28 @@ def _unicode_name_rewrite(custkey: int, name: str) -> str:
     if cls < len(_UNICODE_NAME_INFIX) and name.startswith("Customer#"):
         return "Customer#" + _UNICODE_NAME_INFIX[cls] + name[len("Customer#"):]
     return name
+
+
+#: longdoc variant: rewrite docs where doc_id % 1000 == 7 (5 docs at
+#: sf0.01 — enough to hit every per-doc code path without making the
+#: 169-query strict sim quadratic in the fan-outs), rotating 4 classes.
+def _longdoc_rewrite(doc_id: int, text: str) -> str:
+    if doc_id % 1000 != 7:
+        return text
+    cls = (doc_id // 1000) % 4
+    if cls == 0:
+        # ~30k-char single token, exactly one alpha char: quality =
+        # 0.3/30303 = 9.9e-06 — the sub-quantum sci-notation window
+        return "a" + "." * 30302
+    if cls == 1:
+        # repeated-run corpus: 30k tokens over a 7-word vocabulary
+        vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+        return " ".join(vocab[i % 7] for i in range(30000))
+    if cls == 2:
+        # vocabulary explosion: 20k unique tokens
+        return " ".join(f"u{doc_id}x{i}" for i in range(20000))
+    # whitespace-free 50k-char blob (one giant token)
+    return "x0123456789" * 4546
 
 
 #: nulls variant: (column, id_column, modulus) — NULL where id % mod == 0.
@@ -439,6 +476,20 @@ def build_variant(name: str, out_dir: Path, src_dir: Path | None = None) -> None
                 pa.array([len(s) for s in new_texts], pa.int64()),
             )
             pq.write_table(tbl, dst)
+        elif name == "longdoc" and t == "documents":
+            tbl = pq.read_table(src)
+            ids = tbl.column("doc_id").to_pylist()
+            texts = tbl.column("text").to_pylist()
+            new_texts = [_longdoc_rewrite(i, s) for i, s in zip(ids, texts)]
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index("text"), "text",
+                pa.array(new_texts, pa.string()),
+            )
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index("n_chars"), "n_chars",
+                pa.array([len(s) for s in new_texts], pa.int64()),
+            )
+            pq.write_table(tbl, dst)
         elif name == "unicode" and t == "documents":
             tbl = pq.read_table(src)
             ids = tbl.column("doc_id").to_pylist()
@@ -565,7 +616,7 @@ def main(argv: list[str]) -> int:
     variants = argv or [
         "ts_micros", "ts_nanos", "half2", "half4", "rowshuffle", "advtext",
         "advembed", "date32", "int32", "nulls", "empty", "onerow", "duprows",
-        "advjson", "colshuffle", "addcols", "skewkeys", "unicode",
+        "advjson", "colshuffle", "addcols", "skewkeys", "unicode", "longdoc",
     ]
     spark = get_spark(app_name="soak-regen", shuffle_partitions=16)
     total_fail = 0
