@@ -328,7 +328,33 @@ def incremental_lsh_dedup(
         keyed.filter(F.col(text_col).isNotNull()),
         text_col, id_col, num_hashes, bands, shingle_n, hash_fn,
     ).localCheckpoint(eager=True)
+    dropped = _banded_store_dropped(
+        spark, banded, store_path, num_buckets, update_store
+    )
+    survivors = keyed.join(
+        dropped, keyed[id_col] == dropped["__id"], "left_anti"
+    )
+    # one output row per surviving id (exact feed copies collapse; ties
+    # are identical rows, so the row_number pick is deterministic content)
+    return latest_per_key(survivors, [id_col], [F.col(id_col)])
 
+
+def _banded_store_dropped(
+    spark: SparkSession,
+    banded: DataFrame,
+    store_path: str,
+    num_buckets: int,
+    update_store: bool,
+) -> DataFrame:
+    """The shared banded-store decision core behind
+    :func:`incremental_lsh_dedup` (MinHash bands over text) and
+    :func:`incremental_semantic_dedup` (sign-LSH bands over vectors):
+    given eagerly-checkpointed ``(__id, __band, __bucket)`` fan-out rows
+    for the batch, return the CHECKPOINTED distinct set of dropped ids
+    under the pairwise-greedy rule — any band bucket present in the
+    store, or holding a smaller batch id. With ``update_store`` the
+    survivors' buckets are appended first (same layout), so the append
+    and the caller's consumption share one evaluation of the decision."""
     # prune the store scan to the partitions this batch can touch
     touched = [
         r[0]
@@ -390,13 +416,108 @@ def incremental_lsh_dedup(
             .partitionBy("bkt_part")
             .parquet(store_path)
         )
+    return dropped
 
-    survivors = keyed.join(
-        dropped, keyed[id_col] == dropped["__id"], "left_anti"
+
+def _sign_band_rows(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bands: int,
+    band_bits: int,
+) -> DataFrame:
+    """Sign-LSH fan-out in the core's ``(__id, __band, __bucket)`` shape
+    (NULL vectors filtered — no signature, the q169 pass-through rule)."""
+    from data_engineering_nd_datalake_project_4_spark.operators.similarity import banded_sign_lsh_keys
+
+    return banded_sign_lsh_keys(
+        df.filter(F.col(vec_col).isNotNull()), id_col, vec_col, bands, band_bits
+    ).select(
+        F.col(id_col).alias("__id"),
+        F.col("band").alias("__band"),
+        F.col("band_key").cast("long").alias("__bucket"),
     )
-    # one output row per surviving id (exact feed copies collapse; ties
-    # are identical rows, so the row_number pick is deterministic content)
-    return latest_per_key(survivors, [id_col], [F.col(id_col)])
+
+
+def build_sign_band_store(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    store_path: str,
+    bands: int = 4,
+    band_bits: int = 6,
+    num_buckets: int = 16,
+) -> None:
+    """Materialize the corpus sign-LSH band-key store (the embedding twin
+    of :func:`build_band_store`): one ``(band, bucket, first_id)`` row per
+    distinct corpus (band, key), hash-partitioned by ``bkt_part``. On disk
+    ~bands·20 B per distinct vector signature — the corpus VECTORS never
+    persist and are never rescanned."""
+    (
+        _sign_band_rows(df, id_col, vec_col, bands, band_bits)
+        .groupBy("__band", "__bucket")
+        .agg(F.min("__id").alias("first_id"))
+        .select(
+            F.col("__band").cast("int").alias("band"),
+            F.col("__bucket").cast("long").alias("bucket"),
+            F.col("first_id").cast("long").alias("first_id"),
+            _band_part(F.col("__bucket"), num_buckets).alias("bkt_part"),
+        )
+        .repartition("bkt_part")
+        .write.mode("overwrite")
+        .partitionBy("bkt_part")
+        .parquet(store_path)
+    )
+
+
+def incremental_semantic_dedup(
+    spark: SparkSession,
+    batch: DataFrame,
+    id_col: str,
+    vec_col: str,
+    store_path: str,
+    bands: int = 4,
+    band_bits: int = 6,
+    num_buckets: int = 16,
+    update_store: bool = False,
+) -> DataFrame:
+    """Incremental SEMANTIC dedup: batch vectors dropped when any of their
+    sign-LSH band keys (a) exists in the persisted corpus store or (b) is
+    held by a smaller-id batch vector — completing the incremental family
+    (exact q130, lexical MinHash q169, semantic q170) with the same
+    pairwise-greedy, exactly-SQL-expressible rule and the same
+    checkpoint/pruning/append machinery (:func:`_banded_store_dropped`).
+
+    SIGNATURE-level semantics, stated honestly: batch-mode
+    :func:`..similarity.semantic_dedup` (q142) rescores candidates with
+    true cosine before removing; an incremental operator cannot — the
+    store holds ~bands·20 B/vec of band keys, never vectors, so there is
+    nothing to rescore against without rescanning the corpus. A band-key
+    hit IS the drop decision (SemDeDup-style banding as the decision
+    rule, size band_bits ~ log2(N) via :func:`..similarity.
+    sized_band_bits` to hold the false-collision rate flat). Routes
+    needing exact-threshold semantics keep the batch operator.
+
+    Degenerate geometry contract (the advembed soak classes): an all-zero
+    vector projects to 0 on every plane (sign bit 0 everywhere), so all
+    zero-norm vectors share one signature and dedup as a class — unlike
+    q142, where NULL cosine never removes. NULL vectors pass through
+    (no signature, not recorded), as q169's NULL text.
+
+    Output: one row per distinct batch id, the batch's columns plus
+    ``sem_removed`` (true = near-dup of corpus or of a smaller batch id).
+    Exact feed copies collapse to one row (duprows contract)."""
+    keyed = batch.localCheckpoint(eager=True)
+    banded = _sign_band_rows(
+        keyed, id_col, vec_col, bands, band_bits
+    ).localCheckpoint(eager=True)
+    dropped = _banded_store_dropped(
+        spark, banded, store_path, num_buckets, update_store
+    )
+    annotated = keyed.join(
+        dropped, keyed[id_col] == dropped["__id"], "left"
+    ).select(*keyed.columns, F.col("__id").isNotNull().alias("sem_removed"))
+    return latest_per_key(annotated, [id_col], [F.col(id_col)])
 
 
 def corpus_diff(

@@ -6342,3 +6342,63 @@ def q169_incremental_lsh_dedup(spark, sf_dir):
         num_hashes=32, bands=8, shingle_n=3, hash_fn="portable", num_buckets=16,
     )
     return survivors.select("doc_id", "source", "n_chars").orderBy("doc_id")
+
+
+@q(
+    "q170_incremental_semantic_dedup",
+    """WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                         CAST(unnest(embedding) AS DOUBLE) AS e FROM embeddings),
+            p AS (SELECT vec_id, j, SUM(e * sin(CAST(i AS DOUBLE) * j)) AS proj
+                  FROM u CROSS JOIN (SELECT unnest(range(1, 25)) AS j) js
+                  GROUP BY vec_id, j),
+            bb AS (SELECT vec_id, CAST((j - 1) // 6 AS INT) AS band,
+                          CAST(SUM(CASE WHEN proj > 0
+                                        THEN CAST(pow(2, (j - 1) % 6) AS INT)
+                                        ELSE 0 END) AS INT) AS band_key
+                   FROM p GROUP BY vec_id, (j - 1) // 6),
+            corpus_b AS (SELECT DISTINCT band, band_key FROM bb WHERE vec_id < 100),
+            batch_b AS (SELECT * FROM bb WHERE vec_id >= 100),
+            dropped AS (
+              SELECT DISTINCT b.vec_id FROM batch_b b
+              WHERE EXISTS (SELECT 1 FROM corpus_b c
+                            WHERE c.band = b.band AND c.band_key = b.band_key)
+                 OR EXISTS (SELECT 1 FROM batch_b o
+                            WHERE o.band = b.band AND o.band_key = b.band_key
+                              AND o.vec_id < b.vec_id))
+       SELECT DISTINCT v.vec_id, v.label,
+              CASE WHEN d.vec_id IS NULL THEN 'kept' ELSE 'removed' END AS status
+       FROM embeddings v LEFT JOIN dropped d ON d.vec_id = v.vec_id
+       WHERE v.vec_id >= 100
+       ORDER BY v.vec_id""",
+    "incremental SEMANTIC dedup vs a persisted sign-LSH band-key store — "
+    "the third member of the incremental family (exact q130, lexical "
+    "MinHash q169): vectors < 100 are the historical corpus (only their "
+    "4x6-bit sign-LSH band keys persist, ~bands*20 B/vec; the vectors "
+    "themselves are never stored or rescanned); batch vectors (>= 100) "
+    "are dropped on any band-key hit against the bucket-pruned store or "
+    "a smaller-id batch vector. SIGNATURE-level decision (documented: "
+    "no rescore is possible without corpus vectors — q142 keeps the "
+    "exact-threshold batch semantics); the sin()-plane family is q142's, "
+    "so the oracle replicates every band key exactly. Zero-norm vectors "
+    "share the all-zero signature and dedup as a class; NULL vectors "
+    "pass through",
+)
+def q170_incremental_semantic_dedup(spark, sf_dir):
+    from data_engineering_nd_datalake_project_4_spark.operators import incremental
+
+    e = _t(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") < 100)
+    batch = e.filter(F.col("vec_id") >= 100).select("vec_id", "label", "embedding")
+    store = _pid_scoped_store(sf_dir, "q170")
+    incremental.build_sign_band_store(
+        corpus, "vec_id", "embedding", store, bands=4, band_bits=6, num_buckets=16
+    )
+    out = incremental.incremental_semantic_dedup(
+        spark, batch, "vec_id", "embedding", store,
+        bands=4, band_bits=6, num_buckets=16,
+    )
+    return out.select(
+        "vec_id",
+        "label",
+        F.when(F.col("sem_removed"), F.lit("removed")).otherwise(F.lit("kept")).alias("status"),
+    ).orderBy("vec_id")

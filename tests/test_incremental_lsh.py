@@ -245,3 +245,104 @@ def test_streaming_ingest_with_incremental_lsh_dedup(spark, tmp_path):
     assert got == {
         (1, doc("alpha")), (2, doc("beta")), (5, doc("gamma")), (7, doc("delta"))
     }
+
+
+# ---------------------------------------------------------------------------
+# incremental_semantic_dedup (sign-LSH band store — the embedding twin)
+# ---------------------------------------------------------------------------
+
+_SKW = dict(bands=4, band_bits=6, num_buckets=16)
+
+
+@pytest.fixture()
+def vec_corpus_and_batch(spark):
+    """Corpus ids 0..5; batch ids 100..106. Planted relations are EXACT
+    vector copies (identical signature — every band collides,
+    deterministic): 100 copies corpus 0; 103/104 copy each other in-batch;
+    105/106 are zero vectors (all-zero signature class — and corpus 5 is a
+    zero vector too, so both are store hits); 102 is a NULL vector
+    (pass-through)."""
+    import math
+
+    def vec(seed):
+        return [math.sin(seed * (i + 1)) * (1 if i % 2 else -1) for i in range(16)]
+
+    corpus_rows = [(i, vec(i + 1)) for i in range(5)] + [(5, [0.0] * 16)]
+    batch_rows = [
+        (100, vec(1)),            # exact copy of corpus 0
+        (101, vec(99)),           # fresh
+        (102, None),              # NULL vector: pass-through
+        (103, vec(77)),           # in-batch pair...
+        (104, vec(77)),           # ...104 dropped (smaller id wins)
+        (105, [0.0] * 16),        # zero class: hits corpus 5's signature
+        (106, [0.0] * 16),        # zero class: also a store hit
+    ]
+    schema = "vec_id LONG, embedding ARRAY<DOUBLE>"
+    return (
+        spark.createDataFrame(corpus_rows, schema),
+        spark.createDataFrame(batch_rows, schema),
+    )
+
+
+def _sem_expected(corpus, batch):
+    """Pairwise-greedy rule from the same sign-LSH fan-out."""
+    cb = incremental._sign_band_rows(corpus, "vec_id", "embedding", 4, 6).collect()
+    bb = incremental._sign_band_rows(batch, "vec_id", "embedding", 4, 6).collect()
+    corpus_keys = {(r["__band"], r["__bucket"]) for r in cb}
+    kmin: dict[tuple, int] = {}
+    for r in bb:
+        k = (r["__band"], r["__bucket"])
+        kmin[k] = min(kmin.get(k, r["__id"]), r["__id"])
+    removed = {
+        r["__id"]
+        for r in bb
+        if (r["__band"], r["__bucket"]) in corpus_keys
+        or kmin[(r["__band"], r["__bucket"])] < r["__id"]
+    }
+    return removed
+
+
+def test_semantic_equivalent_to_band_rule(spark, vec_corpus_and_batch, tmp_path):
+    corpus, batch = vec_corpus_and_batch
+    store = str(tmp_path / "store")
+    incremental.build_sign_band_store(corpus, "vec_id", "embedding", store, **_SKW)
+    out = incremental.incremental_semantic_dedup(
+        spark, batch, "vec_id", "embedding", store, **_SKW
+    )
+    got = {r["vec_id"]: r["sem_removed"] for r in out.collect()}
+    removed = _sem_expected(corpus, batch)
+    assert got == {
+        i: (i in removed) for i in (100, 101, 102, 103, 104, 105, 106)
+    }
+    # the deterministic planted subset
+    assert got[100] is True        # exact copy of corpus vector
+    assert got[104] is True and got[103] in (True, False)  # 103 only by chance collision
+    assert got[105] is True and got[106] is True  # zero class hits corpus zero
+    assert got[102] is False       # NULL vector passes through
+
+
+def test_semantic_replay_idempotent(spark, vec_corpus_and_batch, tmp_path):
+    corpus, batch = vec_corpus_and_batch
+    store = str(tmp_path / "store")
+    incremental.build_sign_band_store(corpus, "vec_id", "embedding", store, **_SKW)
+    incremental.incremental_semantic_dedup(
+        spark, batch, "vec_id", "embedding", store, update_store=True, **_SKW
+    ).collect()
+    replay = incremental.incremental_semantic_dedup(
+        spark, batch, "vec_id", "embedding", store, update_store=True, **_SKW
+    )
+    # every non-NULL survivor's keys are now stored: only NULL re-survives
+    kept = sorted(r["vec_id"] for r in replay.collect() if not r["sem_removed"])
+    assert kept == [102]
+
+
+def test_semantic_duplicate_feed_rows_emit_once(spark, vec_corpus_and_batch, tmp_path):
+    corpus, batch = vec_corpus_and_batch
+    store = str(tmp_path / "store")
+    incremental.build_sign_band_store(corpus, "vec_id", "embedding", store, **_SKW)
+    fed = batch.unionByName(batch.filter(F.col("vec_id").isin(101, 102)))
+    out = incremental.incremental_semantic_dedup(
+        spark, fed, "vec_id", "embedding", store, **_SKW
+    )
+    ids = [r["vec_id"] for r in out.collect()]
+    assert sorted(ids) == sorted(set(ids)) == [100, 101, 102, 103, 104, 105, 106]
