@@ -5,11 +5,21 @@
     {"metric": "total_query_seconds", "value": N, "unit": "sec",
      "queries": {"q01": sec, ...}, "sf": 0.1, ...}
 
-The line must stay well under 4 KB — round 1's full-name per-query map
-overflowed the driver's capture buffer and the round recorded NO metric
-("parsed": null). Query keys are therefore shortened to their qNN prefix
-(unique by construction) and the full-name map + per-rep samples go to
-``bench/results.json`` instead.
+The line must stay well under 2 KB: the driver captures only the last
+2000 chars of stdout, and rounds 6-10 each recorded NO metric
+("parsed": null) because the per-query map (even with qNN short keys)
+grew past that as the registry reached 170 queries. The stdout line
+therefore carries ONLY the scalar summary ({metric,value,unit,sf,
+n_queries,reps,sparkify_pipeline_sec,calib_sec} — ~200 bytes); the
+per-query map, per-rep samples, and calibration detail all go to
+``bench/results.json``.
+
+``calib_sec`` is a fixed calibration workload (pure in-memory range
+aggregate + one parquet scan-agg, median of 3) run in the same session:
+cross-round totals swing up to 1.45x from ambient host drift alone
+(r8-r10 committed medians moved 69.6->55.3->80.9s with zero plan
+changes in the swinging queries), so compare rounds via
+value/calib_sec, never raw totals.
 
 Each query executes its full plan into a ``noop`` sink (no driver
 collect bottleneck, no disk write skew, and no ``df.count()``
@@ -106,6 +116,56 @@ def _bench_sparkify_pipeline(spark, n_events: int = 100_000, n_songs: int = 100)
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _calibration_anchor(spark, sf_dir: str, reps: int = 3) -> dict:
+    """Fixed calibration workload measuring ambient host speed (VERDICT r10
+    task 2). Two components, each median-of-``reps``:
+
+    - ``mem_sec``: pure in-memory ``spark.range`` hash aggregate (20M rows,
+      32 slices) — CPU + shuffle machinery, no I/O.
+    - ``scan_sec``: one parquet scan-aggregate over lineitem — I/O + codegen.
+
+    The workload is frozen: changing it breaks cross-round comparability.
+    Report cross-round totals as ``value / calib_sec`` (the ``anchor``
+    ratio), never raw seconds — committed r8→r10 totals swung 1.45x with
+    zero plan changes, purely from host drift.
+    """
+    from pyspark.sql import functions as F
+
+    def _median(samples: list[float]) -> float:
+        samples = sorted(samples)
+        return round(samples[len(samples) // 2], 3)
+
+    mem_samples, scan_samples = [], []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _run_plan(
+            spark.range(0, 20_000_000, 1, 32)
+            .select(
+                ((F.col("id") * F.lit(2654435761)) % F.lit(1000003)).alias("k"),
+                F.col("id").alias("v"),
+            )
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("c"))
+        )
+        mem_samples.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _run_plan(
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .groupBy("l_returnflag")
+            .agg(F.sum("l_extendedprice").alias("s"), F.count("*").alias("c"))
+        )
+        scan_samples.append(time.perf_counter() - t0)
+    mem, scan = _median(mem_samples), _median(scan_samples)
+    return {
+        "mem_sec": mem,
+        "scan_sec": scan,
+        "calib_sec": round(mem + scan, 3),
+        "reps": reps,
+        "mem_samples": [round(s, 3) for s in mem_samples],
+        "scan_samples": [round(s, 3) for s in scan_samples],
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -147,20 +207,24 @@ def main() -> None:
         print(f"{name:28s} {timings[name]:7.3f}s", file=sys.stderr)
 
     pipeline = _bench_sparkify_pipeline(spark)
+    calib = _calibration_anchor(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
-    # qNN short keys keep the stdout line compact (< ~2 KB for 115 queries);
-    # the full-name map is written to bench/results.json for humans/judges.
-    short = {n.split("_", 1)[0]: t for n, t in timings.items()}
+    # The stdout line must fit the driver's 2000-char capture buffer:
+    # NO per-query map here (BENCH_r06..r10 all recorded parsed:null when
+    # the qNN map outgrew it). Per-query timings live in bench/results.json.
     headline = {
         "metric": "total_query_seconds",
         "value": total,
         "unit": "sec",
-        "queries": short,
         "sf": sf,
         "n_queries": len(timings),
         "reps": reps,
         "sparkify_pipeline_sec": pipeline["seconds"],
+        "calib_sec": calib["calib_sec"],
+        "value_per_calib": round(total / calib["calib_sec"], 2)
+        if calib["calib_sec"]
+        else None,
     }
     os.makedirs("bench", exist_ok=True)
     with open("bench/results.json", "w") as f:
@@ -169,14 +233,18 @@ def main() -> None:
             "queries_full": timings,
             "samples": all_samples,
             "sparkify_pipeline": pipeline,
+            "calibration": calib,
         }
         if shuffle_bytes:
             payload["shuffle_bytes"] = shuffle_bytes
         json.dump(payload, f, indent=1)
     line = json.dumps(headline, separators=(",", ":"))
     print(line)
-    print(f"[bench] line length: {len(line)} bytes; full map in bench/results.json",
-          file=sys.stderr)
+    print(
+        f"[bench] line length: {len(line)} bytes (driver buffer: 2000); "
+        f"per-query map in bench/results.json",
+        file=sys.stderr,
+    )
     spark.stop()
 
 

@@ -426,13 +426,27 @@ def _sign_band_rows(
     bands: int,
     band_bits: int,
 ) -> DataFrame:
-    """Sign-LSH fan-out in the core's ``(__id, __band, __bucket)`` shape
-    (NULL vectors filtered — no signature, the q169 pass-through rule)."""
+    """Sign-LSH fan-out in the core's ``(__id, __band, __bucket)`` shape.
+
+    Degenerate vectors get NO signature (pass-through, the q169 NULL-text
+    rule): NULL vectors, EMPTY vectors (``sequence(1, 0)`` is the
+    documented DESCENDING trap — the fold would otherwise yield a NULL
+    proj and the all-zero signature), and vectors containing NULL
+    elements (the fold NULL-propagates to all-zero where the oracle's
+    ``unnest``+SUM would skip NULLs into partial sums). The q170 oracle
+    excludes the NULL-element class from banding with the same
+    ``list_filter`` predicate, so both engines keep all three classes.
+    Zero-NORM (non-empty, all-zero) vectors still band: every plane
+    projects to exactly 0 in both engines, so they dedup as a class.
+    """
     from data_engineering_nd_datalake_project_4_spark.operators.similarity import banded_sign_lsh_keys
 
-    return banded_sign_lsh_keys(
-        df.filter(F.col(vec_col).isNotNull()), id_col, vec_col, bands, band_bits
-    ).select(
+    clean = df.filter(
+        F.col(vec_col).isNotNull()
+        & (F.size(F.col(vec_col)) > 0)
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
+    )
+    return banded_sign_lsh_keys(clean, id_col, vec_col, bands, band_bits).select(
         F.col(id_col).alias("__id"),
         F.col("band").alias("__band"),
         F.col("band_key").cast("long").alias("__bucket"),
@@ -470,6 +484,45 @@ def build_sign_band_store(
     )
 
 
+def compact_band_store(
+    spark: SparkSession,
+    store_path: str,
+) -> int:
+    """Compact an append-only band-bucket store in place (shared by the
+    lexical MinHash store of :func:`incremental_lsh_dedup` and the
+    sign-LSH store of :func:`incremental_semantic_dedup`): every
+    ``update_store=True`` batch appends ~one file per ``bkt_part``
+    partition, so months of daily batches leave thousands of KB-sized
+    files whose per-file task + footer fetch eventually dominates the
+    probe scan. One partition-preserving rewrite
+    (:func:`..sources.sinks.compact_partitioned_parquet_dir`) restores
+    ~one file per partition while keeping directory-level pruning intact.
+
+    Pure layout change: the row multiset is untouched, so batch decisions
+    — and replay idempotence — are identical before and after
+    (``tests/test_incremental_lsh.py`` proves it). Same single-writer
+    assumption as the appends themselves: don't compact concurrently with
+    a batch. Returns the post-compaction data-file count."""
+    from data_engineering_nd_datalake_project_4_spark.sources.sinks import compact_partitioned_parquet_dir
+
+    return compact_partitioned_parquet_dir(
+        spark, store_path, "bkt_part", schema=_BAND_STORE_SCHEMA + ", bkt_part INT"
+    )
+
+
+def compact_fingerprint_store(
+    spark: SparkSession,
+    store_path: str,
+) -> int:
+    """:func:`compact_band_store` for the exact/canonical fingerprint
+    store of :func:`incremental_dedup` (``fp_bucket`` layout)."""
+    from data_engineering_nd_datalake_project_4_spark.sources.sinks import compact_partitioned_parquet_dir
+
+    return compact_partitioned_parquet_dir(
+        spark, store_path, "fp_bucket", schema="fp LONG, first_id LONG, fp_bucket INT"
+    )
+
+
 def incremental_semantic_dedup(
     spark: SparkSession,
     batch: DataFrame,
@@ -501,8 +554,9 @@ def incremental_semantic_dedup(
     Degenerate geometry contract (the advembed soak classes): an all-zero
     vector projects to 0 on every plane (sign bit 0 everywhere), so all
     zero-norm vectors share one signature and dedup as a class — unlike
-    q142, where NULL cosine never removes. NULL vectors pass through
-    (no signature, not recorded), as q169's NULL text.
+    q142, where NULL cosine never removes. NULL vectors, EMPTY vectors
+    and vectors containing NULL elements all pass through (no signature,
+    not recorded — see :func:`_sign_band_rows`), as q169's NULL text.
 
     Output: one row per distinct batch id, the batch's columns plus
     ``sem_removed`` (true = near-dup of corpus or of a smaller batch id).

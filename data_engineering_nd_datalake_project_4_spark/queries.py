@@ -6347,7 +6347,8 @@ def q169_incremental_lsh_dedup(spark, sf_dir):
 @q(
     "q170_incremental_semantic_dedup",
     """WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-                         CAST(unnest(embedding) AS DOUBLE) AS e FROM embeddings),
+                         CAST(unnest(embedding) AS DOUBLE) AS e FROM embeddings
+                  WHERE len(list_filter(embedding, x -> x IS NULL)) = 0),
             p AS (SELECT vec_id, j, SUM(e * sin(CAST(i AS DOUBLE) * j)) AS proj
                   FROM u CROSS JOIN (SELECT unnest(range(1, 25)) AS j) js
                   GROUP BY vec_id, j),
@@ -6380,8 +6381,10 @@ def q169_incremental_lsh_dedup(spark, sf_dir):
     "no rescore is possible without corpus vectors — q142 keeps the "
     "exact-threshold batch semantics); the sin()-plane family is q142's, "
     "so the oracle replicates every band key exactly. Zero-norm vectors "
-    "share the all-zero signature and dedup as a class; NULL vectors "
-    "pass through",
+    "share the all-zero signature and dedup as a class; NULL, EMPTY and "
+    "NULL-element vectors pass through (no signature) — the oracle's "
+    "list_filter predicate + unnest's empty-list behavior match the "
+    "operator's degenerate-vector filter exactly",
 )
 def q170_incremental_semantic_dedup(spark, sf_dir):
     from data_engineering_nd_datalake_project_4_spark.operators import incremental

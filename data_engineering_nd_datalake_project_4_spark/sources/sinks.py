@@ -198,9 +198,31 @@ def compact_parquet_dir(
     fs = jpath.getFileSystem(hconf)
     total_bytes = fs.getContentSummary(jpath).getLength()
     n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+    _swap_compacted(
+        spark,
+        path,
+        lambda tmp: df.coalesce(n_files).write.mode("overwrite").parquet(tmp),
+    )
+    return n_files
+
+
+def _swap_compacted(spark, path: str, write_tmp) -> None:
+    """The compact-in-place swap shared by :func:`compact_parquet_dir` and
+    :func:`compact_partitioned_parquet_dir`: ``write_tmp(tmp_path)`` writes
+    the compacted copy (while the live path is still readable), then the
+    swap goes old→aside, new→live, delete-aside — a crash can leave the
+    table under the ``__old`` name (recoverable by a rename), never
+    half-deleted. Finishes with ``refreshByPath``: the session
+    FileStatusCache pins file listings (round-5 rule), so without the
+    refresh this same session would keep reading the pre-compaction file
+    set it already listed."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path.rstrip("/"))
+    fs = jpath.getFileSystem(hconf)
     tmp = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compacting")
     old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__old")
-    df.coalesce(n_files).write.mode("overwrite").parquet(tmp.toString())
+    write_tmp(tmp.toString())
     if fs.exists(old):
         fs.delete(old, True)
     if not fs.rename(jpath, old):
@@ -211,7 +233,52 @@ def compact_parquet_dir(
         fs.rename(old, jpath)
         raise IOError(f"compact: could not swap in compacted {path}")
     fs.delete(old, True)
-    return n_files
+    spark.catalog.refreshByPath(path)
+
+
+def compact_partitioned_parquet_dir(
+    spark,
+    path: str,
+    partition_by: str,
+    schema: str | None = None,
+) -> int:
+    """Compact a PARTITIONED parquet directory in place, PRESERVING the
+    ``partitionBy`` layout — the variant append-heavy stores need
+    (:mod:`..operators.incremental`'s band/fingerprint stores): months of
+    batch appends leave thousands of KB-sized files per partition
+    directory, and :func:`compact_parquet_dir` would flatten the partition
+    column into data files, silently demoting every later
+    partition-pruned probe to a full-store row filter.
+
+    One ``repartition(partition_by)`` pass: each partition value hashes to
+    exactly one task, so each partition directory comes back as ~one file.
+    ``schema`` (a DDL string INCLUDING the partition column) makes an
+    EMPTY store — a valid directory with zero data files (round-7 rule) —
+    compact to itself instead of failing schema inference.
+
+    Returns the post-compaction data-file count."""
+    reader = spark.read.schema(schema) if schema else spark.read
+    df = reader.parquet(path)
+    _swap_compacted(
+        spark,
+        path,
+        lambda tmp: (
+            df.repartition(partition_by)
+            .write.mode("overwrite")
+            .partitionBy(partition_by)
+            .parquet(tmp)
+        ),
+    )
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path.rstrip("/"))
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    n = 0
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if not name.startswith("_") and not name.startswith("."):
+            n += 1
+    return n
 
 
 def write_orc(df: DataFrame, path: str, partition_by: Sequence[str] | None = None) -> None:

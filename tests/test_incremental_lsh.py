@@ -346,3 +346,142 @@ def test_semantic_duplicate_feed_rows_emit_once(spark, vec_corpus_and_batch, tmp
     )
     ids = [r["vec_id"] for r in out.collect()]
     assert sorted(ids) == sorted(set(ids)) == [100, 101, 102, 103, 104, 105, 106]
+
+def test_semantic_degenerate_vectors_pass_through(spark, vec_corpus_and_batch, tmp_path):
+    """EMPTY vectors and vectors with NULL elements get NO signature
+    (pass-through, never recorded) — exactly like NULL vectors. Guards the
+    two latent divergences the round-10 advice found: an empty array's
+    sequence(1, 0) fold and a NULL-element fold would both otherwise
+    collapse to the all-zero signature and dedup against the zero class,
+    while the q170 oracle's unnest/list_filter keeps all three classes."""
+    corpus, _ = vec_corpus_and_batch
+    store = str(tmp_path / "store")
+    # corpus contains a zero vector (id 5) → the all-zero signature IS in
+    # the store; degenerate batch rows must still survive
+    incremental.build_sign_band_store(corpus, "vec_id", "embedding", store, **_SKW)
+    batch = spark.createDataFrame(
+        [
+            (200, []),                         # EMPTY vector
+            (201, [None] + [0.5] * 15),        # NULL element
+            (202, None),                       # NULL vector
+            (203, [0.0] * 16),                 # zero class: store hit
+        ],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    out = incremental.incremental_semantic_dedup(
+        spark, batch, "vec_id", "embedding", store, update_store=True, **_SKW
+    )
+    got = {r["vec_id"]: r["sem_removed"] for r in out.collect()}
+    assert got == {200: False, 201: False, 202: False, 203: True}
+    # nothing recorded for the degenerate rows: replaying them against the
+    # updated store still keeps all three (no signature ever stored)
+    replay = incremental.incremental_semantic_dedup(
+        spark, batch, "vec_id", "embedding", store, **_SKW
+    )
+    got2 = {r["vec_id"]: r["sem_removed"] for r in replay.collect()}
+    assert got2[200] is False and got2[201] is False and got2[202] is False
+
+
+# ---------------------------------------------------------------------------
+# compact_band_store: layout-only rewrite of the append-only stores
+# ---------------------------------------------------------------------------
+
+
+def _store_rows(spark, store, schema="band INT, bucket LONG, first_id LONG, bkt_part INT"):
+    return sorted(
+        tuple(r) for r in spark.read.schema(schema).parquet(store).collect()
+    )
+
+
+def _data_files(store):
+    return [
+        p for p in Path(store).rglob("*")
+        if p.is_file() and not p.name.startswith(("_", "."))
+    ]
+
+
+def test_compact_band_store_preserves_rows_and_replay(spark, corpus_and_batch, tmp_path):
+    """Compaction is a pure layout change: row multiset identical, the
+    bkt_part directory layout (partition pruning) survives, file count
+    drops to ~one per partition, and replay idempotence holds ACROSS the
+    compaction — the store a batch appended to yesterday answers
+    identically after tonight's compaction."""
+    corpus, batch = corpus_and_batch
+    store = str(tmp_path / "store")
+    incremental.build_band_store(corpus, "text", "doc_id", store, **_KW)
+    incremental.incremental_lsh_dedup(
+        spark, batch, "text", "doc_id", store, update_store=True, **_KW
+    ).collect()
+    before_rows = _store_rows(spark, store)
+    before_files = len(_data_files(store))
+    n_after = incremental.compact_band_store(spark, store)
+    assert _store_rows(spark, store) == before_rows          # multiset unchanged
+    assert len(_data_files(store)) == n_after <= before_files
+    parts = {p.name for p in Path(store).iterdir() if p.name.startswith("bkt_part=")}
+    assert parts                                             # layout preserved
+    # one file per partition directory (the repartition(bkt_part) contract)
+    for p in Path(store).iterdir():
+        if p.name.startswith("bkt_part="):
+            assert len(_data_files(str(p))) == 1
+    # replay across the compaction: only the NULL-text pass-through survives
+    replay = _ids(
+        incremental.incremental_lsh_dedup(
+            spark, batch, "text", "doc_id", store, update_store=True, **_KW
+        )
+    )
+    assert replay == [108]
+
+
+def test_compact_band_store_semantic_replay(spark, vec_corpus_and_batch, tmp_path):
+    """The sign-LSH store compaction twin: decisions identical across the
+    compaction (update_store batch → compact → replay keeps only NULL)."""
+    corpus, batch = vec_corpus_and_batch
+    store = str(tmp_path / "store")
+    incremental.build_sign_band_store(corpus, "vec_id", "embedding", store, **_SKW)
+    incremental.incremental_semantic_dedup(
+        spark, batch, "vec_id", "embedding", store, update_store=True, **_SKW
+    ).collect()
+    before_rows = _store_rows(spark, store)
+    incremental.compact_band_store(spark, store)
+    assert _store_rows(spark, store) == before_rows
+    replay = incremental.incremental_semantic_dedup(
+        spark, batch, "vec_id", "embedding", store, **_SKW
+    )
+    kept = sorted(r["vec_id"] for r in replay.collect() if not r["sem_removed"])
+    assert kept == [102]
+
+
+def test_compact_empty_band_store(spark, corpus_and_batch, tmp_path):
+    """An empty-corpus store (zero data files, round-7 rule) compacts to
+    itself — the declared-schema read keeps the rewrite legal — and the
+    store still answers afterwards."""
+    corpus, batch = corpus_and_batch
+    store = str(tmp_path / "store")
+    incremental.build_band_store(
+        corpus.filter(F.lit(False)), "text", "doc_id", store, **_KW
+    )
+    incremental.compact_band_store(spark, store)
+    got = _ids(
+        incremental.incremental_lsh_dedup(spark, batch, "text", "doc_id", store, **_KW)
+    )
+    assert 105 not in got and 104 in got and 100 in got
+
+
+def test_compact_fingerprint_store(spark, corpus_and_batch, tmp_path):
+    """compact_fingerprint_store: the exact-dedup (fp_bucket) twin — rows
+    unchanged, replay still yields zero new survivors for non-NULL text."""
+    corpus, batch = corpus_and_batch
+    store = str(tmp_path / "store")
+    incremental.build_fingerprint_store(corpus, "text", "doc_id", store)
+    incremental.incremental_dedup(
+        spark, batch, "text", "doc_id", store, update_store=True
+    ).collect()
+    schema = "fp LONG, first_id LONG, fp_bucket INT"
+    before_rows = _store_rows(spark, store, schema)
+    incremental.compact_fingerprint_store(spark, store)
+    assert _store_rows(spark, store, schema) == before_rows
+    replay = incremental.incremental_dedup(
+        spark, batch, "text", "doc_id", store, update_store=True
+    )
+    # exact mode HAS a NULL class (xxhash64(NULL)=seed): replay yields zero
+    assert replay.count() == 0

@@ -420,9 +420,10 @@ def run_incremental_dedup_scale(spark, reps: int) -> None:
 
         run_batch()  # warm-up (page cache + codegen JIT)
         samples = []
+        last_surv = None
         for _ in range(reps):
             t0 = time.perf_counter()
-            run_batch()
+            last_surv = run_batch()
             samples.append(round(time.perf_counter() - t0, 3))
         samples.sort()
         entry[label] = {
@@ -431,7 +432,10 @@ def run_incremental_dedup_scale(spark, reps: int) -> None:
             "corpus_rows": corpus.count(),
             "batch_rows": batch.count(),
             "store_build_sec": build_sec,
-            "survivors": run_batch().count(),
+            # count the LAST TIMED run's frame — never a fresh run_batch():
+            # a fresh invocation re-executes the whole operator (and would
+            # double-apply the batch if update_store were ever enabled here).
+            "survivors": last_surv.count(),
         }
         print(
             f"[incremental] {label}: corpus={entry[label]['corpus_rows']:,} "

@@ -51,11 +51,14 @@ to stay green on each:
 - ``advembed`` : embeddings.embedding re-materialized adversarially —
   all-zero vectors (zero norms: cosine 0/0 paths), exact duplicates of the
   previous row (top-k tie-breaking), negated twins (cosine −1), constant
-  vectors, and values at 1e-20 (whose SQUARES underflow float32 to 0 —
+  vectors, values at 1e-20 (whose SQUARES underflow float32 to 0 —
   any engine computing the dot in float32 while the other promotes to
-  double diverges here). Every similarity/ANN/k-means query and its
-  oracle must agree on the degenerate geometry, not just the generator's
-  well-conditioned gaussians.
+  double diverges here), EMPTY vectors (Spark sequence(1,0) descending
+  trap → NULL folds), and NULL-ELEMENT vectors (Spark HOF folds
+  NULL-propagate where DuckDB SUM-over-unnest null-skips into partial
+  sums). Every similarity/ANN/k-means query and its oracle must agree
+  on the degenerate geometry, not just the generator's well-conditioned
+  gaussians.
 
 - ``empty`` : every table sliced to ZERO rows (schema preserved). Not a
   regen shape — an operations shape: at 100 TB a day's partition, a
@@ -559,6 +562,13 @@ def build_variant(name: str, out_dir: Path, src_dir: Path | None = None) -> None
                     new.append([1e-20] * len(e))         # float32 sq underflow
                 elif cls == 4:
                     new.append([0.5] * len(e))           # constant vector
+                elif cls == 5:
+                    new.append([])                       # EMPTY vector
+                elif cls == 6:
+                    # NULL element (ragged/partial ingest): Spark HOF folds
+                    # NULL-propagate, DuckDB SUM-over-unnest skips — both
+                    # classes must be filtered/pass-through symmetrically
+                    new.append([None] + list(e[1:]))
                 else:
                     new.append(e)
             tbl = tbl.set_column(
