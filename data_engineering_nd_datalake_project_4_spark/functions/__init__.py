@@ -120,6 +120,33 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return F.try_divide(dot_product(ad, bd), l2_norm(ad) * l2_norm(bd))
 
 
+#: DuckDB twin of :func:`valid_vector` — substitute the column name with
+#: ``VALID_VECTOR_SQL.format(c="embedding")`` in oracles. Kept next to the
+#: Spark predicate so the two sides can never drift independently.
+VALID_VECTOR_SQL = (
+    "({c} IS NOT NULL AND len({c}) > 0"
+    " AND len(list_filter({c}, x -> x IS NULL)) = 0)"
+)
+
+
+def valid_vector(a: Column) -> Column:
+    """The repo-wide degenerate-vector gate: a vector participates in
+    vector-space operators (similarity, bucketing, clustering, coding)
+    iff it is non-NULL, non-EMPTY and contains no NULL elements.
+
+    Why each class is excluded rather than "computed": an EMPTY array
+    hits the ``sequence(1, 0)`` DESCENDING trap in plane projections and
+    folds to 0-or-NULL depending on the kernel; a NULL ELEMENT makes the
+    HOF fold NULL-propagate where DuckDB's SUM-over-unnest null-skips
+    into a partial sum — so no cross-engine value exists to agree on, and
+    numpy kernels see ragged shapes. Both classes come from real feeds
+    (truncated ingest, schema drift) — the advembed soak plants them.
+    Operators either FILTER on this (assignment/coding outputs drop the
+    row, with the oracle's :data:`VALID_VECTOR_SQL` twin) or PASS the row
+    THROUGH untouched (dedup-style keep decisions, like NULL text)."""
+    return a.isNotNull() & (F.size(a) > 0) & ~F.exists(a, lambda x: x.isNull())
+
+
 def tokens(text_col: Column | str, sep: str = " ") -> Column:
     """Whitespace tokenization used across the text operators."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col

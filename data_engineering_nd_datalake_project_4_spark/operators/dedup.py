@@ -571,9 +571,13 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: ``id_a < id_b`` with
     ``cosine >= threshold``. All-pairs — bound the input (or pre-bucket with
-    LSH / IVF from operators.similarity) before calling at scale."""
+    LSH / IVF from operators.similarity) before calling at scale.
+    Degenerate vectors (``functions.valid_vector``) are excluded — the
+    same contract as the blocked twin, so the two stay row-set-equal."""
+    from data_engineering_nd_datalake_project_4_spark.functions import valid_vector
     from data_engineering_nd_datalake_project_4_spark.operators.similarity import _unit
 
+    df = df.filter(valid_vector(F.col(vec_col)))
     # unit-normalize each row once → pairwise kernel is a single dot product
     unit = df.select(F.col(id_col).alias("__id"), _unit(F.col(vec_col)).alias("__u"))
     a = unit.select(F.col("__id").alias("id_a"), F.col("__u").alias("__va"))

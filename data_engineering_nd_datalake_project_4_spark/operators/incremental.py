@@ -439,13 +439,10 @@ def _sign_band_rows(
     Zero-NORM (non-empty, all-zero) vectors still band: every plane
     projects to exactly 0 in both engines, so they dedup as a class.
     """
+    from data_engineering_nd_datalake_project_4_spark.functions import valid_vector
     from data_engineering_nd_datalake_project_4_spark.operators.similarity import banded_sign_lsh_keys
 
-    clean = df.filter(
-        F.col(vec_col).isNotNull()
-        & (F.size(F.col(vec_col)) > 0)
-        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
-    )
+    clean = df.filter(valid_vector(F.col(vec_col)))
     return banded_sign_lsh_keys(clean, id_col, vec_col, bands, band_bits).select(
         F.col(id_col).alias("__id"),
         F.col("band").alias("__band"),

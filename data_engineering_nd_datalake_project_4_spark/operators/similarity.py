@@ -26,6 +26,7 @@ from data_engineering_nd_datalake_project_4_spark.functions import (
     cosine_similarity,
     dot_product,
     l2_norm,
+    valid_vector,
 )
 
 
@@ -55,9 +56,15 @@ def brute_force_topk(
     query id. The big side streams through codegen once; no O(N²) shuffle.
 
     Output: ``query_id, neighbor_id, sim`` (double, unrounded).
+
+    Degenerate vectors (NULL / empty / NULL-element — ``valid_vector``)
+    are excluded from both sides: no cross-engine cosine exists for them
+    (advembed soak), so they are neither queries nor neighbors.
     """
     from data_engineering_nd_datalake_project_4_spark.operators import ensure_map_parallelism
 
+    vectors = vectors.filter(valid_vector(F.col(vec_col)))
+    queries = queries.filter(valid_vector(F.col(vec_col)))
     # the O(N·Q) scoring kernel must not run on one unsplittable partition
     vectors = ensure_map_parallelism(vectors)
     # Pre-normalize each side ONCE (O(N) + O(Q) array passes) so the O(N·Q)
@@ -152,7 +159,13 @@ def assign_ivf_buckets(
     the wire, exactly what the repo-wide wide-shuffle audit
     (``plans.wide_shuffle_sites``) exists to catch. Models past the
     literal budget fall back to that path (``_assign_ivf_buckets_shuffled``).
+
+    Degenerate vectors (``valid_vector``) get NO bucket (row dropped):
+    there is no distance to be nearest by, and the map-side argmin would
+    otherwise tie-break them all into centroid 0 while the SQL twin's
+    NULL-ordering does the same only by accident of NULLS placement.
     """
+    vectors = vectors.filter(valid_vector(F.col(vec_col)))
     cents = _collect_centroid_model(centroids, centroid_id, centroid_vec)
     if not _centroid_plan_fits(cents):
         return _assign_ivf_buckets_shuffled(
@@ -226,7 +239,12 @@ def ivf_topk(
     independently, so duplicated ids surface as duplicated result rows.
     Dedup the feed first (``dedup.exact_dedup``) when ids may repeat;
     the q42 oracle replicates the per-row contract via the
-    compute-per-distinct-then-join-back pattern (duprows soak)."""
+    compute-per-distinct-then-join-back pattern (duprows soak).
+
+    Degenerate query vectors (``valid_vector``) probe nothing; degenerate
+    corpus vectors are unbucketed by :func:`assign_ivf_buckets` — both
+    classes simply don't appear in the result."""
+    queries = queries.filter(valid_vector(F.col(vec_col)))
     cid = centroids.columns[0]
     cvec = centroids.columns[1]
     cents = _collect_centroid_model(centroids, cid, cvec)
@@ -294,7 +312,10 @@ def random_projection_buckets(
 ) -> DataFrame:
     """Sign-LSH bucket id (0..2^n_bits-1) from deterministic pseudo-random
     hyperplanes: plane j weight for dim i = sin((i+1)·(j+1)) — deterministic
-    across engines and runs, no stored model. Adds ``rp_bucket``."""
+    across engines and runs, no stored model. Adds ``rp_bucket``.
+    Degenerate vectors (``valid_vector``) have no projections and no
+    bucket — the row is dropped, matching the oracle's unnest."""
+    vectors = vectors.filter(valid_vector(F.col(vec_col)))
     vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
 
     def plane_bit(j: int) -> Column:
@@ -335,8 +356,14 @@ def blocked_all_pairs_cosine(
 
     Output: ``id_a, id_b, cosine`` with ``id_a < id_b`` — identical row set
     to :func:`data_engineering_nd_datalake_project_4_spark.operators.dedup.embedding_near_dup_pairs`.
+
+    Degenerate vectors (``valid_vector``) are excluded up front: a ragged
+    batch would crash ``np.stack``, and no cross-engine cosine exists for
+    them anyway (advembed soak).
     """
     import pandas as pd
+
+    df = df.filter(valid_vector(F.col(vec_col)))
 
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
@@ -453,8 +480,12 @@ def kmeans(
     sample when the corpus itself is the input; pass ``cache=False``
     when the caller already materialized the frame (e.g. pq_train's
     shared base).
+
+    Degenerate vectors (``valid_vector``) are excluded from training AND
+    assignment: a NULL-element vector would poison centroid means (and
+    the init collect), an empty one has no distance to any centroid.
     """
-    rows = df.select(
+    rows = df.filter(valid_vector(F.col(vec_col))).select(
         F.col(id_col).alias("id"), as_double_array(F.col(vec_col)).alias("v")
     )
     if cache and iters > 1:
@@ -593,6 +624,12 @@ def banded_sign_lsh_keys(
         raise ValueError(f"bands ({bands}) and band_bits ({band_bits}) must be positive")
     from data_engineering_nd_datalake_project_4_spark.operators import ensure_map_parallelism
 
+    # degenerate vectors (valid_vector) get NO band keys: an empty array's
+    # sequence(1, 0) is DESCENDING (the documented trap) and a NULL element
+    # NULL-propagates the fold — neither has a cross-engine signature, so
+    # the row simply emits no (band, key) pairs (semantic_dedup then keeps
+    # it; the q170 store never records it)
+    vectors = vectors.filter(valid_vector(F.col(vec_col)))
     # bands*band_bits interpreted higher-order aggregates per row (HOFs run
     # outside codegen) over a possibly single-row-group scan: spread first
     vectors = ensure_map_parallelism(vectors)
@@ -871,7 +908,7 @@ def _collect_train_sample(df: DataFrame, id_col: str, vec_col: str, n: int):
     import numpy as np
 
     rows = (
-        df.filter(F.col(vec_col).isNotNull())
+        df.filter(valid_vector(F.col(vec_col)))
         .select(F.col(id_col).alias("id"), as_double_array(F.col(vec_col)).alias("v"))
         .orderBy("id")
         .limit(n)
@@ -972,7 +1009,11 @@ def pq_encode(
     shuffle, no UDF, no model broadcast round-trip. Ties break to the
     lowest index (array_position finds the first match), matching
     :func:`kmeans` assignment.
+
+    Degenerate vectors (``valid_vector``) are uncodable — the row is
+    dropped, like :func:`assign_ivf_buckets`.
     """
+    df = df.filter(valid_vector(F.col(vec_col)))
     if not codebooks:
         # empty model (trained on zero vectors): typed empty-code column so
         # downstream schemas hold — meaningful only when df is empty too
@@ -1040,7 +1081,8 @@ def pq_adc_topk(
         return _empty_adc_frame(codes_df, queries, id_col, query_id_col)
     m = len(codebooks)
     sub = len(codebooks[0][0])
-    qrows = queries.select(
+    # degenerate query vectors have no LUT (valid_vector contract)
+    qrows = queries.filter(valid_vector(F.col(query_vec_col))).select(
         F.col(query_id_col).alias("query_id"),
         as_double_array(F.col(query_vec_col)).alias("v"),
     ).collect()
@@ -1179,7 +1221,10 @@ def ivfpq_encode(
     """Encode vectors as (coarse cell, PQ codes of the residual). Entirely
     map-side: both codebook levels fold into the plan as literals — no
     shuffle, no UDF, no model broadcast. Output columns: ``ivf_cell int,
-    pq_codes array<int>`` appended to the input."""
+    pq_codes array<int>`` appended to the input. Degenerate vectors
+    (``valid_vector``) are uncodable — rows dropped (via
+    :func:`pq_encode`'s filter; the empty-model branch filters here)."""
+    df = df.filter(valid_vector(F.col(vec_col)))
     if not coarse:
         # empty model: typed pass-through columns so downstream schemas
         # hold — meaningful only when df is empty too (empty soak)
@@ -1231,7 +1276,8 @@ def ivfpq_adc_topk(
     nprobe = min(nprobe, nlist)
     m = len(codebooks)
     sub = len(codebooks[0][0])
-    qrows = queries.select(
+    # degenerate query vectors probe nothing (valid_vector contract)
+    qrows = queries.filter(valid_vector(F.col(query_vec_col))).select(
         F.col(query_id_col).alias("query_id"),
         as_double_array(F.col(query_vec_col)).alias("v"),
     ).collect()

@@ -190,29 +190,32 @@ _WIDE_STRING_RE = _re.compile(
     _re.IGNORECASE,
 )
 
-#: array<string> columns that are text fan-outs (token/gram lists are as
-#: wide as the text they came from — the q141 lesson is to hash them
-#: INSIDE the fan-out projection, before any exchange)
-#:
-#: NAMING-CONVENTION DEPENDENCY (known, deliberate): string and
-#: array<string> payloads are detected by NAME, so a token array aliased
-#: outside this vocabulary (``items``, ``vals``, ``__tmp``) escapes both
-#: audit tiers — unlike float vectors, which are caught by TYPE alone
-#: (every array<float|double> is wide; not every string is). The repo
-#: convention is therefore: name text-derived columns with one of the
-#: stems below. tests/test_plans.py::test_wide_name_vocabulary_convention
-#: enforces the convention's other half — every array<string> column that
-#: reaches a keyed exchange in the registry today matches the vocabulary,
-#: so an escapee is a NEW column someone aliased around the audit, which
-#: code review catches at the naming site rather than the plan site.
+#: the wide-name vocabulary for text-derived columns (token/gram lists
+#: are as wide as the text they came from — the q141 lesson is to hash
+#: them INSIDE the fan-out projection, before any exchange). Since round
+#: 11 this is a NAMING-HYGIENE convention only for arrays:
+#: ``array<string>`` payloads are flagged by TYPE (every one is wide
+#: unless the caller proves otherwise — see :func:`wide_shuffle_sites`'s
+#: ``narrow_string_arrays``), exactly like float vectors. Only plain
+#: STRING columns remain name-detected: a string's width is not visible
+#: in its type (an id string vs a document), so ``_WIDE_STRING_RE`` names
+#: the document-shaped stems.
 _WIDE_TOKEN_RE = _re.compile(
     r"(^|_)(token|tok|word|gram|shingle|term|para|sent)s?\d*($|_)",
     _re.IGNORECASE,
 )
 
 
-def _wide_attr(attr) -> str | None:
-    """Describe ``attr`` if it is a wide payload column, else None."""
+def _wide_attr(attr, narrow_string_arrays: frozenset = frozenset()) -> str | None:
+    """Describe ``attr`` if it is a wide payload column, else None.
+
+    ``array<float|double>`` and ``array<string>`` are wide BY TYPE — the
+    round-10 advice hole was that string arrays were name-detected, so
+    an ``alias("items")`` token array slipped past the audit in code the
+    registry vocabulary test never sees. An array<string> the caller has
+    PROVEN narrow (bounded element count/length at the site) is exempted
+    by listing its name in ``narrow_string_arrays`` — an explicit,
+    reviewable act, not a naming accident."""
     dt = attr.dataType()
     tn = dt.typeName()
     name = attr.name()
@@ -224,17 +227,20 @@ def _wide_attr(attr) -> str | None:
             # embedding vectors: ~KBs per row; must ride at most the
             # bounded per-id rescore join, never the candidate fan-out
             return f"{name}:array<{et}>"
-        if et == "string" and (
-            _WIDE_TOKEN_RE.search(name) or _WIDE_STRING_RE.search(name)
-        ):
+        if et == "string" and name not in narrow_string_arrays:
             return f"{name}:array<string>"
     return None
 
 
-def wide_shuffle_sites(df: DataFrame) -> list[str]:
+def wide_shuffle_sites(
+    df: DataFrame, narrow_string_arrays: frozenset = frozenset()
+) -> list[str]:
     """KEYED shuffle Exchange nodes whose PAYLOAD carries a wide column —
-    raw document text (or a text-named string/token-array derivative) or
-    a float vector. The single most important 100 TB property of a plan
+    raw document text (a text-named string), ANY ``array<string>`` (wide
+    by type since round 11 — pass ``narrow_string_arrays={name, ...}`` to
+    exempt a column PROVEN narrow at the call site, with the proof in a
+    comment there), or a float vector.
+    The single most important 100 TB property of a plan
     is what its shuffles carry: keys and hashes are GBs; text and vectors
     are the dataset. Every text/vector operator in this repo is designed
     to shuffle 64-bit hashes or (id, band_key) rows instead
@@ -303,7 +309,7 @@ def wide_shuffle_sites(df: DataFrame) -> list[str]:
             if "RoundRobinPartitioning" not in sig:
                 out = node.output()
                 for i in range(out.size()):
-                    desc = _wide_attr(out.apply(i))
+                    desc = _wide_attr(out.apply(i), narrow_string_arrays)
                     if desc:
                         sites.append(f"{desc} rides {sig}")
         for i in range(node.children().size()):

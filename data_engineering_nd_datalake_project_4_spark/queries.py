@@ -45,6 +45,14 @@ from data_engineering_nd_datalake_project_4_spark.functions import (
 def _ph60(x: str) -> str:
     """DuckDB twin of functions.portable_hash60 for oracle strings."""
     return PORTABLE_HASH60_SQL.format(x=x)
+
+
+#: DuckDB twin of functions.valid_vector (the repo-wide degenerate-vector
+#: gate: non-NULL, non-empty, no NULL elements) on the embeddings table —
+#: sourced from the same constant as the Spark predicate so they can't drift.
+from data_engineering_nd_datalake_project_4_spark.functions import VALID_VECTOR_SQL as _VV_SQL
+
+_VV = _VV_SQL.format(c="embedding")
 from data_engineering_nd_datalake_project_4_spark.operators import (
     aggregates,
     dedup,
@@ -750,8 +758,11 @@ def q29(spark, sf_dir):
 
 @q(
     "q30",
-    """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-                  FROM embeddings WHERE vec_id IN (0, 1, 2)),
+    f"""WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                  FROM embeddings WHERE vec_id IN (0, 1, 2) AND {_VV}),
+         -- valid_vector twin: degenerate vectors (empty / NULL-element)
+         -- are neither queries nor neighbors (advembed soak)
+         ve AS (SELECT vec_id, embedding FROM embeddings WHERE {_VV}),
          scored AS (
            -- explicit dot/(|a|*|b|): a zero norm divides to NULL, matching
            -- Spark's try_divide (DuckDB's list_cosine_similarity instead
@@ -761,7 +772,7 @@ def q29(spark, sf_dir):
                   / (sqrt(list_dot_product(q.emb, q.emb))
                      * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
                                              CAST(e.embedding AS DOUBLE[])))) AS sim_raw
-           FROM q JOIN embeddings e ON e.vec_id <> q.vec_id)
+           FROM q JOIN ve e ON e.vec_id <> q.vec_id)
        SELECT query_id, neighbor_id, ROUND(sim_raw, 3) AS sim FROM (
          SELECT *, row_number() OVER (PARTITION BY query_id
                                       ORDER BY sim_raw DESC NULLS LAST, neighbor_id) AS rn
@@ -1116,8 +1127,8 @@ def q40_fingerprints(spark, sf_dir):
 
 @q(
     "q41_embedding_near_dup",
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-                  FROM embeddings WHERE vec_id < 500)
+    f"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                  FROM embeddings WHERE vec_id < 500 AND {_VV})
        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
               ROUND(list_cosine_similarity(a.emb, b.emb), 3) AS cos_sim
        FROM e a JOIN e b ON a.vec_id < b.vec_id
@@ -1140,7 +1151,7 @@ def q41_embedding_near_dup(spark, sf_dir):
 
 @q(
     "q42_ivf_topk",
-    """WITH u AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
+    f"""WITH u AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
                     CAST(unnest(embedding) AS DOUBLE) AS v
                   FROM embeddings),
          cm AS (SELECT label, pos,
@@ -1153,8 +1164,10 @@ def q41_embedding_near_dup(spark, sf_dir):
          -- join back per input row so exact-duplicate feed rows each carry
          -- their own probes/bucket (the q43 duprows join-back pattern —
          -- a per-id window here would rank ACROSS copies instead)
+         -- valid_vector twin (advembed): degenerate vectors neither probe
+         -- (queries) nor get a bucket (corpus)
          qd AS (SELECT DISTINCT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-                FROM embeddings WHERE vec_id IN (0, 1, 2)),
+                FROM embeddings WHERE vec_id IN (0, 1, 2) AND {_VV}),
          qc AS (SELECT qd.vec_id, c.cid,
                   list_dot_product(qd.emb, c.cv)
                   / (sqrt(list_dot_product(qd.emb, qd.emb))
@@ -1165,11 +1178,11 @@ def q41_embedding_near_dup(spark, sf_dir):
                           ORDER BY csim DESC NULLS LAST, cid) AS rn FROM qc)
            WHERE rn <= 3),
          q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-               FROM embeddings WHERE vec_id IN (0, 1, 2)),
+               FROM embeddings WHERE vec_id IN (0, 1, 2) AND {_VV}),
          probes AS (SELECT q.vec_id AS query_id, q.emb AS qemb, p.cid
                     FROM q JOIN probe_ids p ON p.vec_id = q.vec_id),
          vd AS (SELECT DISTINCT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-                FROM embeddings),
+                FROM embeddings WHERE {_VV}),
          vc AS (SELECT vd.vec_id, c.cid,
                   list_dot_product(vd.emb, c.cv)
                   / (sqrt(list_dot_product(vd.emb, vd.emb))
@@ -1179,7 +1192,8 @@ def q41_embedding_near_dup(spark, sf_dir):
              SELECT *, row_number() OVER (PARTITION BY vec_id
                           ORDER BY csim DESC NULLS LAST, cid) AS rn FROM vc)
            WHERE rn = 1),
-         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings WHERE {_VV}),
          buckets AS (SELECT v.vec_id, v.emb, b.cid
                      FROM v JOIN bucket_ids b ON b.vec_id = v.vec_id),
          scored AS (SELECT p.query_id, c.vec_id AS neighbor_id,
@@ -1229,7 +1243,8 @@ def q42_ivf_topk(spark, sf_dir):
 
 @q(
     "q43_rp_buckets",
-    """WITH de AS (SELECT DISTINCT vec_id, embedding FROM embeddings),
+    f"""WITH de AS (SELECT DISTINCT vec_id, embedding FROM embeddings
+                   WHERE {_VV}),
          u AS (SELECT vec_id,
                       generate_subscripts(embedding, 1) AS i,
                       CAST(unnest(embedding) AS DOUBLE) AS e
@@ -1255,8 +1270,35 @@ def q43_rp_buckets(spark, sf_dir):
     return bucketed.groupBy("rp_bucket").agg(F.count(F.lit(1)).alias("n_vecs")).orderBy("rp_bucket")
 
 
+#: Deliberate graded-window curation (round 11, VERDICT r10 task 6): the
+#: driver grades the FIRST 50 entries of ``queries()`` in iteration order,
+#: and this list IS that order. The incremental-dedup flagship pair
+#: (q169 lexical MinHash store / q170 sign-LSH semantic store) rotates
+#: INTO the window; q49_array_funcs / q50_stats_agg rotate OUT — their
+#: array/math surface is already graded via q27 (higher-order lambdas)
+#: and q48 (math functions), and they stay fully gated by the local
+#: strict sim, the pytest oracle suite, and the 19-variant soak sweep.
+#: tests/test_registry_window.py pins this list verbatim.
+GRADED_ORDER = [
+    "q01", "q02", "q03", "q04", "q05", "q06", "q07", "q08", "q09", "q10",
+    "q11", "q12", "q13", "q14", "q15", "q16", "q17", "q18", "q19", "q20",
+    "q21", "q22", "q23", "q24", "q25", "q26", "q27", "q28", "q29", "q30",
+    "q31", "q32",
+    "q33_exact_dedup", "q34_unigram_jaccard", "q35_minhash_lsh",
+    "q36_simhash", "q37_lang_id", "q38_quality", "q39_token_counts",
+    "q40_fingerprints", "q41_embedding_near_dup", "q42_ivf_topk",
+    "q43_rp_buckets", "q44_pandas_udf", "q45_approx_distinct",
+    "q46_having", "q47_date_math", "q48_math_funcs",
+    "q169_incremental_lsh_dedup", "q170_incremental_semantic_dedup",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: query.spark_fn for name, query in REGISTRY.items()}
+    ordered = {name: REGISTRY[name].spark_fn for name in GRADED_ORDER}
+    for name, query in REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = query.spark_fn
+    return ordered
 
 
 def _align_decimal_casts(sql: str) -> str:
@@ -1767,8 +1809,8 @@ def q56_percentiles(spark, sf_dir):
 
 @q(
     "q57_blocked_near_dup",
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-                  FROM embeddings WHERE vec_id < 500)
+    f"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                  FROM embeddings WHERE vec_id < 500 AND {_VV})
        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
               ROUND(list_cosine_similarity(a.emb, b.emb), 3) AS cos_sim
        FROM e a JOIN e b ON a.vec_id < b.vec_id
@@ -5041,8 +5083,11 @@ def q141_duplicate_spans(spark, sf_dir):
 
 @q(
     "q142_semantic_dedup",
-    """WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-                         CAST(unnest(embedding) AS DOUBLE) AS e FROM embeddings),
+    f"""WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                         CAST(unnest(embedding) AS DOUBLE) AS e FROM embeddings
+                  -- valid_vector twin: degenerate vectors never band,
+                  -- so they are always 'kept' (advembed soak)
+                  WHERE {_VV}),
             p AS (SELECT vec_id, j, SUM(e * sin(CAST(i AS DOUBLE) * j)) AS proj
                   FROM u CROSS JOIN (SELECT unnest(range(1, 25)) AS j) js
                   GROUP BY vec_id, j),
@@ -5051,7 +5096,12 @@ def q141_duplicate_spans(spark, sf_dir):
                                         THEN CAST(pow(2, (j - 1) % 6) AS INT)
                                         ELSE 0 END) AS INT) AS band_key
                    FROM p GROUP BY vec_id, (j - 1) // 6),
-            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+            -- valid_vector here too, not just in u: cand already
+            -- restricts to valid ids, but DuckDB may reorder the rescore
+            -- join and evaluate list_cosine_similarity on unfiltered e
+            -- rows — which ERRORS on NULL elements (advembed soak)
+            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                  FROM embeddings WHERE {_VV}),
             cand AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
                      FROM bb a JOIN bb b ON a.band = b.band
                                         AND a.band_key = b.band_key
@@ -5208,7 +5258,7 @@ def q145_interval_overlap_join(spark, sf_dir):
 
 @q(
     "q146_image_phash",
-    """WITH px AS (
+    f"""WITH px AS (
          -- DISTINCT: the hash is computed once per distinct image (the
          -- per-id GROUP BYs below assume exactly 64 cells per vec_id);
          -- the final join back to embeddings replicates the hash onto
@@ -5217,7 +5267,9 @@ def q145_interval_overlap_join(spark, sf_dir):
                 list_transform(embedding[1:64],
                   e -> GREATEST(0, LEAST(255,
                          CAST(floor((CAST(e AS DOUBLE) + 1) * 127.5) AS BIGINT)))) AS p
-         FROM embeddings WHERE vec_id < 500),
+         -- valid_vector twin: a degenerate vector renders no image and
+         -- gets no hash (advembed soak)
+         FROM embeddings WHERE vec_id < 500 AND {_VV}),
        cells AS (SELECT vec_id, generate_subscripts(p, 1) - 1 AS k,
                         CAST(unnest(p) AS DOUBLE) AS v
                  FROM px),
@@ -5250,7 +5302,11 @@ def q145_interval_overlap_join(spark, sf_dir):
     "nothing",
 )
 def q146_image_phash(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    from data_engineering_nd_datalake_project_4_spark.functions import valid_vector
+
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        (F.col("vec_id") < 500) & valid_vector(F.col("embedding"))
+    )
     px = emb.select(
         F.col("vec_id").alias("media_id"),
         F.transform(
@@ -5836,7 +5892,7 @@ def q159_asof_forward_tolerance(spark, sf_dir):
 
 @q(
     "q160_hybrid_rrf",
-    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+    f"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
                   FROM documents WHERE text IS NOT NULL),
          stats AS (SELECT COUNT(*) AS n, SUM(len(toks)) AS sumdl FROM d),
          tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM d),
@@ -5862,14 +5918,16 @@ def q159_asof_forward_tolerance(spark, sf_dir):
                     SELECT doc_id,
                            row_number() OVER (ORDER BY score DESC, doc_id) AS rk
                     FROM lexsc) WHERE rk <= 50),
+         -- valid_vector twin on both semantic sides (advembed soak)
          qv AS (SELECT CAST(embedding AS DOUBLE[]) AS emb
-                FROM embeddings WHERE vec_id = 0),
+                FROM embeddings WHERE vec_id = 0 AND {_VV}),
          semsc AS (SELECT e.vec_id AS doc_id,
                           list_dot_product(qv.emb, CAST(e.embedding AS DOUBLE[]))
                           / (sqrt(list_dot_product(qv.emb, qv.emb))
                              * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
                                                      CAST(e.embedding AS DOUBLE[])))) AS sim
-                   FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> 0),
+                   FROM embeddings e CROSS JOIN qv
+                   WHERE e.vec_id <> 0 AND {_VV}),
          semr AS (SELECT doc_id, rk FROM (
                     SELECT doc_id,
                            row_number() OVER (ORDER BY ROUND(sim, 6) DESC NULLS LAST,
@@ -5891,7 +5949,7 @@ def q159_asof_forward_tolerance(spark, sf_dir):
     "so the unpartitioned window only ever sees <= k rows",
 )
 def q160_hybrid_rrf(spark, sf_dir):
-    from data_engineering_nd_datalake_project_4_spark.functions import cosine_similarity
+    from data_engineering_nd_datalake_project_4_spark.functions import cosine_similarity, valid_vector
     from data_engineering_nd_datalake_project_4_spark.operators.similarity import rrf_fuse
 
     docs = _t(spark, sf_dir, "documents")
@@ -5899,7 +5957,9 @@ def q160_hybrid_rrf(spark, sf_dir):
         docs, "text", "doc_id", ["spark", "join", "window"], k=50
     ).select("doc_id", "rk")
 
-    emb = _t(spark, sf_dir, "embeddings")
+    # valid_vector on both semantic sides: a degenerate vector would rank
+    # with a NULL sim (NULLS LAST) here but be absent from the oracle
+    emb = _t(spark, sf_dir, "embeddings").filter(valid_vector(F.col("embedding")))
     q0 = F.broadcast(
         emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("__q"))
     )

@@ -684,6 +684,33 @@ def test_wide_name_vocabulary_detector_discriminates(spark, sf_dir):
     assert not plans.unvocabularied_string_array_shuffle_payloads(rr)
 
 
+def test_wide_audit_catches_offvocabulary_string_arrays(spark, sf_dir):
+    """The round-10 advice hole, closed STRUCTURALLY (r11): an
+    array<string> is wide BY TYPE in plans.wide_shuffle_sites — a token
+    array aliased 'items' on a keyed exchange is a hard audit failure
+    even in code the registry vocabulary test never sees. Narrowness is
+    an explicit caller-level exemption (narrow_string_arrays={name}),
+    never a naming accident; round-robin spreads stay exempt."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    esc = docs.select("doc_id", F.split("text", " ").alias("items"))
+
+    # red: off-vocabulary token array riding a keyed exchange
+    bad = esc.repartition(8, "doc_id")
+    sites = plans.wide_shuffle_sites(bad)
+    assert any("items:array<string>" in s for s in sites), sites
+
+    # green ONLY via the explicit narrowness exemption
+    assert not plans.wide_shuffle_sites(
+        bad, narrow_string_arrays=frozenset({"items"})
+    )
+    # the exemption is per-name, not a blanket off-switch
+    still = plans.wide_shuffle_sites(bad, narrow_string_arrays=frozenset({"other"}))
+    assert any("items:array<string>" in s for s in still)
+
+    # round-robin compute spread stays exempt
+    assert not plans.wide_shuffle_sites(esc.repartition(8))
+
+
 def test_wide_shuffle_audit_discriminates(spark, sf_dir):
     """Red/green cases for the audit itself: a text-carrying groupBy key
     exchange and a text-carrying hash repartition flag; hashing the text

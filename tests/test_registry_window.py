@@ -17,9 +17,12 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 
-#: the exact graded window, in driver grading order — matches
-#: CORRECTNESS_r04.json key-for-key. Update ONLY if the driver's window
-#: curation changes, never as a side effect of a queries.py refactor.
+#: the exact graded window, in driver grading order. Update ONLY if the
+#: driver's window curation changes, never as a side effect of a
+#: queries.py refactor. ROUND-11 CURATION (deliberate, VERDICT r10 task
+#: 6): q169/q170 (the incremental-dedup flagship) rotate IN;
+#: q49_array_funcs/q50_stats_agg rotate OUT (array/math surface already
+#: graded via q27/q48; both remain strict-sim + soak + pytest gated).
 GRADED_WINDOW = [
     "q01", "q02", "q03", "q04", "q05", "q06", "q07", "q08", "q09", "q10",
     "q11", "q12", "q13", "q14", "q15", "q16", "q17", "q18", "q19", "q20",
@@ -29,9 +32,17 @@ GRADED_WINDOW = [
     "q36_simhash", "q37_lang_id", "q38_quality", "q39_token_counts",
     "q40_fingerprints", "q41_embedding_near_dup", "q42_ivf_topk",
     "q43_rp_buckets", "q44_pandas_udf", "q45_approx_distinct",
-    "q46_having", "q47_date_math", "q48_math_funcs", "q49_array_funcs",
-    "q50_stats_agg",
+    "q46_having", "q47_date_math", "q48_math_funcs",
+    "q169_incremental_lsh_dedup", "q170_incremental_semantic_dedup",
 ]
+
+#: the round-11 window rotation: the only names on which the LATEST
+#: driver CORRECTNESS file (previous round's window) may differ from
+#: GRADED_WINDOW. Shrinks to irrelevance once CORRECTNESS_r11 lands.
+WINDOW_ROTATION = {
+    "q49_array_funcs", "q50_stats_agg",          # rotated out
+    "q169_incremental_lsh_dedup", "q170_incremental_semantic_dedup",  # in
+}
 
 #: graded entries deliberately without an oracle — the driver records
 #: rows-only for these. Round 6 emptied the set: q35/q36/q40 moved to the
@@ -86,4 +97,9 @@ def test_last_driver_correctness_names_still_resolve():
     qs = mod.queries()
     missing = [n for n in graded if n not in qs]
     assert not missing, f"driver-graded names missing from registry: {missing}"
-    assert sorted(graded) == sorted(GRADED_WINDOW)
+    # the latest driver file may predate the round-11 window rotation —
+    # any divergence must be exactly (a subset of) that documented swap
+    diff = set(graded) ^ set(GRADED_WINDOW)
+    assert diff <= WINDOW_ROTATION, (
+        f"graded-window divergence beyond the documented rotation: {diff}"
+    )

@@ -146,6 +146,16 @@ DECADE2 = [
     "q143_span_scrub",
     "q147_paragraph_dedup",
     "q166_max_dup_spans",
+    # round-11 extensions (VERDICT r10 task 5): the untested heavy family —
+    # decade 2 finds what decade 1 hides (q34 looked linear at 10x, was
+    # 44.8x at 100x). q168 needs the k-scaled events generation (gen_scale
+    # r11 — events were COPY_TABLES verbatim before, so every prior
+    # event-table slope was measured against a fixed input).
+    "q35_minhash_lsh",
+    "q152_lsh_near_dedup",
+    "q155_bm25_topk",
+    "q167_grouped_heavy_hitters",
+    "q168_sketch_state_rollup",
 ]
 
 
@@ -464,6 +474,109 @@ def run_incremental_dedup_scale(spark, reps: int) -> None:
                      separators=(",", ":")))
 
 
+def run_incremental_semantic_scale(spark, reps: int) -> None:
+    """q170's operator under the same flat-in-corpus claim as
+    :func:`run_incremental_dedup_scale`: a FIXED-size batch of vectors
+    semantically deduped against a sign-LSH band store built from a
+    corpus that grows 10x (sf0.1 embeddings minus the batch -> sf1.0,
+    plus sf10 when materialized). The store holds only band keys
+    (~bands·20 B/vec) hash-partitioned by bkt_part, so the per-batch
+    probe join is pruned to the batch's touched partitions — the honest
+    expectation is NEAR-FLAT batch wall. band_bits follows the
+    sized_band_bits discipline per corpus (the round-10 saturation
+    lesson); bands fixed at 4. Merged into bench/results_sf1.json under
+    'incremental_semantic_dedup'."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_nd_datalake_project_4_spark.catalog import load_table
+    from data_engineering_nd_datalake_project_4_spark.operators import incremental, similarity
+
+    BATCH = 1000
+    points = [("sf0.1", SF01)]
+    if os.path.exists(f"{SF10}/embeddings.parquet"):
+        points.append(("sf1.0", SF10))
+    if os.path.exists(f"{SF100}/embeddings.parquet"):
+        points.append(("sf10", SF100))
+    if len(points) < 2:
+        raise SystemExit(
+            "need generated embeddings at sf1.0 (tools/gen_scale.py "
+            "--tables embeddings) for a scale step"
+        )
+    entry: dict = {}
+    for label, sf_dir in points:
+        e = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", "embedding"
+        )
+        cut = (
+            e.select("vec_id").orderBy(F.desc("vec_id")).limit(BATCH)
+            .agg(F.min("vec_id")).first()[0]
+        )
+        corpus = e.filter(F.col("vec_id") < cut)
+        batch = e.filter(F.col("vec_id") >= cut)
+        n_corpus = corpus.count()
+        bits = similarity.sized_band_bits(n_corpus, target_bucket_rows=256, floor=6)
+        store = tempfile.mkdtemp(prefix=f"bench_incsem_{label}_") + "/store"
+        t0 = time.perf_counter()
+        incremental.build_sign_band_store(
+            corpus, "vec_id", "embedding", store,
+            bands=4, band_bits=bits, num_buckets=16,
+        )
+        build_sec = round(time.perf_counter() - t0, 3)
+
+        def run_batch():
+            out = incremental.incremental_semantic_dedup(
+                spark, batch, "vec_id", "embedding", store,
+                bands=4, band_bits=bits, num_buckets=16,
+            )
+            _run(out.select("vec_id", "label", "sem_removed"))
+            return out
+
+        run_batch()  # warm-up (page cache + codegen JIT)
+        samples = []
+        last_out = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            last_out = run_batch()
+            samples.append(round(time.perf_counter() - t0, 3))
+        samples.sort()
+        entry[label] = {
+            "median_sec": samples[len(samples) // 2],
+            "samples": samples,
+            "corpus_rows": n_corpus,
+            "batch_rows": BATCH,
+            "band_bits": bits,
+            "store_build_sec": build_sec,
+            # count from the LAST TIMED frame (never a fresh run_batch)
+            "removed": last_out.filter(F.col("sem_removed")).count(),
+        }
+        print(
+            f"[inc-semantic] {label}: corpus={n_corpus:,} batch={BATCH} "
+            f"bits={bits} build={build_sec:.2f}s "
+            f"batch_wall={entry[label]['median_sec']:.2f}s",
+            file=sys.stderr, flush=True,
+        )
+    last = points[-1][0]
+    ratio = round(
+        entry[last]["median_sec"] / max(entry["sf0.1"]["median_sec"], 1e-9), 2
+    )
+    corpus_growth = round(
+        entry[last]["corpus_rows"] / max(entry["sf0.1"]["corpus_rows"], 1), 2
+    )
+    entry["batch_wall_ratio"] = ratio
+    entry["corpus_growth"] = corpus_growth
+    entry["corpus_coupled"] = ratio > 2.0
+    with open("bench/results_sf1.json") as f:
+        res = json.load(f)
+    res["incremental_semantic_dedup"] = entry
+    with open("bench/results_sf1.json", "w") as f:
+        json.dump(res, f, indent=1)
+    print(json.dumps({"metric": "incremental_semantic_batch_wall_ratio",
+                      "value": ratio, "unit": f"x_per_{corpus_growth}x_corpus"},
+                     separators=(",", ":")))
+
+
 def run_bytes_annotation(spark, only: list[str] | None = None) -> None:
     """Annotate bench/results_sf1.json lane entries with MEASURED shuffle
     read/write bytes at both scale points (plans.observed_shuffle_bytes)
@@ -564,16 +677,43 @@ def main() -> None:
         help="fixed-batch incremental LSH dedup wall vs a 10x-grown corpus "
         "(q169's flat-in-corpus claim); merged into bench/results_sf1.json",
     )
+    ap.add_argument(
+        "--incremental-semantic", action="store_true",
+        help="fixed-batch incremental SEMANTIC dedup wall vs a 10x-grown "
+        "vector corpus (q170's sign-band store; needs gen_scale --tables "
+        "embeddings); merged into bench/results_sf1.json",
+    )
     args = ap.parse_args()
 
-    if not args.skip_gen and not os.path.exists(f"{SF10}/lineitem.parquet"):
+    if args.incremental_semantic:
+        # this lane needs ONLY embeddings at the scale points — don't
+        # trigger (or require) the full-table sf1.0 generation
+        if not os.path.exists(f"{SF10}/embeddings.parquet"):
+            from tools.gen_scale import generate
+
+            generate(SF01, SF10, 10, tables=["embeddings"])
+    elif not args.skip_gen and not os.path.exists(f"{SF10}/lineitem.parquet"):
         from tools.gen_scale import generate
 
         generate(SF01, SF10, 10)
-    if args.decade2 and not os.path.exists(f"{SF100}/documents.parquet"):
+    if args.decade2:
         from tools.gen_scale import generate
 
-        generate(SF10, SF100, 10, tables=["documents", "embeddings"])
+        # decade-2 scale data is documents/embeddings/events only (disk
+        # bounded); each table generates independently and sf10 composes
+        # from sf1.0, so sf1.0 must hold the table first
+        need1 = [
+            tbl for tbl in ("documents", "embeddings", "events")
+            if not os.path.exists(f"{SF10}/{tbl}.parquet")
+        ]
+        if need1:
+            generate(SF01, SF10, 10, tables=need1)
+        need2 = [
+            tbl for tbl in ("documents", "embeddings", "events")
+            if not os.path.exists(f"{SF100}/{tbl}.parquet")
+        ]
+        if need2:
+            generate(SF10, SF100, 10, tables=need2)
 
     # the default local JVM heap (1g) is bench-scale for sf0.1; the sf1.0
     # lane is a 10x-bigger job and gets sized like a real deployment would
@@ -608,6 +748,10 @@ def main() -> None:
         return
     if args.incremental:
         run_incremental_dedup_scale(spark, args.reps)
+        spark.stop()
+        return
+    if args.incremental_semantic:
+        run_incremental_semantic_scale(spark, args.reps)
         spark.stop()
         return
 

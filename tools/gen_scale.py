@@ -42,7 +42,7 @@ import os
 
 import duckdb
 
-COPY_TABLES = ["region", "nation", "part", "events"]
+COPY_TABLES = ["region", "nation", "part"]
 
 
 def _union_k(con, k: int, select_per_replica: str) -> str:
@@ -113,6 +113,21 @@ def generate(src: str, out: str, k: int = 10, tables: list[str] | None = None) -
             f"l_suppkey + {{k}}*{ks} AS l_suppkey, l_linenumber, l_quantity, "
             f"l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, "
             f"l_shipdate FROM {t('lineitem')}"))
+
+    if want("events") and os.path.exists(f"{src}/events.parquet"):
+        # k-scaled since round 11 (was COPY_TABLES verbatim, which made
+        # every event-table slope measurement a fixed-input no-op —
+        # q168's 'flat at 10x' was hollow): replicas add events on the
+        # SAME days ("more traffic per day" growth), with offset
+        # event_id/user_id so ids stay unique and per-user sessions stay
+        # intact per replica. ts arithmetic stays out of the replication
+        # (both parquet timestamp physical types round-trip verbatim).
+        ke = con.execute(f"SELECT MAX(event_id) + 1 FROM {t('events')}").fetchone()[0]
+        ku = con.execute(f"SELECT MAX(user_id) + 1 FROM {t('events')}").fetchone()[0]
+        write("events", _union_k(con, k,
+            f"SELECT event_id + {{k}}*{ke} AS event_id, ts, "
+            f"user_id + {{k}}*{ku} AS user_id, event_type, value, props "
+            f"FROM {t('events')}"))
 
     if not want("documents"):
         if want("embeddings"):

@@ -43,8 +43,10 @@ to stay green on each:
   rendering must all agree across the width flip.
 - ``nulls`` : nullable non-key columns made ACTUALLY NULL on a
   deterministic id-modulo slice (documents.text/lang, events.value/props,
-  customer.c_mktsegment/c_acctbal; documents.n_chars nulled with its
-  text). The shipped generator never emits NULLs, so NULL-vs-empty-string
+  customer.c_mktsegment/c_acctbal, embeddings.embedding — r11, the
+  whole-vector class of the valid_vector contract; documents.n_chars
+  nulled with its text). The shipped generator never emits NULLs, so
+  NULL-vs-empty-string
   tokenization, SUM/AVG null-skip, NULL group keys, and Spark-NULLS-FIRST
   vs DuckDB-NULLS-LAST ordering defaults were all untested by regen —
   the last classic cross-engine traps.
@@ -303,6 +305,11 @@ NULL_RULES = {
     "documents": [("text", "doc_id", 13), ("lang", "doc_id", 17)],
     "events": [("value", "event_id", 13), ("props", "event_id", 17)],
     "customer": [("c_mktsegment", "c_custkey", 13), ("c_acctbal", "c_custkey", 17)],
+    # whole-vector NULLs (r11): the valid_vector contract's third class —
+    # every similarity/ANN/dedup query and its oracle must pass NULL
+    # vectors through / exclude them identically (advembed covers the
+    # empty and NULL-element classes)
+    "embeddings": [("embedding", "vec_id", 11)],
 }
 
 
