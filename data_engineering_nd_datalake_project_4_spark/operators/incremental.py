@@ -16,7 +16,8 @@ Data motion per batch at any corpus scale:
 - the anti-join shuffles 8-byte keys only — document text never moves;
 - the store append writes only the survivors' fingerprints, into the same
   bucket layout, so the NEXT batch prunes just as well. Periodic
-  :func:`..sources.sinks.compact_parquet_dir` keeps file counts bounded.
+  :func:`compact_fingerprint_store` / :func:`compact_band_store`
+  (partition-layout-preserving, replay-safe) keep file counts bounded.
 
 Fingerprint modes:
 - ``exact``: ``xxhash64(text)`` — byte-identical duplicates.
