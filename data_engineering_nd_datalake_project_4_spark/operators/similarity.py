@@ -59,7 +59,12 @@ def brute_force_topk(
 
     Degenerate vectors (NULL / empty / NULL-element — ``valid_vector``)
     are excluded from both sides: no cross-engine cosine exists for them
-    (advembed soak), so they are neither queries nor neighbors.
+    (advembed soak), so they are neither queries nor neighbors. Pairs of
+    UNEQUAL dimension are non-candidates (the raggeddim soak — a
+    mid-corpus embedding-model switch leaves mixed-dim tables; cosine
+    across models is undefined, Spark's zip_with would pad to a NULL sim
+    while DuckDB's list functions ERROR): each query ranks only
+    neighbors of its own dimension.
     """
     from data_engineering_nd_datalake_project_4_spark.operators import ensure_map_parallelism
 
@@ -81,6 +86,8 @@ def brute_force_topk(
     scored = (
         v.crossJoin(q)
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        # same-dimension pairs only (raggeddim contract)
+        .filter(F.size("__vv") == F.size("__qv"))
         .select(
             "query_id",
             "neighbor_id",
@@ -164,9 +171,13 @@ def assign_ivf_buckets(
     there is no distance to be nearest by, and the map-side argmin would
     otherwise tie-break them all into centroid 0 while the SQL twin's
     NULL-ordering does the same only by accident of NULLS placement.
+    Vectors whose dimension differs from the model's (the raggeddim
+    contract) are unassignable for the same reason.
     """
     vectors = vectors.filter(valid_vector(F.col(vec_col)))
     cents = _collect_centroid_model(centroids, centroid_id, centroid_vec)
+    if cents:
+        vectors = vectors.filter(F.size(F.col(vec_col)) == len(cents[0][1]))
     if not _centroid_plan_fits(cents):
         return _assign_ivf_buckets_shuffled(
             vectors, centroids, id_col, vec_col, centroid_id, centroid_vec
@@ -243,7 +254,8 @@ def ivf_topk(
 
     Degenerate query vectors (``valid_vector``) probe nothing; degenerate
     corpus vectors are unbucketed by :func:`assign_ivf_buckets` — both
-    classes simply don't appear in the result."""
+    classes simply don't appear in the result. Off-model-dimension
+    vectors (raggeddim) are degenerate on both sides too."""
     queries = queries.filter(valid_vector(F.col(vec_col)))
     cid = centroids.columns[0]
     cvec = centroids.columns[1]
@@ -260,6 +272,7 @@ def ivf_topk(
             ]
         )
         return vectors.sparkSession.createDataFrame([], schema)
+    queries = queries.filter(F.size(F.col(vec_col)) == len(cents[0][1]))
     bucketed = assign_ivf_buckets(vectors, centroids, id_col, vec_col, cid, cvec)
 
     if _centroid_plan_fits(cents):
@@ -359,7 +372,11 @@ def blocked_all_pairs_cosine(
 
     Degenerate vectors (``valid_vector``) are excluded up front: a ragged
     batch would crash ``np.stack``, and no cross-engine cosine exists for
-    them anyway (advembed soak).
+    them anyway (advembed soak). Mixed DIMENSIONS (raggeddim soak — the
+    mid-corpus model-switch drift) are handled by adding the dimension
+    to the cogroup key: only same-dim block pairs ever meet a kernel, so
+    every ``np.stack`` is rectangular and cross-dim pairs — whose cosine
+    is undefined — are structurally non-candidates.
     """
     import pandas as pd
 
@@ -384,6 +401,7 @@ def blocked_all_pairs_cosine(
             F.col(id_col).alias(f"{prefix}id"),
             F.col(vec_col).alias(f"{prefix}v"),
             F.floor(F.col(id_col) / block_size).cast("long").alias(f"{prefix}blk"),
+            F.size(F.col(vec_col)).cast("long").alias(f"{prefix}dim"),
         )
 
     # plan parameter (a single scalar), not data on the driver
@@ -394,12 +412,14 @@ def blocked_all_pairs_cosine(
     left = side("__l_").select(
         "__l_id",
         "__l_v",
+        F.col("__l_dim").alias("__dim"),
         F.col("__l_blk").alias("__bi"),
         F.explode(F.sequence(F.col("__l_blk"), F.lit(int(n_blocks)))).alias("__bj"),
     )
     right = side("__r_").select(
         "__r_id",
         "__r_v",
+        F.col("__r_dim").alias("__dim"),
         F.explode(F.sequence(F.lit(0), F.col("__r_blk"))).alias("__bi"),
         F.col("__r_blk").alias("__bj"),
     )
@@ -429,8 +449,8 @@ def blocked_all_pairs_cosine(
         )
 
     return (
-        left.groupBy("__bi", "__bj")
-        .cogroup(right.groupBy("__bi", "__bj"))
+        left.groupBy("__bi", "__bj", "__dim")
+        .cogroup(right.groupBy("__bi", "__bj", "__dim"))
         .applyInPandas(sim_block, out_schema)
     )
 
@@ -484,10 +504,19 @@ def kmeans(
     Degenerate vectors (``valid_vector``) are excluded from training AND
     assignment: a NULL-element vector would poison centroid means (and
     the init collect), an empty one has no distance to any centroid.
+    The model DIMENSION is fixed by the lowest-id valid vector
+    (deterministic under any partitioning); off-dimension vectors are
+    degenerate too — a mixed-dim table (raggeddim soak: mid-corpus
+    model switch) trains and assigns on the reference-dim rows only,
+    the FAISS d-mismatch contract.
     """
     rows = df.filter(valid_vector(F.col(vec_col))).select(
         F.col(id_col).alias("id"), as_double_array(F.col(vec_col)).alias("v")
     )
+    first = rows.orderBy("id").limit(1).collect()
+    if first:
+        dim = len(first[0]["v"])
+        rows = rows.filter(F.size("v") == dim)
     if cache and iters > 1:
         rows = rows.localCheckpoint(eager=False)
     init = rows.orderBy("id").limit(k).collect()
@@ -691,6 +720,16 @@ def _bucket_removal_udf(id_col: str, threshold: float):
         pdf = pdf[pdf["__vd"].notna()]
         if len(pdf) < 2:
             return pd.DataFrame({id_col: pdf[id_col][:0]})
+        # mixed DIMENSIONS inside one bucket (raggeddim: LSH signatures
+        # from different model dims can collide): scan each dim class
+        # separately — cross-dim cosine is undefined and never removes,
+        # exactly the pair-mode twin's behavior (zip_with pads the
+        # shorter vector with NULLs → NULL sim → threshold False), and
+        # per-class matrices keep np.array rectangular.
+        lens = pdf["__vd"].map(len)
+        if lens.nunique() > 1:
+            parts = [scan(pdf[lens == d]) for d in sorted(lens.unique())]
+            return pd.concat(parts, ignore_index=True)
         pdf = pdf.sort_values(id_col, kind="mergesort")
         ids = pdf[id_col].to_numpy()
         V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["__vd"]])
@@ -904,7 +943,10 @@ def _pq_subspace(v: Column, s: int, sub_dim: int) -> Column:
 def _collect_train_sample(df: DataFrame, id_col: str, vec_col: str, n: int):
     """The ``n`` lowest-id vectors as a float64 matrix (None if empty).
     One TakeOrderedAndProject job — a scalable per-partition top-k heap,
-    deterministic whatever the partitioning or physical row order."""
+    deterministic whatever the partitioning or physical row order.
+    The model dimension is the LOWEST-ID valid vector's (the kmeans
+    rule); off-dim rows are dropped from the sample (raggeddim soak —
+    a ragged sample would crash ``np.array``)."""
     import numpy as np
 
     rows = (
@@ -916,7 +958,10 @@ def _collect_train_sample(df: DataFrame, id_col: str, vec_col: str, n: int):
     )
     if not rows:
         return None
-    return np.array([r["v"] for r in rows], dtype=np.float64)
+    dim = len(rows[0]["v"])
+    return np.array(
+        [r["v"] for r in rows if len(r["v"]) == dim], dtype=np.float64
+    )
 
 
 def _assign_numpy(X, C, block: int = 4096):
@@ -1010,8 +1055,10 @@ def pq_encode(
     lowest index (array_position finds the first match), matching
     :func:`kmeans` assignment.
 
-    Degenerate vectors (``valid_vector``) are uncodable — the row is
-    dropped, like :func:`assign_ivf_buckets`.
+    Degenerate vectors (``valid_vector``) and vectors whose dimension
+    differs from the model's (m·sub — the raggeddim contract, FAISS
+    d-mismatch) are uncodable — the row is dropped, like
+    :func:`assign_ivf_buckets`.
     """
     df = df.filter(valid_vector(F.col(vec_col)))
     if not codebooks:
@@ -1019,6 +1066,7 @@ def pq_encode(
         # downstream schemas hold — meaningful only when df is empty too
         return df.withColumn(out_col, F.expr("CAST(array() AS ARRAY<INT>)"))
     m, sub = len(codebooks), len(codebooks[0][0])
+    df = df.filter(F.size(F.col(vec_col)) == m * sub)
     v = as_double_array(F.col(vec_col))
     codes = []
     for s in range(m):
@@ -1081,8 +1129,12 @@ def pq_adc_topk(
         return _empty_adc_frame(codes_df, queries, id_col, query_id_col)
     m = len(codebooks)
     sub = len(codebooks[0][0])
-    # degenerate query vectors have no LUT (valid_vector contract)
-    qrows = queries.filter(valid_vector(F.col(query_vec_col))).select(
+    # degenerate / off-model-dim query vectors have no LUT
+    # (valid_vector + raggeddim contracts)
+    qrows = queries.filter(
+        valid_vector(F.col(query_vec_col))
+        & (F.size(F.col(query_vec_col)) == m * sub)
+    ).select(
         F.col(query_id_col).alias("query_id"),
         as_double_array(F.col(query_vec_col)).alias("v"),
     ).collect()
@@ -1222,9 +1274,11 @@ def ivfpq_encode(
     map-side: both codebook levels fold into the plan as literals — no
     shuffle, no UDF, no model broadcast. Output columns: ``ivf_cell int,
     pq_codes array<int>`` appended to the input. Degenerate vectors
-    (``valid_vector``) are uncodable — rows dropped (via
-    :func:`pq_encode`'s filter; the empty-model branch filters here)."""
+    (``valid_vector``) and off-model-dim vectors (raggeddim) are
+    uncodable — rows dropped."""
     df = df.filter(valid_vector(F.col(vec_col)))
+    if coarse:
+        df = df.filter(F.size(F.col(vec_col)) == len(coarse[0]))
     if not coarse:
         # empty model: typed pass-through columns so downstream schemas
         # hold — meaningful only when df is empty too (empty soak)
@@ -1276,8 +1330,12 @@ def ivfpq_adc_topk(
     nprobe = min(nprobe, nlist)
     m = len(codebooks)
     sub = len(codebooks[0][0])
-    # degenerate query vectors probe nothing (valid_vector contract)
-    qrows = queries.filter(valid_vector(F.col(query_vec_col))).select(
+    # degenerate / off-model-dim query vectors probe nothing
+    # (valid_vector + raggeddim contracts)
+    qrows = queries.filter(
+        valid_vector(F.col(query_vec_col))
+        & (F.size(F.col(query_vec_col)) == len(coarse[0]))
+    ).select(
         F.col(query_id_col).alias("query_id"),
         as_double_array(F.col(query_vec_col)).alias("v"),
     ).collect()

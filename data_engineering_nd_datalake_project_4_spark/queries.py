@@ -772,7 +772,9 @@ def q29(spark, sf_dir):
                   / (sqrt(list_dot_product(q.emb, q.emb))
                      * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
                                              CAST(e.embedding AS DOUBLE[])))) AS sim_raw
-           FROM q JOIN ve e ON e.vec_id <> q.vec_id)
+           -- same-dimension pairs only (raggeddim contract)
+           FROM q JOIN ve e ON e.vec_id <> q.vec_id
+                           AND len(e.embedding) = len(q.emb))
        SELECT query_id, neighbor_id, ROUND(sim_raw, 3) AS sim FROM (
          SELECT *, row_number() OVER (PARTITION BY query_id
                                       ORDER BY sim_raw DESC NULLS LAST, neighbor_id) AS rn
@@ -1131,8 +1133,13 @@ def q40_fingerprints(spark, sf_dir):
                   FROM embeddings WHERE vec_id < 500 AND {_VV})
        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
               ROUND(list_cosine_similarity(a.emb, b.emb), 3) AS cos_sim
+       -- same-dimension pairs only (raggeddim contract); the CASE keeps
+       -- DuckDB's list_cosine_similarity (which ERRORS on unequal
+       -- lengths) lazily guarded — AND is not guaranteed short-circuit
        FROM e a JOIN e b ON a.vec_id < b.vec_id
-       WHERE list_cosine_similarity(a.emb, b.emb) >= 0.8
+                        AND len(a.emb) = len(b.emb)
+       WHERE CASE WHEN len(a.emb) = len(b.emb)
+                  THEN list_cosine_similarity(a.emb, b.emb) END >= 0.8
        ORDER BY id_a, id_b""",
     "embedding-cosine near-duplicate pairs via the blocked-matmul scale path "
     "(cogroup block pairs + one numpy GEMM per block pair, threshold applied "
@@ -1151,9 +1158,16 @@ def q41_embedding_near_dup(spark, sf_dir):
 
 @q(
     "q42_ivf_topk",
-    f"""WITH u AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
+    f"""WITH
+         -- reference dimension = the lowest-id valid vector's (raggeddim
+         -- contract, the kmeans/FAISS rule): off-dim vectors are
+         -- degenerate for the whole model — training, bucketing, probing
+         dimref AS (SELECT len(embedding) AS d FROM embeddings
+                    WHERE {_VV} ORDER BY vec_id LIMIT 1),
+         u AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
                     CAST(unnest(embedding) AS DOUBLE) AS v
-                  FROM embeddings),
+                  FROM embeddings
+                  WHERE {_VV} AND len(embedding) = (SELECT d FROM dimref)),
          cm AS (SELECT label, pos,
                   CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS m
                 FROM u GROUP BY label, pos),
@@ -1167,7 +1181,8 @@ def q41_embedding_near_dup(spark, sf_dir):
          -- valid_vector twin (advembed): degenerate vectors neither probe
          -- (queries) nor get a bucket (corpus)
          qd AS (SELECT DISTINCT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-                FROM embeddings WHERE vec_id IN (0, 1, 2) AND {_VV}),
+                FROM embeddings WHERE vec_id IN (0, 1, 2) AND {_VV}
+                  AND len(embedding) = (SELECT d FROM dimref)),
          qc AS (SELECT qd.vec_id, c.cid,
                   list_dot_product(qd.emb, c.cv)
                   / (sqrt(list_dot_product(qd.emb, qd.emb))
@@ -1178,11 +1193,13 @@ def q41_embedding_near_dup(spark, sf_dir):
                           ORDER BY csim DESC NULLS LAST, cid) AS rn FROM qc)
            WHERE rn <= 3),
          q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-               FROM embeddings WHERE vec_id IN (0, 1, 2) AND {_VV}),
+               FROM embeddings WHERE vec_id IN (0, 1, 2) AND {_VV}
+                 AND len(embedding) = (SELECT d FROM dimref)),
          probes AS (SELECT q.vec_id AS query_id, q.emb AS qemb, p.cid
                     FROM q JOIN probe_ids p ON p.vec_id = q.vec_id),
          vd AS (SELECT DISTINCT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-                FROM embeddings WHERE {_VV}),
+                FROM embeddings WHERE {_VV}
+                  AND len(embedding) = (SELECT d FROM dimref)),
          vc AS (SELECT vd.vec_id, c.cid,
                   list_dot_product(vd.emb, c.cv)
                   / (sqrt(list_dot_product(vd.emb, vd.emb))
@@ -1193,7 +1210,8 @@ def q41_embedding_near_dup(spark, sf_dir):
                           ORDER BY csim DESC NULLS LAST, cid) AS rn FROM vc)
            WHERE rn = 1),
          v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-               FROM embeddings WHERE {_VV}),
+               FROM embeddings WHERE {_VV}
+                 AND len(embedding) = (SELECT d FROM dimref)),
          buckets AS (SELECT v.vec_id, v.emb, b.cid
                      FROM v JOIN bucket_ids b ON b.vec_id = v.vec_id),
          scored AS (SELECT p.query_id, c.vec_id AS neighbor_id,
@@ -1215,7 +1233,23 @@ def q41_embedding_near_dup(spark, sf_dir):
     "property-tested",
 )
 def q42_ivf_topk(spark, sf_dir):
+    from data_engineering_nd_datalake_project_4_spark.functions import valid_vector
+
     emb = _t(spark, sf_dir, "embeddings")
+    # reference dim = the lowest-id valid vector's (raggeddim contract;
+    # one tiny model-stage job): off-dim vectors are degenerate for the
+    # whole model — centroid training, bucketing and probing alike
+    ref = (
+        emb.filter(valid_vector(F.col("embedding")))
+        .orderBy("vec_id")
+        .select(F.size("embedding"))
+        .first()
+    )
+    if ref is not None:
+        emb = emb.filter(
+            valid_vector(F.col("embedding"))
+            & (F.size("embedding") == ref[0])
+        )
     # centroids: mean vector per label — posexplode → per-(label,pos) exact
     # decimal-quantized mean (deterministic under any partition/sum order,
     # hence oracle-hashable) → collect back to array ordered by pos
@@ -1813,8 +1847,13 @@ def q56_percentiles(spark, sf_dir):
                   FROM embeddings WHERE vec_id < 500 AND {_VV})
        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
               ROUND(list_cosine_similarity(a.emb, b.emb), 3) AS cos_sim
+       -- same-dimension pairs only (raggeddim contract); the CASE keeps
+       -- DuckDB's list_cosine_similarity (which ERRORS on unequal
+       -- lengths) lazily guarded — AND is not guaranteed short-circuit
        FROM e a JOIN e b ON a.vec_id < b.vec_id
-       WHERE list_cosine_similarity(a.emb, b.emb) >= 0.8
+                        AND len(a.emb) = len(b.emb)
+       WHERE CASE WHEN len(a.emb) = len(b.emb)
+                  THEN list_cosine_similarity(a.emb, b.emb) END >= 0.8
        ORDER BY id_a, id_b""",
     "q41's exact semantics on the SCALE path: blocked matmul (cogroup block "
     "pairs -> one numpy BLAS kernel per pair, threshold applied in-task)",
@@ -5106,10 +5145,14 @@ def q141_duplicate_spans(spark, sf_dir):
                      FROM bb a JOIN bb b ON a.band = b.band
                                         AND a.band_key = b.band_key
                                         AND a.vec_id < b.vec_id),
+            -- same-dim pairs only (raggeddim): the CASE lazily guards
+            -- list_cosine_similarity, which ERRORS on unequal lengths
             rem AS (SELECT DISTINCT c.ib AS vec_id
                     FROM cand c JOIN e x ON x.vec_id = c.ia
                                 JOIN e y ON y.vec_id = c.ib
-                    WHERE list_cosine_similarity(x.emb, y.emb) >= 0.45)
+                    WHERE CASE WHEN len(x.emb) = len(y.emb)
+                               THEN list_cosine_similarity(x.emb, y.emb)
+                          END >= 0.45)
        SELECT v.vec_id, v.label,
               CASE WHEN r.vec_id IS NULL THEN 'kept' ELSE 'removed' END AS status
        FROM embeddings v LEFT JOIN rem r USING (vec_id)
@@ -5268,8 +5311,10 @@ def q145_interval_overlap_join(spark, sf_dir):
                   e -> GREATEST(0, LEAST(255,
                          CAST(floor((CAST(e AS DOUBLE) + 1) * 127.5) AS BIGINT)))) AS p
          -- valid_vector twin: a degenerate vector renders no image and
-         -- gets no hash (advembed soak)
-         FROM embeddings WHERE vec_id < 500 AND {_VV}),
+         -- gets no hash (advembed soak); an 8x8 render needs >= 64
+         -- source dims (raggeddim — a shorter vector yields a torn
+         -- netpbm payload, not an image)
+         FROM embeddings WHERE vec_id < 500 AND {_VV} AND len(embedding) >= 64),
        cells AS (SELECT vec_id, generate_subscripts(p, 1) - 1 AS k,
                         CAST(unnest(p) AS DOUBLE) AS v
                  FROM px),
@@ -5305,7 +5350,10 @@ def q146_image_phash(spark, sf_dir):
     from data_engineering_nd_datalake_project_4_spark.functions import valid_vector
 
     emb = _t(spark, sf_dir, "embeddings").filter(
-        (F.col("vec_id") < 500) & valid_vector(F.col("embedding"))
+        (F.col("vec_id") < 500)
+        & valid_vector(F.col("embedding"))
+        # an 8x8 render needs >= 64 source dims (raggeddim contract)
+        & (F.size("embedding") >= 64)
     )
     px = emb.select(
         F.col("vec_id").alias("media_id"),
@@ -5921,11 +5969,16 @@ def q159_asof_forward_tolerance(spark, sf_dir):
          -- valid_vector twin on both semantic sides (advembed soak)
          qv AS (SELECT CAST(embedding AS DOUBLE[]) AS emb
                 FROM embeddings WHERE vec_id = 0 AND {_VV}),
+         -- cross-dim candidates keep a NULL sim (NULLS LAST in the rank)
+         -- exactly like Spark's padded zip_with fold; the CASE lazily
+         -- guards DuckDB's list functions, which ERROR on unequal lengths
          semsc AS (SELECT e.vec_id AS doc_id,
-                          list_dot_product(qv.emb, CAST(e.embedding AS DOUBLE[]))
-                          / (sqrt(list_dot_product(qv.emb, qv.emb))
-                             * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
-                                                     CAST(e.embedding AS DOUBLE[])))) AS sim
+                          CASE WHEN len(e.embedding) = len(qv.emb) THEN
+                            list_dot_product(qv.emb, CAST(e.embedding AS DOUBLE[]))
+                            / (sqrt(list_dot_product(qv.emb, qv.emb))
+                               * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                       CAST(e.embedding AS DOUBLE[]))))
+                          END AS sim
                    FROM embeddings e CROSS JOIN qv
                    WHERE e.vec_id <> 0 AND {_VV}),
          semr AS (SELECT doc_id, rk FROM (

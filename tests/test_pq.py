@@ -258,3 +258,44 @@ class TestIvfPq:
             (r["query_id"], r["neighbor_id"], r["adc_dist"]) for r in df.collect()
         )
         assert rows(clamped) == rows(full)
+
+
+def test_mixed_dimension_model_contract(spark):
+    """raggeddim (r11): PQ/IVFPQ fix their dimension at train time (the
+    lowest-id valid vector); off-dim vectors are uncodable and off-dim
+    queries probe nothing — the FAISS d-mismatch contract, without the
+    ragged np crash."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_nd_datalake_project_4_spark.operators.similarity import (
+        ivfpq_adc_topk,
+        ivfpq_encode,
+        ivfpq_train,
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    rows = [
+        (i, [float((i * 7 + k) % 11) - 5.0 for k in range(8 if i % 4 == 3 else 16)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cbs = pq_train(emb, m=4, k=4, iters=2)          # dim 16 (vec 0's)
+    assert len(cbs) == 4 and len(cbs[0][0]) == 4
+    codes = pq_encode(emb, cbs)
+    coded_ids = {r["vec_id"] for r in codes.select("vec_id").collect()}
+    assert all(i % 4 != 3 for i in coded_ids)       # dim-8 rows uncodable
+    out = pq_adc_topk(codes, emb.filter(F.col("vec_id").isin(0, 3)), cbs, k=3)
+    qids = {r["query_id"] for r in out.collect()}
+    assert qids == {0}                               # dim-8 query ignored
+
+    coarse, rcbs = ivfpq_train(emb, nlist=2, m=4, k=4, iters=2)
+    icodes = ivfpq_encode(emb, coarse, rcbs)
+    assert all(
+        r["vec_id"] % 4 != 3 for r in icodes.select("vec_id").collect()
+    )
+    iout = ivfpq_adc_topk(
+        icodes, emb.filter(F.col("vec_id").isin(0, 3)), coarse, rcbs, k=3
+    )
+    assert {r["query_id"] for r in iout.collect()} == {0}

@@ -201,3 +201,37 @@ def test_bucket_rescore_empty_and_null_inputs(spark):
     assert out[2] is False      # NULL vector never removed
     assert out[4] is False      # zero norm -> NULL cosine -> kept
     assert out[1] is False      # keep-earliest
+
+
+def test_mixed_dimension_contract(spark):
+    """The raggeddim contract (r11): pairwise vector semantics exist only
+    for EQUAL dimensions. Planted exact-duplicate pairs at dim 8 AND dim
+    16 in ONE table must both dedup (no ragged np.stack crash in the
+    bucket kernel), and a dim-8 prefix of a dim-16 vector must never
+    remove / be removed by it (cross-dim cosine is undefined)."""
+    from data_engineering_nd_datalake_project_4_spark.operators import similarity
+
+    base16 = [float(i % 5) - 2.0 for i in range(16)]
+    rows = [
+        (0, base16),            # dup pair at dim 16...
+        (1, list(base16)),      # ...1 removed (copy of 0)
+        (2, base16[:8]),        # dup pair at dim 8 (prefix of 0 — the trap)...
+        (3, base16[:8]),        # ...3 removed (copy of 2)
+        (4, [9.0] * 16),        # singleton dim 16
+    ]
+    out = similarity.semantic_dedup(
+        spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>"),
+        "vec_id", "embedding", threshold=0.99, bands=4, band_bits=4,
+    )
+    got = {r["vec_id"]: r["sem_removed"] for r in out.collect()}
+    assert got[0] is False and got[1] is True       # same-dim dup removed
+    assert got[3] is True                            # same-dim dup removed
+    assert got[2] is False                           # prefix never cross-removes
+    assert got[4] is False
+    # pair mode agrees (zip_with pads cross-dim pairs to NULL sim)
+    out2 = similarity.semantic_dedup(
+        spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>"),
+        "vec_id", "embedding", threshold=0.99, bands=4, band_bits=4,
+        rescore="pair",
+    )
+    assert {r["vec_id"]: r["sem_removed"] for r in out2.collect()} == got

@@ -167,6 +167,21 @@ to stay green on each:
   whitespace-free blob (degenerate single-token tokenization).
   ``n_chars`` recomputed as codepoint length.
 
+- ``raggeddim`` : mixed vector DIMENSIONS in embeddings (r11) — the
+  mid-corpus embedding-model-switch feed drift (768→1024 upgrades are
+  routine; partial backfills leave mixed-dim tables). vec_id % 9 == 7
+  rows truncate to 32 dims; % 9 == 8 rows extend to 80 dims (original
+  64 + 16 hash-deterministic extras). Cross-engine stakes: Spark
+  ``zip_with`` PADS the shorter array with NULLs (pair kernels fold to
+  NULL sim) while DuckDB ``list_dot_product``/``list_cosine_similarity``
+  ERROR outright on length mismatch, and numpy kernels crash on ragged
+  ``np.stack``. The contract this variant gates: pairwise vector
+  semantics exist only for EQUAL dimensions (same-dim pairs compare;
+  cross-dim pairs are non-candidates), model-based operators fix their
+  dimension at train time and treat off-dim vectors as degenerate, and
+  per-vector operators (sign-LSH banding, rp buckets) are well-defined
+  at any dimension on both engines.
+
 Usage: ``python tools/soak_regen.py [variant ...]`` (default: all).
 Exit code = number of failing (variant, query) pairs.
 """
@@ -583,6 +598,35 @@ def build_variant(name: str, out_dir: Path, src_dir: Path | None = None) -> None
                 pa.array(new, pa.list_(pa.float32())),
             )
             pq.write_table(tbl, dst)
+        elif name == "raggeddim" and t == "embeddings":
+            tbl = pq.read_table(src)
+            ids = tbl.column("vec_id").to_pylist()
+            embs = tbl.column("embedding").to_pylist()
+            new = []
+            for vid, e in zip(ids, embs):
+                if e is None:
+                    new.append(None)
+                elif vid % 9 == 7:
+                    new.append(list(e[:32]))                # model downgrade
+                elif vid % 9 == 8:
+                    # model upgrade: 16 extra hash-deterministic dims
+                    extra = [
+                        (
+                            int(hashlib.md5(f"{vid}:{k}".encode()).hexdigest()[:8], 16)
+                            % 2001
+                            - 1000
+                        )
+                        / 1000.0
+                        for k in range(16)
+                    ]
+                    new.append(list(e) + extra)
+                else:
+                    new.append(list(e))
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index("embedding"), "embedding",
+                pa.array(new, pa.list_(pa.float32())),
+            )
+            pq.write_table(tbl, dst)
         elif name == "nulls" and t in NULL_RULES:
             tbl = pq.read_table(src)
             for col, id_col, mod in NULL_RULES[t]:
@@ -634,6 +678,7 @@ def main(argv: list[str]) -> int:
         "ts_micros", "ts_nanos", "half2", "half4", "rowshuffle", "advtext",
         "advembed", "date32", "int32", "nulls", "empty", "onerow", "duprows",
         "advjson", "colshuffle", "addcols", "skewkeys", "unicode", "longdoc",
+        "raggeddim",
     ]
     spark = get_spark(app_name="soak-regen", shuffle_partitions=16)
     total_fail = 0
