@@ -166,6 +166,38 @@ def _calibration_anchor(spark, sf_dir: str, reps: int = 3) -> dict:
     }
 
 
+#: hard bound on the stdout summary line: the driver captures only the
+#: LAST 2000 chars of stdout. Kept well under so warning lines that
+#: sneak after the JSON can't push it out of the window.
+_MAX_LINE_BYTES = 1000
+
+
+def build_headline(
+    total: float,
+    sf: float,
+    n_queries: int,
+    reps: int,
+    sparkify_sec: float,
+    calib_sec: float,
+) -> dict:
+    """The stdout summary — SCALARS ONLY (tests/test_bench_line.py pins
+    the serialized size under ``_MAX_LINE_BYTES``): rounds 6-10 each
+    recorded ``parsed: null`` because the per-query qNN map outgrew the
+    driver's 2000-char capture as the registry reached 170 entries.
+    Per-query data belongs in bench/results.json, never here."""
+    return {
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": n_queries,
+        "reps": reps,
+        "sparkify_pipeline_sec": sparkify_sec,
+        "calib_sec": calib_sec,
+        "value_per_calib": round(total / calib_sec, 2) if calib_sec else None,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -210,22 +242,9 @@ def main() -> None:
     calib = _calibration_anchor(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
-    # The stdout line must fit the driver's 2000-char capture buffer:
-    # NO per-query map here (BENCH_r06..r10 all recorded parsed:null when
-    # the qNN map outgrew it). Per-query timings live in bench/results.json.
-    headline = {
-        "metric": "total_query_seconds",
-        "value": total,
-        "unit": "sec",
-        "sf": sf,
-        "n_queries": len(timings),
-        "reps": reps,
-        "sparkify_pipeline_sec": pipeline["seconds"],
-        "calib_sec": calib["calib_sec"],
-        "value_per_calib": round(total / calib["calib_sec"], 2)
-        if calib["calib_sec"]
-        else None,
-    }
+    headline = build_headline(
+        total, sf, len(timings), reps, pipeline["seconds"], calib["calib_sec"]
+    )
     os.makedirs("bench", exist_ok=True)
     with open("bench/results.json", "w") as f:
         payload = {
