@@ -25,6 +25,20 @@ Each query executes its full plan into a ``noop`` sink (no driver
 collect bottleneck, no disk write skew, and no ``df.count()``
 column-pruning trap). The session is warmed with one trivial action
 first so JVM/codegen startup isn't billed to q01.
+
+Crash hardening (VERDICT r11 task 1 — the round-11 driver run DIED at
+the JVM default heap, GCLocker retry warnings on stdout, rc=1, the 6th
+straight round with no official metric):
+
+- the driver heap is pinned to 8g via ``PYSPARK_SUBMIT_ARGS`` BEFORE the
+  JVM starts (local[32] puts all 32 executor threads inside the one
+  driver JVM; the default heap is NOT plenty for 170 back-to-back plans);
+- JVM GC logging is routed to /tmp/bench-gc.log — the r11 ``[gc,alloc]
+  GCLocker`` warnings printed to *stdout* and drowned the summary line;
+- each query runs under a try/except: a single OOM/analysis failure
+  records ``null`` for that query and the run continues;
+- the scalar summary line prints from a ``finally`` block, so even a
+  partial run leaves a parseable tail (``n_failed`` counts the casualties).
 """
 
 from __future__ import annotations
@@ -35,11 +49,63 @@ import sys
 import time
 
 from data_engineering_nd_datalake_project_4_spark.queries import REGISTRY
-from data_engineering_nd_datalake_project_4_spark.session import get_spark
+
+
+def _pin_driver_heap(heap: str = "8g") -> None:
+    """Pin the driver JVM heap BEFORE the gateway launches (must run before
+    the first ``getOrCreate``). The r11 driver bench run died at the JVM
+    default heap (~stage 2336 of the 170-query session, GCLocker
+    alloc-retry → executor death → rc=1); commit cc2cdac already pinned 8g
+    manually for regenerations — this makes the lean driver path identical.
+    Merges into any caller-provided PYSPARK_SUBMIT_ARGS; no-op if the
+    caller already pinned a driver memory."""
+    existing = os.environ.get("PYSPARK_SUBMIT_ARGS", "").strip() or "pyspark-shell"
+    if "--driver-memory" not in existing:
+        os.environ["PYSPARK_SUBMIT_ARGS"] = f"--driver-memory {heap} {existing}"
 
 
 def _run_plan(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def run_queries(
+    spark,
+    sf_dir: str,
+    registry: dict,
+    reps: int,
+    record_bytes: bool = False,
+) -> tuple[dict, dict, dict, dict]:
+    """Time every registry entry; a failing query records ``None`` and the
+    run CONTINUES (r11: one heap death killed the entire official record).
+    Returns (timings, samples, errors, shuffle_bytes)."""
+    timings: dict[str, float | None] = {}
+    all_samples: dict[str, list[float]] = {}
+    errors: dict[str, str] = {}
+    shuffle_bytes: dict[str, dict] = {}
+    for name in sorted(registry):
+        samples: list[float] = []
+        try:
+            for _ in range(reps):
+                df = registry[name].spark_fn(spark, sf_dir)
+                t0 = time.perf_counter()
+                _run_plan(df)
+                samples.append(round(time.perf_counter() - t0, 3))
+            all_samples[name] = list(samples)
+            samples.sort()
+            timings[name] = samples[len(samples) // 2]  # median
+            if record_bytes:
+                from data_engineering_nd_datalake_project_4_spark import plans
+
+                shuffle_bytes[name] = plans.observed_shuffle_bytes(
+                    registry[name].spark_fn(spark, sf_dir)
+                )
+        except Exception as exc:  # noqa: BLE001 — isolate per-query failure
+            timings[name] = None
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"{name:28s} FAILED {errors[name]}", file=sys.stderr)
+            continue
+        print(f"{name:28s} {timings[name]:7.3f}s", file=sys.stderr)
+    return timings, all_samples, errors, shuffle_bytes
 
 
 def _bench_sparkify_pipeline(spark, n_events: int = 100_000, n_songs: int = 100) -> dict:
@@ -177,20 +243,24 @@ def build_headline(
     sf: float,
     n_queries: int,
     reps: int,
-    sparkify_sec: float,
-    calib_sec: float,
+    sparkify_sec: float | None,
+    calib_sec: float | None,
+    n_failed: int = 0,
 ) -> dict:
     """The stdout summary — SCALARS ONLY (tests/test_bench_line.py pins
     the serialized size under ``_MAX_LINE_BYTES``): rounds 6-10 each
     recorded ``parsed: null`` because the per-query qNN map outgrew the
     driver's 2000-char capture as the registry reached 170 entries.
-    Per-query data belongs in bench/results.json, never here."""
+    Per-query data belongs in bench/results.json, never here.
+    ``n_failed`` > 0 marks a partial run (failed queries timed as null,
+    excluded from ``value``)."""
     return {
         "metric": "total_query_seconds",
         "value": total,
         "unit": "sec",
         "sf": sf,
         "n_queries": n_queries,
+        "n_failed": n_failed,
         "reps": reps,
         "sparkify_pipeline_sec": sparkify_sec,
         "calib_sec": calib_sec,
@@ -199,14 +269,15 @@ def build_headline(
 
 
 def main() -> None:
+    # MUST run before any getOrCreate touches the JVM: the r11 driver run
+    # died at the default heap (VERDICT r11 item 1 — local[32] runs all 32
+    # executor threads in this one JVM).
+    _pin_driver_heap()
+
+    from data_engineering_nd_datalake_project_4_spark.session import session_builder
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
-    spark = get_spark(app_name="bench")
-    spark.sparkContext.setLogLevel("ERROR")
-
-    # warm-up: JVM, codegen, parquet footers
-    _run_plan(spark.read.parquet(f"{sf_dir}/region.parquet"))
-
     try:
         reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")))
     except ValueError:
@@ -217,54 +288,89 @@ def main() -> None:
     # query, so it's opt-in for the round-end regeneration, not the
     # driver's per-round 1-rep run.
     record_bytes = os.environ.get("SPARK_GRAFT_BENCH_BYTES", "") == "1"
-    shuffle_bytes: dict[str, dict] = {}
-    timings: dict[str, float] = {}
+
+    timings: dict[str, float | None] = {}
     all_samples: dict[str, list[float]] = {}
-    for name in sorted(REGISTRY):
-        samples = []
-        for _ in range(reps):
-            df = REGISTRY[name].spark_fn(spark, sf_dir)
-            t0 = time.perf_counter()
-            _run_plan(df)
-            samples.append(round(time.perf_counter() - t0, 3))
-        all_samples[name] = list(samples)
-        samples.sort()
-        timings[name] = samples[len(samples) // 2]  # median
-        if record_bytes:
-            from data_engineering_nd_datalake_project_4_spark import plans
-
-            shuffle_bytes[name] = plans.observed_shuffle_bytes(
-                REGISTRY[name].spark_fn(spark, sf_dir)
+    errors: dict[str, str] = {}
+    shuffle_bytes: dict[str, dict] = {}
+    pipeline: dict = {}
+    calib: dict = {}
+    spark = None
+    try:
+        spark = (
+            session_builder(app_name="bench")
+            # GC diagnostics OFF stdout: the r11 crash capture was 2000 chars
+            # of [gc,alloc] GCLocker warnings — they print to stdout and push
+            # the summary line out of the driver's tail window.
+            .config(
+                "spark.driver.extraJavaOptions",
+                "-Duser.timezone=UTC -Xlog:gc*:file=/tmp/bench-gc.log",
             )
-        print(f"{name:28s} {timings[name]:7.3f}s", file=sys.stderr)
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
 
-    pipeline = _bench_sparkify_pipeline(spark)
-    calib = _calibration_anchor(spark, sf_dir)
+        # warm-up: JVM, codegen, parquet footers
+        _run_plan(spark.read.parquet(f"{sf_dir}/region.parquet"))
 
-    total = round(sum(timings.values()), 3)
-    headline = build_headline(
-        total, sf, len(timings), reps, pipeline["seconds"], calib["calib_sec"]
-    )
-    os.makedirs("bench", exist_ok=True)
-    with open("bench/results.json", "w") as f:
-        payload = {
-            "headline": headline,
-            "queries_full": timings,
-            "samples": all_samples,
-            "sparkify_pipeline": pipeline,
-            "calibration": calib,
-        }
-        if shuffle_bytes:
-            payload["shuffle_bytes"] = shuffle_bytes
-        json.dump(payload, f, indent=1)
-    line = json.dumps(headline, separators=(",", ":"))
-    print(line)
-    print(
-        f"[bench] line length: {len(line)} bytes (driver buffer: 2000); "
-        f"per-query map in bench/results.json",
-        file=sys.stderr,
-    )
-    spark.stop()
+        timings, all_samples, errors, shuffle_bytes = run_queries(
+            spark, sf_dir, REGISTRY, reps, record_bytes
+        )
+
+        try:
+            pipeline = _bench_sparkify_pipeline(spark)
+        except Exception as exc:  # noqa: BLE001
+            errors["sparkify_pipeline"] = f"{type(exc).__name__}: {exc}"[:300]
+        try:
+            # degrade to calib_sec=null rather than risking the headline
+            # (ADVICE r11 item 1)
+            calib = _calibration_anchor(spark, sf_dir)
+        except Exception as exc:  # noqa: BLE001
+            errors["calibration"] = f"{type(exc).__name__}: {exc}"[:300]
+    except Exception as exc:  # noqa: BLE001 — setup/warm-up death: record,
+        # still emit the scalar line, exit 0 (rc=1 is how r11 lost the metric)
+        errors["fatal"] = f"{type(exc).__name__}: {exc}"[:300]
+        print(f"[bench] FATAL: {errors['fatal']}", file=sys.stderr)
+    finally:
+        # even a partial / crashed run leaves a parseable scalar tail
+        ok = {k: v for k, v in timings.items() if v is not None}
+        total = round(sum(ok.values()), 3)
+        headline = build_headline(
+            total,
+            sf,
+            len(timings),
+            reps,
+            pipeline.get("seconds"),
+            calib.get("calib_sec"),
+            n_failed=len(timings) - len(ok),
+        )
+        try:
+            os.makedirs("bench", exist_ok=True)
+            with open("bench/results.json", "w") as f:
+                payload = {
+                    "headline": headline,
+                    "queries_full": timings,
+                    "samples": all_samples,
+                    "sparkify_pipeline": pipeline,
+                    "calibration": calib,
+                }
+                if errors:
+                    payload["errors"] = errors
+                if shuffle_bytes:
+                    payload["shuffle_bytes"] = shuffle_bytes
+                json.dump(payload, f, indent=1)
+        except Exception as exc:  # noqa: BLE001 — the stdout line still prints
+            print(f"[bench] results.json write failed: {exc}", file=sys.stderr)
+        line = json.dumps(headline, separators=(",", ":"))
+        print(line)
+        sys.stdout.flush()
+        print(
+            f"[bench] line length: {len(line)} bytes (driver buffer: 2000); "
+            f"per-query map in bench/results.json",
+            file=sys.stderr,
+        )
+        if spark is not None:
+            spark.stop()
 
 
 if __name__ == "__main__":

@@ -10,8 +10,15 @@ Scale notes (100 TB / multi-executor):
   single most important knob and is ON by default.
 - ``spark.sql.shuffle.partitions`` is a *default*; large jobs should rely on
   AQE coalescing from a high initial number rather than a hand-tuned one.
-- No memory sizes are pinned here — cluster managers own that. Local test
-  runs inherit the JVM default, which is plenty at test scale.
+- No memory sizes are pinned here — cluster managers own that. CAVEAT
+  (learned round 11): the JVM default heap is NOT plenty for long local[32]
+  sessions — 170 back-to-back plans GC-thrashed the default-sized driver JVM
+  to death (all 32 executor threads live inside it). Long-running local
+  harnesses must pin the driver heap BEFORE the JVM starts
+  (``bench._pin_driver_heap``: PYSPARK_SUBMIT_ARGS --driver-memory 8g);
+  a builder ``spark.driver.memory`` config also works in PySpark because
+  the gateway passes --conf at launch, but only for the process's FIRST
+  session.
 """
 
 from __future__ import annotations

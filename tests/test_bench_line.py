@@ -39,3 +39,66 @@ def test_headline_zero_calibration_is_safe():
     bench = _bench()
     h = bench.build_headline(1.0, 0.1, 170, 1, 1.0, 0.0)
     assert h["value_per_calib"] is None
+
+
+def test_headline_partial_run_is_parseable():
+    """A crashed/partial run (null calib, null pipeline, failures) must
+    still serialize to a small scalar-only line (VERDICT r11 task 1c)."""
+    bench = _bench()
+    h = bench.build_headline(12.3, 0.1, 170, 1, None, None, n_failed=42)
+    line = json.dumps(h, separators=(",", ":"))
+    parsed = json.loads(line)
+    assert len(line) <= bench._MAX_LINE_BYTES
+    assert parsed["n_failed"] == 42 and parsed["value"] == 12.3
+    assert parsed["calib_sec"] is None and parsed["value_per_calib"] is None
+
+
+def test_pin_driver_heap_merges_and_is_idempotent(monkeypatch):
+    """The heap pin must run pre-JVM and survive caller-provided
+    PYSPARK_SUBMIT_ARGS without doubling (VERDICT r11 task 1a)."""
+    import os
+
+    bench = _bench()
+    monkeypatch.delenv("PYSPARK_SUBMIT_ARGS", raising=False)
+    bench._pin_driver_heap()
+    assert os.environ["PYSPARK_SUBMIT_ARGS"] == "--driver-memory 8g pyspark-shell"
+    bench._pin_driver_heap()  # idempotent
+    assert os.environ["PYSPARK_SUBMIT_ARGS"] == "--driver-memory 8g pyspark-shell"
+    monkeypatch.setenv("PYSPARK_SUBMIT_ARGS", "--driver-memory 4g pyspark-shell")
+    bench._pin_driver_heap()  # caller's explicit pin wins
+    assert os.environ["PYSPARK_SUBMIT_ARGS"] == "--driver-memory 4g pyspark-shell"
+
+
+def test_run_queries_survives_a_mid_registry_failure(spark, sf_dir):
+    """RED CASE for the r11 crash class: one query raising mid-registry
+    must record null + an error and let the rest of the run complete."""
+    from types import SimpleNamespace
+
+    from pyspark.sql import functions as F
+
+    bench = _bench()
+
+    def good(s, d):
+        return s.range(10).select(F.col("id").alias("n"))
+
+    def bad(s, d):
+        raise MemoryError("simulated heap death")
+
+    registry = {
+        "q_aa_good": SimpleNamespace(spark_fn=good),
+        "q_mm_bad": SimpleNamespace(spark_fn=bad),
+        "q_zz_good": SimpleNamespace(spark_fn=good),
+    }
+    timings, samples, errors, _ = bench.run_queries(spark, sf_dir, registry, reps=1)
+    assert timings["q_mm_bad"] is None
+    assert "MemoryError" in errors["q_mm_bad"]
+    # the queries sorted AFTER the failure still ran and timed
+    assert timings["q_zz_good"] is not None and timings["q_aa_good"] is not None
+    assert set(samples) == {"q_aa_good", "q_zz_good"}
+    # and the partial headline is a parseable scalar line
+    ok = {k: v for k, v in timings.items() if v is not None}
+    h = bench.build_headline(
+        round(sum(ok.values()), 3), 0.001, len(timings), 1, None, None,
+        n_failed=len(timings) - len(ok),
+    )
+    assert json.loads(json.dumps(h))["n_failed"] == 1
