@@ -82,7 +82,18 @@ def run_queries(
     all_samples: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     shuffle_bytes: dict[str, dict] = {}
-    for name in sorted(registry):
+    jvm_gc_every = 25  # see tools/heap_diag.py + COVERAGE.md "Driver-heap growth"
+    for i, name in enumerate(sorted(registry), 1):
+        if i % jvm_gc_every == 0:
+            try:
+                # untimed; lets ContextCleaner reclaim broadcast +
+                # localCheckpoint blocks (weak-ref cleanup needs a driver
+                # GC). heap_diag measured the live set flat at ~180 MB
+                # under this cadence across all 170 queries at a 1 GiB
+                # heap; without it the r11 run GC-thrashed to death.
+                spark.sparkContext._jvm.java.lang.System.gc()
+            except Exception:  # noqa: BLE001 — diagnostics must never kill a run
+                pass
         samples: list[float] = []
         try:
             for _ in range(reps):

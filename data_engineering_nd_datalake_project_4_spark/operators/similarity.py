@@ -941,27 +941,26 @@ def _pq_subspace(v: Column, s: int, sub_dim: int) -> Column:
 
 
 def _collect_train_sample(df: DataFrame, id_col: str, vec_col: str, n: int):
-    """The ``n`` lowest-id vectors as a float64 matrix (None if empty).
-    One TakeOrderedAndProject job — a scalable per-partition top-k heap,
-    deterministic whatever the partitioning or physical row order.
-    The model dimension is the LOWEST-ID valid vector's (the kmeans
-    rule); off-dim rows are dropped from the sample (raggeddim soak —
-    a ragged sample would crash ``np.array``)."""
+    """The ``n`` lowest-id REFERENCE-DIM vectors as a float64 matrix (None
+    if empty). One limit(1) job resolves the model dimension (the
+    lowest-id valid vector — the kmeans rule), then the dim filter is
+    applied BEFORE the orderBy/limit so a raggeddim-heavy low-id prefix
+    back-fills with later same-dim rows instead of silently shrinking the
+    bounded sample below the requested ``n`` (ADVICE r11: the PQ/IVFPQ
+    and kmeans training paths now implement the same dim contract the
+    same way). Each pass is a TakeOrderedAndProject — a per-partition
+    top-k heap, deterministic under any partitioning."""
     import numpy as np
 
-    rows = (
-        df.filter(valid_vector(F.col(vec_col)))
-        .select(F.col(id_col).alias("id"), as_double_array(F.col(vec_col)).alias("v"))
-        .orderBy("id")
-        .limit(n)
-        .collect()
+    rows = df.filter(valid_vector(F.col(vec_col))).select(
+        F.col(id_col).alias("id"), as_double_array(F.col(vec_col)).alias("v")
     )
-    if not rows:
+    first = rows.orderBy("id").limit(1).collect()
+    if not first:
         return None
-    dim = len(rows[0]["v"])
-    return np.array(
-        [r["v"] for r in rows if len(r["v"]) == dim], dtype=np.float64
-    )
+    dim = len(first[0]["v"])
+    sample = rows.filter(F.size("v") == dim).orderBy("id").limit(n).collect()
+    return np.array([r["v"] for r in sample], dtype=np.float64)
 
 
 def _assign_numpy(X, C, block: int = 4096):
@@ -1060,12 +1059,16 @@ def pq_encode(
     d-mismatch) are uncodable — the row is dropped, like
     :func:`assign_ivf_buckets`.
     """
-    df = df.filter(valid_vector(F.col(vec_col)))
     if not codebooks:
         # empty model (trained on zero vectors): typed empty-code column so
-        # downstream schemas hold — meaningful only when df is empty too
+        # downstream schemas hold. The pass-through keeps ALL input rows —
+        # the codability filters below are a property of a trained model
+        # (an empty model has no dimension to be uncodable against), so
+        # they must not run in this branch (ADVICE r11: filtering first
+        # silently dropped rows from a non-empty df under an empty model).
         return df.withColumn(out_col, F.expr("CAST(array() AS ARRAY<INT>)"))
     m, sub = len(codebooks), len(codebooks[0][0])
+    df = df.filter(valid_vector(F.col(vec_col)))
     df = df.filter(F.size(F.col(vec_col)) == m * sub)
     v = as_double_array(F.col(vec_col))
     codes = []
@@ -1276,15 +1279,15 @@ def ivfpq_encode(
     pq_codes array<int>`` appended to the input. Degenerate vectors
     (``valid_vector``) and off-model-dim vectors (raggeddim) are
     uncodable — rows dropped."""
-    df = df.filter(valid_vector(F.col(vec_col)))
-    if coarse:
-        df = df.filter(F.size(F.col(vec_col)) == len(coarse[0]))
     if not coarse:
         # empty model: typed pass-through columns so downstream schemas
-        # hold — meaningful only when df is empty too (empty soak)
+        # hold — ALL input rows kept (codability is a property of a trained
+        # model; see pq_encode's empty branch, ADVICE r11)
         return df.withColumn("ivf_cell", F.lit(None).cast("int")).withColumn(
             "pq_codes", F.expr("CAST(array() AS ARRAY<INT>)")
         )
+    df = df.filter(valid_vector(F.col(vec_col)))
+    df = df.filter(F.size(F.col(vec_col)) == len(coarse[0]))
     v = as_double_array(F.col(vec_col))
     cell = _coarse_assign(v, coarse)
     clit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in coarse])

@@ -1304,25 +1304,31 @@ def q43_rp_buckets(spark, sf_dir):
     return bucketed.groupBy("rp_bucket").agg(F.count(F.lit(1)).alias("n_vecs")).orderBy("rp_bucket")
 
 
-#: Deliberate graded-window curation (round 11, VERDICT r10 task 6): the
-#: driver grades the FIRST 50 entries of ``queries()`` in iteration order,
-#: and this list IS that order. The incremental-dedup flagship pair
-#: (q169 lexical MinHash store / q170 sign-LSH semantic store) rotates
-#: INTO the window; q49_array_funcs / q50_stats_agg rotate OUT — their
-#: array/math surface is already graded via q27 (higher-order lambdas)
-#: and q48 (math functions), and they stay fully gated by the local
-#: strict sim, the pytest oracle suite, and the 19-variant soak sweep.
-#: tests/test_registry_window.py pins this list verbatim.
+#: Deliberate graded-window curation: the driver grades the FIRST 50
+#: entries of ``queries()`` in iteration order, and this list IS that
+#: order. Round 11 (VERDICT r10 task 6): the incremental-dedup flagship
+#: pair (q169 lexical MinHash store / q170 sign-LSH semantic store)
+#: rotated IN; q49_array_funcs / q50_stats_agg OUT (array/math surface
+#: already graded via q27/q48). Round 12 (VERDICT r11 task 6):
+#: q142_semantic_dedup (the r10 headline scale fix — sized sign-LSH +
+#: bucket rescore) and q167_grouped_heavy_hitters (answer-from-state CMS
+#: sketches) rotate IN; q21/q22 OUT — their string/regex surface is
+#: already graded via q38 (regex + conditionals + quality score) and
+#: q37 (string n-gram lang-id), and every rotated-out query stays fully
+#: gated by the local strict sim, the pytest oracle suite, and the
+#: 20-variant soak sweep. tests/test_registry_window.py pins this list
+#: verbatim.
 GRADED_ORDER = [
     "q01", "q02", "q03", "q04", "q05", "q06", "q07", "q08", "q09", "q10",
     "q11", "q12", "q13", "q14", "q15", "q16", "q17", "q18", "q19", "q20",
-    "q21", "q22", "q23", "q24", "q25", "q26", "q27", "q28", "q29", "q30",
+    "q23", "q24", "q25", "q26", "q27", "q28", "q29", "q30",
     "q31", "q32",
     "q33_exact_dedup", "q34_unigram_jaccard", "q35_minhash_lsh",
     "q36_simhash", "q37_lang_id", "q38_quality", "q39_token_counts",
     "q40_fingerprints", "q41_embedding_near_dup", "q42_ivf_topk",
     "q43_rp_buckets", "q44_pandas_udf", "q45_approx_distinct",
     "q46_having", "q47_date_math", "q48_math_funcs",
+    "q142_semantic_dedup", "q167_grouped_heavy_hitters",
     "q169_incremental_lsh_dedup", "q170_incremental_semantic_dedup",
 ]
 

@@ -115,6 +115,37 @@ def test_ivfpq_empty_roundtrip(spark):
     assert out.columns == ["query_id", "neighbor_id", "adc_dist"]
 
 
+def test_empty_model_pass_through_keeps_all_rows(spark):
+    """A NON-empty frame encoded with an EMPTY model must pass every row
+    through with typed empty codes — including degenerate vectors: the
+    valid_vector/dim filters are properties of a trained model, so they
+    must not run in the empty-model branch (ADVICE r11)."""
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2]), (2, None), (3, []), (4, [0.5, None])],
+        "vec_id long, embedding array<float>",
+    )
+    enc = similarity.pq_encode(df, [])
+    assert enc.count() == 4 and "pq_codes" in enc.columns
+    assert all(r["pq_codes"] == [] for r in enc.collect())
+    enc2 = similarity.ivfpq_encode(df, [], [])
+    assert enc2.count() == 4
+    assert all(r["ivf_cell"] is None and r["pq_codes"] == [] for r in enc2.collect())
+
+
+def test_train_sample_backfills_past_offdim_prefix(spark):
+    """_collect_train_sample resolves the model dim from the lowest-id
+    valid vector, then back-fills the bounded sample with later same-dim
+    rows (the kmeans rule) instead of letting a ragged low-id prefix
+    shrink it (ADVICE r11)."""
+    rows = [(0, [1.0, 2.0]), (1, [9.0, 9.0, 9.0]), (2, [3.0, 4.0]),
+            (3, None), (4, [5.0, 6.0]), (5, [7.0, 8.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    X = similarity._collect_train_sample(df, "vec_id", "embedding", n=3)
+    # dim=2 (vec 0); the 3-dim vec 1 and NULL vec 3 don't consume slots
+    assert X.shape == (3, 2)
+    assert X.tolist() == [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]]
+
+
 def test_incremental_dedup_against_empty_store(spark, tmp_path):
     docs = spark.createDataFrame([], "doc_id long, text string")
     store = str(tmp_path / "store")

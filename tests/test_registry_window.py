@@ -19,30 +19,37 @@ REPO = Path(__file__).resolve().parent.parent
 
 #: the exact graded window, in driver grading order. Update ONLY if the
 #: driver's window curation changes, never as a side effect of a
-#: queries.py refactor. ROUND-11 CURATION (deliberate, VERDICT r10 task
-#: 6): q169/q170 (the incremental-dedup flagship) rotate IN;
-#: q49_array_funcs/q50_stats_agg rotate OUT (array/math surface already
-#: graded via q27/q48; both remain strict-sim + soak + pytest gated).
+#: queries.py refactor. ROUND-12 CURATION (deliberate, VERDICT r11 task
+#: 6): q142_semantic_dedup / q167_grouped_heavy_hitters rotate IN;
+#: q21/q22 rotate OUT (string/regex surface already graded via q38/q37;
+#: both remain strict-sim + soak + pytest gated).
 GRADED_WINDOW = [
     "q01", "q02", "q03", "q04", "q05", "q06", "q07", "q08", "q09", "q10",
     "q11", "q12", "q13", "q14", "q15", "q16", "q17", "q18", "q19", "q20",
-    "q21", "q22", "q23", "q24", "q25", "q26", "q27", "q28", "q29", "q30",
+    "q23", "q24", "q25", "q26", "q27", "q28", "q29", "q30",
     "q31", "q32",
     "q33_exact_dedup", "q34_unigram_jaccard", "q35_minhash_lsh",
     "q36_simhash", "q37_lang_id", "q38_quality", "q39_token_counts",
     "q40_fingerprints", "q41_embedding_near_dup", "q42_ivf_topk",
     "q43_rp_buckets", "q44_pandas_udf", "q45_approx_distinct",
     "q46_having", "q47_date_math", "q48_math_funcs",
+    "q142_semantic_dedup", "q167_grouped_heavy_hitters",
     "q169_incremental_lsh_dedup", "q170_incremental_semantic_dedup",
 ]
 
-#: the round-11 window rotation: the only names on which the LATEST
-#: driver CORRECTNESS file (previous round's window) may differ from
-#: GRADED_WINDOW. Shrinks to irrelevance once CORRECTNESS_r11 lands.
-WINDOW_ROTATION = {
-    "q49_array_funcs", "q50_stats_agg",          # rotated out
-    "q169_incremental_lsh_dedup", "q170_incremental_semantic_dedup",  # in
-}
+#: the PREVIOUS round's window, verbatim — the ONLY other name-set the
+#: latest driver CORRECTNESS file may carry (exactly one round of driver
+#: lag). This replaces the old symmetric-diff WINDOW_ROTATION tolerance,
+#: which never closed: it would have silently accepted a future
+#: accidental re-swap of exactly the rotated names forever (ADVICE r11).
+#: When a CORRECTNESS file matching GRADED_WINDOW lands, set this to
+#: GRADED_WINDOW (the lag window is then closed) — or to the old window
+#: again at the next deliberate rotation.
+PREVIOUS_WINDOW = [
+    n for n in GRADED_WINDOW
+    if n not in ("q142_semantic_dedup", "q167_grouped_heavy_hitters")
+]
+PREVIOUS_WINDOW[20:20] = ["q21", "q22"]
 
 #: graded entries deliberately without an oracle — the driver records
 #: rows-only for these. Round 6 emptied the set: q35/q36/q40 moved to the
@@ -97,9 +104,12 @@ def test_last_driver_correctness_names_still_resolve():
     qs = mod.queries()
     missing = [n for n in graded if n not in qs]
     assert not missing, f"driver-graded names missing from registry: {missing}"
-    # the latest driver file may predate the round-11 window rotation —
-    # any divergence must be exactly (a subset of) that documented swap
-    diff = set(graded) ^ set(GRADED_WINDOW)
-    assert diff <= WINDOW_ROTATION, (
-        f"graded-window divergence beyond the documented rotation: {diff}"
+    # the latest driver file is either the CURRENT window or EXACTLY the
+    # previous one (one round of driver lag) — nothing in between: a
+    # partial or accidental re-swap of rotated names is red (ADVICE r11:
+    # the old subset-of-diff tolerance never closed).
+    got = set(graded)
+    assert got == set(GRADED_WINDOW) or got == set(PREVIOUS_WINDOW), (
+        "driver-graded names match neither the current window nor the "
+        f"exact previous one; unexpected: {got ^ set(GRADED_WINDOW)}"
     )

@@ -82,16 +82,19 @@ def generate(src: str, out: str, k: int = 10, tables: list[str] | None = None) -
         if want(name) and os.path.exists(f"{src}/{name}.parquet"):
             write(name, f"SELECT * FROM {t(name)}")
 
+    # `or 0`: MAX over an EMPTY source table is NULL — interpolating
+    # `+ {k}*None` into SQL is an opaque binder error; with 0 the replicas
+    # are empty-over-empty, a clean no-op copy (round-7 empty discipline).
     if want("customer") or want("orders"):
-        kc = con.execute(f"SELECT MAX(c_custkey) + 1 FROM {t('customer')}").fetchone()[0]
+        kc = con.execute(f"SELECT MAX(c_custkey) + 1 FROM {t('customer')}").fetchone()[0] or 0
     if want("orders") or want("lineitem"):
-        ko = con.execute(f"SELECT MAX(o_orderkey) + 1 FROM {t('orders')}").fetchone()[0]
+        ko = con.execute(f"SELECT MAX(o_orderkey) + 1 FROM {t('orders')}").fetchone()[0] or 0
     if want("supplier") or want("lineitem"):
-        ks = con.execute(f"SELECT MAX(s_suppkey) + 1 FROM {t('supplier')}").fetchone()[0]
+        ks = con.execute(f"SELECT MAX(s_suppkey) + 1 FROM {t('supplier')}").fetchone()[0] or 0
     if want("documents"):
-        kd = con.execute(f"SELECT MAX(doc_id) + 1 FROM {t('documents')}").fetchone()[0]
+        kd = con.execute(f"SELECT MAX(doc_id) + 1 FROM {t('documents')}").fetchone()[0] or 0
     if want("embeddings"):
-        kv = con.execute(f"SELECT MAX(vec_id) + 1 FROM {t('embeddings')}").fetchone()[0]
+        kv = con.execute(f"SELECT MAX(vec_id) + 1 FROM {t('embeddings')}").fetchone()[0] or 0
 
     if want("customer"):
         write("customer", _union_k(con, k,
@@ -122,8 +125,11 @@ def generate(src: str, out: str, k: int = 10, tables: list[str] | None = None) -
         # event_id/user_id so ids stay unique and per-user sessions stay
         # intact per replica. ts arithmetic stays out of the replication
         # (both parquet timestamp physical types round-trip verbatim).
-        ke = con.execute(f"SELECT MAX(event_id) + 1 FROM {t('events')}").fetchone()[0]
-        ku = con.execute(f"SELECT MAX(user_id) + 1 FROM {t('events')}").fetchone()[0]
+        # empty-source guard (round-7 empty-input discipline / ADVICE r11):
+        # MAX() over zero rows is NULL, which would interpolate `+ {k}*None`
+        # into the SQL — an opaque binder error instead of a clean copy.
+        ke = con.execute(f"SELECT MAX(event_id) + 1 FROM {t('events')}").fetchone()[0] or 0
+        ku = con.execute(f"SELECT MAX(user_id) + 1 FROM {t('events')}").fetchone()[0] or 0
         write("events", _union_k(con, k,
             f"SELECT event_id + {{k}}*{ke} AS event_id, ts, "
             f"user_id + {{k}}*{ku} AS user_id, event_type, value, props "
