@@ -55,6 +55,40 @@ def _fingerprint(text_col: str, mode: str) -> Column:
     raise ValueError(f"unknown fingerprint mode: {mode!r}")
 
 
+def _read_store_cold_start(spark: SparkSession, store_path: str, schema: str):
+    """Read a persisted dedup-state store with the declared ``schema``;
+    a MISSING store returns None ("first batch", the cold-start
+    contract). Two hard lines inside that leniency:
+
+    - any AnalysisException other than path-not-found propagates (a
+      corrupt footer / permission error must never read as "no state",
+      or every batch doc silently passes dedup);
+    - a missing live path WITH a ``__old`` aside present is a compaction
+      swap that crashed between its renames (``_swap_compacted`` window
+      2) — treating it as a cold start would silently rebuild dedup
+      state from scratch and pass every duplicate. Refuse loudly with
+      the one-rename recovery step. Pinned by
+      tests/test_incremental_lsh.py::test_compact_band_store_crash_windows.
+    """
+    try:
+        return spark.read.schema(schema).parquet(store_path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
+        jvm = spark._jvm
+        old = jvm.org.apache.hadoop.fs.Path(store_path.rstrip("/") + "__old")
+        fs = old.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(old):
+            raise IOError(
+                f"store missing at {store_path} but {store_path}__old exists: "
+                "a compaction swap crashed between its renames (or is in "
+                "flight). Recover by renaming the __old aside back to the "
+                "live path; refusing to treat an interrupted swap as a "
+                "cold start."
+            ) from e
+        return None
+
+
 def _bucket(fp: Column, num_buckets: int) -> Column:
     # pmod keeps negative xxhash64 values in [0, num_buckets)
     return F.pmod(fp, F.lit(num_buckets)).cast("int")
@@ -147,22 +181,15 @@ def incremental_dedup(
         .distinct()
         .collect()
     ]
-    try:
-        # explicit schema (the probe needs only fp + the partition column):
-        # a store built from an EMPTY corpus is a valid directory with zero
-        # data files (partitionBy writes no part files for no rows), where
-        # schema inference would fail UNABLE_TO_INFER_SCHEMA — with the
-        # declared schema it reads as the correct empty frame (empty soak).
-        # fp is always xxhash64 -> LONG; fp_bucket is _bucket -> INT.
-        store = spark.read.schema("fp LONG, fp_bucket INT").parquet(store_path)
-    except AnalysisException as e:
-        # ONLY a missing store means "first batch" — a corrupt footer,
-        # permission error or transient storage failure must propagate,
-        # or every batch doc would silently pass dedup (and, with
-        # update_store=True, be permanently recorded as first-seen)
-        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
-            raise
-        store = None
+    # explicit schema (the probe needs only fp + the partition column):
+    # a store built from an EMPTY corpus is a valid directory with zero
+    # data files (partitionBy writes no part files for no rows), where
+    # schema inference would fail UNABLE_TO_INFER_SCHEMA — with the
+    # declared schema it reads as the correct empty frame (empty soak).
+    # fp is always xxhash64 -> LONG; fp_bucket is _bucket -> INT.
+    # Missing store = first batch; mid-swap / corrupt stores fail loudly
+    # (_read_store_cold_start).
+    store = _read_store_cold_start(spark, store_path, "fp LONG, fp_bucket INT")
     if store is not None:
         seen = store.filter(F.col("fp_bucket").isin(touched)).select("fp")
         survivors = firsts.join(
@@ -363,18 +390,13 @@ def _banded_store_dropped(
         .distinct()
         .collect()
     ]
-    try:
-        # declared schema: a store built from an empty corpus is a valid
-        # directory with zero data files (empty soak — round-7 rule)
-        store = spark.read.schema(
-            _BAND_STORE_SCHEMA + ", bkt_part INT"
-        ).parquet(store_path)
-    except AnalysisException as e:
-        # ONLY a missing store means "first batch" — anything else must
-        # propagate or every batch doc silently passes dedup
-        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
-            raise
-        store = None
+    # declared schema: a store built from an empty corpus is a valid
+    # directory with zero data files (empty soak — round-7 rule). Missing
+    # store = first batch; mid-swap / corrupt stores fail loudly
+    # (_read_store_cold_start).
+    store = _read_store_cold_start(
+        spark, store_path, _BAND_STORE_SCHEMA + ", bkt_part INT"
+    )
 
     from pyspark.sql import Window
 

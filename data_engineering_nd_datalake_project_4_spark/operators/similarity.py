@@ -455,6 +455,31 @@ def blocked_all_pairs_cosine(
     )
 
 
+def sized_gemm_block(n_vectors: int, min_blocks: int = 12, floor: int = 256, cap: int = 2048) -> int:
+    """Block-size sizing discipline for :func:`blocked_all_pairs_cosine`
+    (the GEMM twin of :func:`sized_band_bits`): the exchange moves each
+    vector once per partner block — total ``N²·rowbytes / (2B)`` — so
+    shuffle volume is DECREASING in the block size, while per-kernel
+    memory is ``8·B²`` bytes of float64 sim matrix (32 MB at the 2048
+    cap) plus two ``B×d`` blocks, and task parallelism needs at least
+    ``min_blocks`` blocks. Returns the largest power of two satisfying
+    all three: ``min(cap, max(floor, 2^floor(log2(N/min_blocks))))``.
+
+    At a fixed B the block-pair count grows as ``(N/B)²`` — the lane's
+    block-pair growth law (``tools/bench_scale.py --gemm``). Sizing B up
+    with N divides the constant but CANNOT change the law: all-pairs
+    cosine is O(N²·d) by specification. At corpus scale the exact
+    operator is for bounded subsets and in-bucket rescoring; corpus-wide
+    near-dup routes to :func:`semantic_dedup` + :func:`sized_band_bits`.
+    """
+    import math
+
+    if n_vectors <= min_blocks:
+        return floor
+    b = 2 ** int(math.floor(math.log2(max(n_vectors / min_blocks, 1.0))))
+    return max(floor, min(cap, b))
+
+
 def _sq_dist_to_literal(vec: Column, centroid: list[float]) -> Column:
     """Squared L2 distance from an array<double> column to a constant
     centroid, as a pure Catalyst expression (zip_with + aggregate)."""

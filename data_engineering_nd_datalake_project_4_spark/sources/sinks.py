@@ -210,12 +210,28 @@ def _swap_compacted(spark, path: str, write_tmp) -> None:
     """The compact-in-place swap shared by :func:`compact_parquet_dir` and
     :func:`compact_partitioned_parquet_dir`: ``write_tmp(tmp_path)`` writes
     the compacted copy (while the live path is still readable), then the
-    swap goes old→aside, new→live, delete-aside — a crash can leave the
-    table under the ``__old`` name (recoverable by a rename), never
-    half-deleted. Finishes with ``refreshByPath``: the session
-    FileStatusCache pins file listings (round-5 rule), so without the
-    refresh this same session would keep reading the pre-compaction file
-    set it already listed."""
+    swap goes old→aside, new→live, delete-aside.
+
+    Crash contract, per window (pinned by
+    ``tests/test_incremental_lsh.py::test_compact_band_store_crash_windows``):
+
+    1. die during/after ``write_tmp`` → live store untouched; the orphaned
+       ``__compacting`` is overwritten by the next compaction.
+    2. die between the renames → the ONLY window where the live path is
+       missing; the full store sits intact under ``__old`` — recoverable
+       by exactly one rename (+ ``refreshByPath`` in a live session). A
+       concurrent reader in this window fails LOUDLY (path not found),
+       never reads a half-state.
+    3. die before the aside delete → live is already the compacted copy
+       (written in full before any rename); the stale ``__old`` is cleared
+       by the next compaction.
+
+    Never half-deleted, and replay decisions are identical in every
+    readable state. Single-WRITER assumption: don't append a batch while
+    a swap runs (same assumption the appends already make). Finishes with
+    ``refreshByPath``: the session FileStatusCache pins file listings
+    (round-5 rule), so without the refresh this same session would keep
+    reading the pre-compaction file set it already listed."""
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     jpath = jvm.org.apache.hadoop.fs.Path(path.rstrip("/"))

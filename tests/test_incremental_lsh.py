@@ -467,6 +467,77 @@ def test_compact_empty_band_store(spark, corpus_and_batch, tmp_path):
     assert 105 not in got and 104 in got and 100 in got
 
 
+def test_compact_band_store_crash_windows(spark, corpus_and_batch, tmp_path):
+    """Pin ``_swap_compacted``'s crash contract (VERDICT r11 task 7). The
+    swap is: write ``__compacting`` → rename live→``__old`` →
+    rename ``__compacting``→live → delete ``__old``. A crash in ANY
+    window leaves either the original or the fully-written compacted copy
+    on disk — never a half-deleted store, and never one whose REPLAY
+    DECISIONS differ — and the single non-readable window (live moved
+    aside, window 2) is recoverable by exactly one rename +
+    ``refreshByPath``. Single-writer assumption unchanged: a batch
+    appending DURING the swap is out of contract (documented at
+    compact_band_store)."""
+    import os
+    import shutil
+
+    corpus, batch = corpus_and_batch
+    store = str(tmp_path / "store")
+    incremental.build_band_store(corpus, "text", "doc_id", store, **_KW)
+    incremental.incremental_lsh_dedup(
+        spark, batch, "text", "doc_id", store, update_store=True, **_KW
+    ).collect()
+    baseline_rows = _store_rows(spark, store)
+
+    def replay_ids():
+        return _ids(
+            incremental.incremental_lsh_dedup(
+                spark, batch, "text", "doc_id", store, **_KW
+            )
+        )
+
+    expected = replay_ids()  # decisions against the post-append store
+    tmp, old = store + "__compacting", store + "__old"
+
+    # window 1: crash AFTER the compacted copy is written, BEFORE any
+    # rename — live store untouched, replays identically; the next
+    # compaction overwrites the orphaned __compacting and completes.
+    shutil.copytree(store, tmp)
+    assert replay_ids() == expected
+    incremental.compact_band_store(spark, store)
+    assert not os.path.exists(tmp) and not os.path.exists(old)
+    assert _store_rows(spark, store) == baseline_rows
+    assert replay_ids() == expected
+
+    # window 2: crash BETWEEN the two renames — the one state where the
+    # live path is missing. The store is intact under __old ("never
+    # half-deleted"); recovery = one rename + refreshByPath. Crucially a
+    # batch replay in this window must fail LOUDLY: the operator's
+    # cold-start contract (missing store = first batch) would otherwise
+    # silently rebuild dedup state from scratch and pass every duplicate
+    # — _read_store_cold_start detects the __old aside and refuses.
+    shutil.copytree(store, tmp)  # the compacted copy the crash abandoned
+    os.rename(store, old)
+    spark.catalog.refreshByPath(store)
+    with pytest.raises(IOError, match="__old"):
+        replay_ids()
+    os.rename(old, store)
+    shutil.rmtree(tmp)
+    spark.catalog.refreshByPath(store)
+    assert _store_rows(spark, store) == baseline_rows
+    assert replay_ids() == expected
+
+    # window 3: crash AFTER the compacted copy swapped in, BEFORE the
+    # stale __old delete — live already answers identically; the next
+    # compaction clears the leftover aside.
+    shutil.copytree(store, old)
+    assert replay_ids() == expected
+    incremental.compact_band_store(spark, store)
+    assert not os.path.exists(old)
+    assert _store_rows(spark, store) == baseline_rows
+    assert replay_ids() == expected
+
+
 def test_compact_fingerprint_store(spark, corpus_and_batch, tmp_path):
     """compact_fingerprint_store: the exact-dedup (fp_bucket) twin — rows
     unchanged, replay still yields zero new survivors for non-NULL text."""

@@ -255,6 +255,28 @@ def test_blocked_cosine_equals_catalyst_kernel(spark, sf_dir):
     blk = {(r["id_a"], r["id_b"]) for r in
            blocked_all_pairs_cosine(emb, "vec_id", "embedding", threshold=0.2, block_size=64).collect()}
     assert cat == blk and len(cat) > 0
+    # block size is a pure physical knob: the sizing discipline must not
+    # change the pair set (the --gemm lane runs sized blocks)
+    blk2 = {(r["id_a"], r["id_b"]) for r in
+            blocked_all_pairs_cosine(emb, "vec_id", "embedding", threshold=0.2, block_size=128).collect()}
+    assert blk2 == cat
+
+
+def test_sized_gemm_block_bounds():
+    """sized_gemm_block: power of two, clamped to [256, 2048], monotone
+    in N — the exchange constant shrinks as the corpus grows while the
+    8·B² kernel matrix stays ≤32 MB (tools/bench_scale.py --gemm)."""
+    from data_engineering_nd_datalake_project_4_spark.operators.similarity import sized_gemm_block
+
+    assert sized_gemm_block(0) == 256
+    assert sized_gemm_block(5_000) == 256
+    assert sized_gemm_block(50_000) == 2048
+    assert sized_gemm_block(500_000) == 2048
+    prev = 0
+    for n in (10, 100, 1_000, 10_000, 100_000, 1_000_000):
+        b = sized_gemm_block(n)
+        assert 256 <= b <= 2048 and b & (b - 1) == 0 and b >= prev
+        prev = b
 
 
 def test_approx_percentile_accuracy(spark, sf_dir):

@@ -241,7 +241,121 @@ def run_decade2(spark, reps: int, only: list[str] | None = None) -> None:
                       "unit": "slope2_over_slope1"}, separators=(",", ":")))
 
 
+def _gemm_full(spark, sf_dir: str, block_size: int | None):
+    """Full-corpus blocked all-pairs cosine (q41/q57's operator with the
+    registry's vec_id<500 bound removed). ``block_size=None`` applies the
+    sizing discipline (similarity.sized_gemm_block)."""
+    from data_engineering_nd_datalake_project_4_spark.operators import similarity
+
+    e = load_table(spark, sf_dir, "embeddings")
+    if block_size is None:
+        block_size = similarity.sized_gemm_block(e.count())
+    return similarity.blocked_all_pairs_cosine(
+        e, "vec_id", "embedding", threshold=0.8, block_size=block_size
+    )
+
+
+def run_gemm_lane(spark, reps: int) -> None:
+    """Scale lane for the whitelisted GEMM family (VERDICT r11 task 5):
+    q41/q57's blocked all-pairs cosine is the repo's ONLY by-design
+    vector-carrying exchange, and the only heavy vector operator with no
+    lane entry. All-pairs is O(N²·d) BY SPECIFICATION — a 10× corpus is
+    ~100× vector pairs — so the honest lane metric is not the raw slope
+    but the BLOCK-PAIR GROWTH LAW: wall per vector-pair must stay flat
+    (≲1.3×) across the decade; wall itself must track pairs. Two entries:
+
+    - ``q41_gemm_full_sized``: block sized by similarity.sized_gemm_block
+      (the scale path — B grows with N, dividing the exchange volume
+      N²·rowbytes/2B while the 8·B² kernel matrix stays ≤32 MB).
+    - ``q57_gemm_full_b256``: the registry's fixed 256 block, pinning the
+      law at constant B where block pairs grow exactly (N/B)².
+
+    sf0.1 → sf1.0 measured; the sf10 point is an ANALYSIS entry: at
+    N≈500k, vec pairs ≈ 1.25e11 → predicted wall = measured sf1.0
+    pair-rate × 100, out of the single-node operating envelope — at that
+    scale exact all-pairs is for bounded subsets / in-bucket rescoring,
+    and corpus-wide near-dup routes to q142's sized-banding ANN. Results
+    merge into bench/results_sf10.json under ``gemm_allpairs`` (the
+    decade-2 record; _write_decade2 preserves the key)."""
+    from data_engineering_nd_datalake_project_4_spark.operators import similarity
+
+    out: dict[str, dict] = {}
+    n_by_sf: dict[str, int] = {}
+    for name, blk in (("q41_gemm_full_sized", None), ("q57_gemm_full_b256", 256)):
+        entry: dict = {}
+        for label, sf_dir in (("sf0.1", SF01), ("sf1.0", SF10)):
+            n = load_table(spark, sf_dir, "embeddings").count()
+            n_by_sf[label] = n
+            m = _measure(spark, lambda s, d: _gemm_full(s, d, blk), sf_dir, reps)
+            m["n_vectors"] = n
+            m["block_size"] = blk or similarity.sized_gemm_block(n)
+            t = -(-n // m["block_size"])  # ceil
+            m["block_pairs"] = t * (t + 1) // 2
+            m["vec_gpairs"] = round(n * (n - 1) / 2 / 1e9, 4)
+            m["sec_per_gpair"] = round(m["median_sec"] / max(m["vec_gpairs"], 1e-12), 3)
+            entry[label] = m
+        entry["slope_10x_data"] = round(
+            entry["sf1.0"]["median_sec"] / max(entry["sf0.1"]["median_sec"], 1e-9), 2
+        )
+        entry["pair_growth"] = round(
+            entry["sf1.0"]["vec_gpairs"] / max(entry["sf0.1"]["vec_gpairs"], 1e-12), 1
+        )
+        # the law check: wall per vector-pair flat across the decade.
+        # < 1 = fixed-cost amortization; > 1.3 would flag the exchange or
+        # kernel degrading superlinearly ON TOP of the quadratic pair law.
+        entry["law_ratio"] = round(
+            entry["sf1.0"]["sec_per_gpair"] / max(entry["sf0.1"]["sec_per_gpair"], 1e-12), 2
+        )
+        out[name] = entry
+        print(
+            f"[gemm] {name:22s} sf0.1={entry['sf0.1']['median_sec']:7.2f}s "
+            f"sf1.0={entry['sf1.0']['median_sec']:7.2f}s slope={entry['slope_10x_data']:6.1f}x "
+            f"pairs x{entry['pair_growth']:.0f} law_ratio={entry['law_ratio']:.2f}",
+            file=sys.stderr, flush=True,
+        )
+
+    n10 = n_by_sf["sf1.0"] * 10  # gen_scale composes sf10 = 10 x sf1.0
+    rate = out["q41_gemm_full_sized"]["sf1.0"]["sec_per_gpair"]
+    gp10 = round(n10 * (n10 - 1) / 2 / 1e9, 2)
+    analysis = {
+        "n_vectors": n10,
+        "vec_gpairs": gp10,
+        "predicted_wall_sec": round(rate * gp10, 1),
+        "analysis": (
+            "NOT measured — all-pairs cosine is O(N²·d) by specification: "
+            f"at N≈{n10:,} the pair count is ~{gp10} Gpairs, predicted wall "
+            f"~{round(rate * gp10 / 3600, 1)}h at the measured sf1.0 pair-rate "
+            f"({rate}s/Gpair) — outside the single-node envelope whatever the "
+            "block size (sizing B divides the exchange constant, never the "
+            "law). Operating guidance at this scale: exact GEMM only on "
+            "bounded subsets (the registry's vec_id<500 contract) or inside "
+            "LSH buckets (semantic_dedup's bucket rescore reuses this "
+            "kernel); corpus-wide near-dup = q142 sized-banding ANN, whose "
+            "decade-2 entry is measured."
+        ),
+    }
+
+    path = "bench/results_sf10.json"
+    res = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            res = json.load(f)
+    res["gemm_allpairs"] = {"reps": reps, "operators": out, "sf10_analysis": analysis}
+    os.makedirs("bench", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(res, f, indent=1)
+    print(json.dumps({
+        "metric": "gemm_lane_max_law_ratio",
+        "value": max(e["law_ratio"] for e in out.values()),
+        "unit": "pair_rate_sf1.0_over_sf0.1",
+    }, separators=(",", ":")))
+
+
 def _write_decade2(out: dict, reps: int) -> dict:
+    prior: dict = {}
+    if os.path.exists("bench/results_sf10.json"):
+        with open("bench/results_sf10.json") as f:
+            prior = json.load(f)
     result = {
         "description": "second-decade lane: heavy text/vector family at "
         "generated sf1.0 vs generated sf10 (documents/embeddings only; "
@@ -254,6 +368,10 @@ def _write_decade2(out: dict, reps: int) -> dict:
         "operators": out,
         "max_decade_ratio": max(e["decade_ratio"] for e in out.values()),
     }
+    # preserve sections other lanes merged in (e.g. run_gemm_lane's
+    # 'gemm_allpairs') — this writer owns only the keys above
+    for k, v in prior.items():
+        result.setdefault(k, v)
     os.makedirs("bench", exist_ok=True)
     with open("bench/results_sf10.json", "w") as f:
         json.dump(result, f, indent=1)
@@ -686,6 +804,13 @@ def main() -> None:
         "(q169's flat-in-corpus claim); merged into bench/results_sf1.json",
     )
     ap.add_argument(
+        "--gemm", action="store_true",
+        help="scale lane for the whitelisted blocked-GEMM family (q41/q57 "
+        "full-corpus, sized + fixed block) with the block-pair growth-law "
+        "normalization; merged into bench/results_sf10.json under "
+        "'gemm_allpairs' (needs sf1.0 embeddings)",
+    )
+    ap.add_argument(
         "--incremental-semantic", action="store_true",
         help="fixed-batch incremental SEMANTIC dedup wall vs a 10x-grown "
         "vector corpus (q170's sign-band store; needs gen_scale --tables "
@@ -693,8 +818,8 @@ def main() -> None:
     )
     args = ap.parse_args()
 
-    if args.incremental_semantic:
-        # this lane needs ONLY embeddings at the scale points — don't
+    if args.incremental_semantic or args.gemm:
+        # these lanes need ONLY embeddings at the scale points — don't
         # trigger (or require) the full-table sf1.0 generation
         if not os.path.exists(f"{SF10}/embeddings.parquet"):
             from tools.gen_scale import generate
@@ -760,6 +885,10 @@ def main() -> None:
         return
     if args.incremental_semantic:
         run_incremental_semantic_scale(spark, args.reps)
+        spark.stop()
+        return
+    if args.gemm:
+        run_gemm_lane(spark, args.reps)
         spark.stop()
         return
 
