@@ -96,6 +96,18 @@ def run_queries(
                 pass
         samples: list[float] = []
         try:
+            if reps >= 2:
+                # one UNTIMED warm-up per query at regeneration reps — the
+                # same discipline bench_scale._measure learned in r11: a
+                # query's first execution pays C2 JIT of its codegen (in-
+                # order fresh-session samples: q104 5.4→1.0s, q163
+                # 4.7→2.1s), so without this the 3-rep median regularly
+                # lands on a still-warming rep and manufactures phantom
+                # cross-round 'regressions' (r11 task 3's q153/q155, r12's
+                # q104/q163 — all adjudicated ambient/JIT). The driver's
+                # 1-rep run is deliberately untouched: cold-ish singles,
+                # same protocol every round.
+                _run_plan(registry[name].spark_fn(spark, sf_dir))
             for _ in range(reps):
                 df = registry[name].spark_fn(spark, sf_dir)
                 t0 = time.perf_counter()
