@@ -298,6 +298,7 @@ def incremental_lsh_dedup(
     hash_fn: str = "xxhash64",
     num_buckets: int = 64,
     update_store: bool = False,
+    src_batch: int | None = None,
 ) -> DataFrame:
     """NEAR-duplicate incremental dedup: rows of ``batch`` that are not
     LSH-near-duplicates of the persisted corpus, nor of a lower-``id_col``
@@ -332,6 +333,15 @@ def incremental_lsh_dedup(
     duplicate copies of the row (at-least-once delivery — the duprows
     soak): exact copies share an id and collapse to one row.
 
+    ``src_batch`` (versioned mode): pass a MONOTONE batch id and the
+    operator becomes REPLAY-STABLE — the store append is stamped with the
+    id and the probe sees only strictly-earlier stamps (bootstrap rows
+    always), so re-running the same batch with the same id returns the
+    IDENTICAL survivor set instead of zero survivors. This is the
+    exactly-once-decisions contract the streaming wrapper
+    (:func:`..streaming.run_incremental_lsh_dedup_stream`) builds on;
+    implies ``update_store``.
+
     Data motion per batch at any corpus scale: the batch maps to
     ~24-byte ``(id, band, bucket)`` rows (text stays in the projection);
     the store scan is pruned to the batch's touched ``bkt_part``
@@ -356,8 +366,11 @@ def incremental_lsh_dedup(
         keyed.filter(F.col(text_col).isNotNull()),
         text_col, id_col, num_hashes, bands, shingle_n, hash_fn,
     ).localCheckpoint(eager=True)
+    # src_batch (versioned mode) implies a store append: the stamp IS the
+    # replay-safety mechanism — see _banded_store_dropped
     dropped = _banded_store_dropped(
-        spark, banded, store_path, num_buckets, update_store
+        spark, banded, store_path, num_buckets,
+        update_store or src_batch is not None, src_batch,
     )
     survivors = keyed.join(
         dropped, keyed[id_col] == dropped["__id"], "left_anti"
@@ -373,6 +386,7 @@ def _banded_store_dropped(
     store_path: str,
     num_buckets: int,
     update_store: bool,
+    src_batch: int | None = None,
 ) -> DataFrame:
     """The shared banded-store decision core behind
     :func:`incremental_lsh_dedup` (MinHash bands over text) and
@@ -382,7 +396,21 @@ def _banded_store_dropped(
     under the pairwise-greedy rule — any band bucket present in the
     store, or holding a smaller batch id. With ``update_store`` the
     survivors' buckets are appended first (same layout), so the append
-    and the caller's consumption share one evaluation of the decision."""
+    and the caller's consumption share one evaluation of the decision.
+
+    ``src_batch`` (VERSIONED mode — the exactly-once-decisions contract
+    for at-least-once feeds, used by the streaming wrappers): the store
+    read sees only rows whose ``src_batch`` stamp is NULL (bootstrap
+    rows written by build_*_store / unversioned batch appends — always
+    visible) or STRICTLY BELOW this batch id, and the survivor append is
+    stamped with this id. A replayed batch therefore ignores its own
+    earlier append and reproduces IDENTICAL decisions — versioned
+    replays return the same survivors, where unversioned replay returns
+    zero new survivors (each doc hits its own stored bands). Requires
+    monotone batch ids (Structured Streaming's foreachBatch guarantee;
+    for scheduled jobs, any monotone run counter). Parquet schema
+    evolution makes the two layouts one store: files written without the
+    column read as NULL under the declared versioned schema."""
     # prune the store scan to the partitions this batch can touch
     touched = [
         r[0]
@@ -394,9 +422,16 @@ def _banded_store_dropped(
     # directory with zero data files (empty soak — round-7 rule). Missing
     # store = first batch; mid-swap / corrupt stores fail loudly
     # (_read_store_cold_start).
-    store = _read_store_cold_start(
-        spark, store_path, _BAND_STORE_SCHEMA + ", bkt_part INT"
-    )
+    schema = _BAND_STORE_SCHEMA + (
+        ", src_batch LONG" if src_batch is not None else ""
+    ) + ", bkt_part INT"
+    store = _read_store_cold_start(spark, store_path, schema)
+    if store is not None and src_batch is not None:
+        # versioned visibility: bootstrap rows (NULL stamp) + strictly
+        # earlier batches; a replay's own earlier append is invisible
+        store = store.filter(
+            F.col("src_batch").isNull() | (F.col("src_batch") < F.lit(int(src_batch)))
+        )
 
     from pyspark.sql import Window
 
@@ -425,15 +460,20 @@ def _banded_store_dropped(
         surv_banded = banded.join(
             dropped, banded["__id"] == dropped["__id"], "left_anti"
         )
+        cols = [
+            F.col("__band").cast("int").alias("band"),
+            F.col("__bucket").cast("long").alias("bucket"),
+            F.col("first_id").cast("long").alias("first_id"),
+        ]
+        if src_batch is not None:
+            # replay re-appends the same stamped rows — duplicates with
+            # an identical stamp, invisible to the replaying batch itself
+            # and decision-neutral for later ones (existence + min id)
+            cols.append(F.lit(int(src_batch)).cast("long").alias("src_batch"))
         (
             surv_banded.groupBy("__band", "__bucket")
             .agg(F.min("__id").alias("first_id"))
-            .select(
-                F.col("__band").cast("int").alias("band"),
-                F.col("__bucket").cast("long").alias("bucket"),
-                F.col("first_id").cast("long").alias("first_id"),
-                _band_part(F.col("__bucket"), num_buckets).alias("bkt_part"),
-            )
+            .select(*cols, _band_part(F.col("__bucket"), num_buckets).alias("bkt_part"))
             .repartition("bkt_part")
             .write.mode("append")
             .partitionBy("bkt_part")
@@ -507,6 +547,7 @@ def build_sign_band_store(
 def compact_band_store(
     spark: SparkSession,
     store_path: str,
+    versioned: bool = False,
 ) -> int:
     """Compact an append-only band-bucket store in place (shared by the
     lexical MinHash store of :func:`incremental_lsh_dedup` and the
@@ -525,9 +566,14 @@ def compact_band_store(
     a batch. Returns the post-compaction data-file count."""
     from data_engineering_nd_datalake_project_4_spark.sources.sinks import compact_partitioned_parquet_dir
 
-    return compact_partitioned_parquet_dir(
-        spark, store_path, "bkt_part", schema=_BAND_STORE_SCHEMA + ", bkt_part INT"
-    )
+    # versioned stores (src_batch-stamped appends — the streaming/replay
+    # path) must compact with the stamp in the declared schema or the
+    # rewrite would silently erase it, making every row bootstrap-visible
+    # and breaking replay stability
+    schema = _BAND_STORE_SCHEMA + (
+        ", src_batch LONG" if versioned else ""
+    ) + ", bkt_part INT"
+    return compact_partitioned_parquet_dir(spark, store_path, "bkt_part", schema=schema)
 
 
 def compact_fingerprint_store(
@@ -553,6 +599,7 @@ def incremental_semantic_dedup(
     band_bits: int = 6,
     num_buckets: int = 16,
     update_store: bool = False,
+    src_batch: int | None = None,
 ) -> DataFrame:
     """Incremental SEMANTIC dedup: batch vectors dropped when any of their
     sign-LSH band keys (a) exists in the persisted corpus store or (b) is
@@ -585,8 +632,11 @@ def incremental_semantic_dedup(
     banded = _sign_band_rows(
         keyed, id_col, vec_col, bands, band_bits
     ).localCheckpoint(eager=True)
+    # src_batch: versioned/replay-stable mode, identical contract to
+    # incremental_lsh_dedup's (monotone ids, implies update_store)
     dropped = _banded_store_dropped(
-        spark, banded, store_path, num_buckets, update_store
+        spark, banded, store_path, num_buckets,
+        update_store or src_batch is not None, src_batch,
     )
     annotated = keyed.join(
         dropped, keyed[id_col] == dropped["__id"], "left"

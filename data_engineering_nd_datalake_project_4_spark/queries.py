@@ -6524,3 +6524,98 @@ def q170_incremental_semantic_dedup(spark, sf_dir):
         "label",
         F.when(F.col("sem_removed"), F.lit("removed")).otherwise(F.lit("kept")).alias("status"),
     ).orderBy("vec_id")
+
+
+@q(
+    "q171_versioned_lsh_dedup_replay",
+    f"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents WHERE text IS NOT NULL),
+         sh AS (SELECT doc_id,
+                  list_distinct(CASE WHEN len(toks) >= 3
+                    THEN list_transform(range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                    ELSE [array_to_string(toks, ' ')] END) AS shs
+                FROM d),
+         h AS (SELECT doc_id,
+                 list_transform(shs, s -> {_ph60('s')} % 2147483647) AS hs
+               FROM sh),
+         sig AS (SELECT doc_id, [{_MH_SIG_SQL}] AS sg FROM h),
+         banded AS (
+           SELECT doc_id, bb.band,
+                  {_ph60("array_to_string(list_transform("
+                         "list_slice(sg, bb.band*4 + 1, bb.band*4 + 4), "
+                         "x -> CAST(x AS VARCHAR)), ',')")} AS bucket
+           FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS band) bb),
+         corpus_b AS (SELECT DISTINCT band, bucket FROM banded WHERE doc_id < 250),
+         b0 AS (SELECT * FROM banded WHERE doc_id >= 250 AND doc_id < 375),
+         dropped0 AS (
+           SELECT DISTINCT bb.doc_id FROM b0 bb
+           WHERE EXISTS (SELECT 1 FROM corpus_b c
+                         WHERE c.band = bb.band AND c.bucket = bb.bucket)
+              OR EXISTS (SELECT 1 FROM b0 o
+                         WHERE o.band = bb.band AND o.bucket = bb.bucket
+                           AND o.doc_id < bb.doc_id)),
+         s0b AS (SELECT DISTINCT band, bucket FROM b0
+                 WHERE doc_id NOT IN (SELECT doc_id FROM dropped0)),
+         b1 AS (SELECT * FROM banded WHERE doc_id >= 375),
+         dropped1 AS (
+           SELECT DISTINCT bb.doc_id FROM b1 bb
+           WHERE EXISTS (SELECT 1 FROM corpus_b c
+                         WHERE c.band = bb.band AND c.bucket = bb.bucket)
+              OR EXISTS (SELECT 1 FROM s0b s
+                         WHERE s.band = bb.band AND s.bucket = bb.bucket)
+              OR EXISTS (SELECT 1 FROM b1 o
+                         WHERE o.band = bb.band AND o.bucket = bb.bucket
+                           AND o.doc_id < bb.doc_id))
+       SELECT doc_id, batch_id, source FROM (
+         SELECT DISTINCT doc_id, CAST(0 AS INT) AS batch_id, source
+         FROM documents
+         WHERE doc_id >= 250 AND doc_id < 375
+           AND doc_id NOT IN (SELECT doc_id FROM dropped0)
+         UNION ALL
+         SELECT DISTINCT doc_id, CAST(1 AS INT) AS batch_id, source
+         FROM documents
+         WHERE doc_id >= 375
+           AND doc_id NOT IN (SELECT doc_id FROM dropped1))
+       ORDER BY doc_id""",
+    "VERSIONED incremental LSH dedup across two sequential batches WITH A "
+    "REPLAY (the streaming exactly-once contract, src_batch stamp filter): "
+    "corpus < 250 bootstraps the band store; batch 0 (250-374) runs at "
+    "src_batch=0, batch 1 (>= 375) at src_batch=1 and is then REPLAYED at "
+    "the same id — the emitted batch-1 survivors come from the REPLAY, so "
+    "the oracle match proves replay stability end-to-end (an unversioned "
+    "replay would emit zero non-NULL survivors). Batch-1 decisions see "
+    "corpus bands plus batch-0 SURVIVOR bands (stamp 0 < 1) but never "
+    "batch 1's own appended stamp. Pure SQL twin: layered pairwise-greedy "
+    "rule, batch-0 survivor bands as the only cross-batch state",
+)
+def q171_versioned_lsh_dedup_replay(spark, sf_dir):
+    from data_engineering_nd_datalake_project_4_spark.operators import incremental
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") < 250)
+    b0 = d.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 375)).select(
+        "doc_id", "text", "source"
+    )
+    b1 = d.filter(F.col("doc_id") >= 375).select("doc_id", "text", "source")
+    store = _pid_scoped_store(sf_dir, "q171")
+    kw = dict(num_hashes=32, bands=8, shingle_n=3, hash_fn="portable", num_buckets=16)
+    incremental.build_band_store(corpus, "text", "doc_id", store, **kw)
+    s0 = incremental.incremental_lsh_dedup(
+        spark, b0, "text", "doc_id", store, src_batch=0, **kw
+    )
+    incremental.incremental_lsh_dedup(  # batch 1, first delivery
+        spark, b1, "text", "doc_id", store, src_batch=1, **kw
+    ).count()
+    s1_replay = incremental.incremental_lsh_dedup(  # at-least-once REPLAY
+        spark, b1, "text", "doc_id", store, src_batch=1, **kw
+    )
+    return (
+        s0.select("doc_id", F.lit(0).cast("int").alias("batch_id"), "source")
+        .unionByName(
+            s1_replay.select(
+                "doc_id", F.lit(1).cast("int").alias("batch_id"), "source"
+            )
+        )
+        .orderBy("doc_id")
+    )

@@ -488,3 +488,88 @@ def run_topk_candidate_stream(
         merged.write.mode("overwrite").parquet(f"{snapshot_root}/v{int(batch_id)}")
 
     run_foreach_batch(stream_df, batch_fn, checkpoint, query_name)
+
+
+def run_incremental_lsh_dedup_stream(
+    stream_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    store_path: str,
+    decisions_root: str,
+    checkpoint: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
+    num_buckets: int = 64,
+    query_name: str = "incremental_lsh_dedup",
+) -> None:
+    """Continuous-ingest NEAR-dup dedup: q169's incremental MinHash-LSH
+    operator as a Structured Streaming sink — "dedupe the crawl feed
+    against the historical corpus as it arrives". Each micro-batch runs
+    :func:`..operators.incremental.incremental_lsh_dedup` in VERSIONED
+    mode (``src_batch = batch_id``) against the shared band store
+    (bootstrap it with ``build_band_store``; batch and streaming appends
+    coexist — unstamped rows are always visible) and writes the batch's
+    SURVIVORS to ``decisions_root/v<batch_id>`` (overwrite).
+
+    Exactly-once decisions on an at-least-once feed, without versioned
+    store copies: the store append is stamped with the batch id and the
+    probe sees only strictly-earlier stamps, so a replayed micro-batch
+    ignores its own earlier append and reproduces the identical survivor
+    set, overwriting ``v<batch_id>`` with the same rows (the CDC/HLL
+    sinks' "read state below my id" rule, implemented as a stamp filter
+    on ONE append-only store instead of per-batch snapshots — the store
+    gains only duplicate stamped rows on replay, which are decision-
+    neutral). Crash between append and decisions-write = the replay
+    re-appends duplicates and completes the write: same rows.
+
+    Scale shape per batch: identical to the batch operator (24-byte band
+    rows, bucket-pruned store scan, batch-sized checkpoints); decisions
+    are batch-sized. Store maintenance: ``compact_band_store(...,
+    versioned=True)`` — the unversioned compaction would erase stamps.
+    """
+    from data_engineering_nd_datalake_project_4_spark.operators import incremental
+
+    def batch_fn(batch_df, batch_id: int) -> None:
+        out = incremental.incremental_lsh_dedup(
+            batch_df.sparkSession, batch_df, text_col, id_col, store_path,
+            num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+            hash_fn=hash_fn, num_buckets=num_buckets,
+            src_batch=int(batch_id),
+        )
+        out.write.mode("overwrite").parquet(f"{decisions_root}/v{int(batch_id)}")
+
+    run_foreach_batch(stream_docs, batch_fn, checkpoint, query_name)
+
+
+def run_incremental_semantic_dedup_stream(
+    stream_vecs: DataFrame,
+    id_col: str,
+    vec_col: str,
+    store_path: str,
+    decisions_root: str,
+    checkpoint: str,
+    bands: int = 4,
+    band_bits: int = 6,
+    num_buckets: int = 16,
+    query_name: str = "incremental_semantic_dedup",
+) -> None:
+    """The sign-LSH twin of :func:`run_incremental_lsh_dedup_stream` for
+    embedding feeds (q170's operator, versioned mode): per micro-batch,
+    every row lands in ``decisions_root/v<batch_id>`` with its
+    ``sem_removed`` flag (degenerate vectors pass through flagged False,
+    the q170 contract). Same stamp-filter exactly-once contract, same
+    store coexistence with batch-mode appends and
+    ``build_sign_band_store`` bootstraps."""
+    from data_engineering_nd_datalake_project_4_spark.operators import incremental
+
+    def batch_fn(batch_df, batch_id: int) -> None:
+        out = incremental.incremental_semantic_dedup(
+            batch_df.sparkSession, batch_df, id_col, vec_col, store_path,
+            bands=bands, band_bits=band_bits, num_buckets=num_buckets,
+            src_batch=int(batch_id),
+        )
+        out.write.mode("overwrite").parquet(f"{decisions_root}/v{int(batch_id)}")
+
+    run_foreach_batch(stream_vecs, batch_fn, checkpoint, query_name)

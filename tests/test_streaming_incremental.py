@@ -1,0 +1,207 @@
+"""Versioned (replay-stable) incremental dedup + its streaming wrappers:
+src_batch stamp-filter semantics on one append-only store, exactly-once
+decisions across micro-batch replays, coexistence with bootstrap rows,
+versioned compaction, and stream/batch equivalence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_nd_datalake_project_4_spark.operators import incremental
+from data_engineering_nd_datalake_project_4_spark.streaming import (
+    run_incremental_lsh_dedup_stream,
+    run_incremental_semantic_dedup_stream,
+)
+
+_KW = dict(num_hashes=32, bands=8, shingle_n=3, num_buckets=16)
+
+
+def _doc(i: int) -> str:
+    # token-disjoint docs: only planted relations can collide
+    return " ".join(f"w{i}t{j}" for j in range(10))
+
+
+def _ids(df):
+    return sorted(r["doc_id"] for r in df.select("doc_id").collect())
+
+
+@pytest.fixture()
+def lsh_world(spark, tmp_path):
+    corpus = spark.createDataFrame(
+        [(i, _doc(i)) for i in range(10)], "doc_id LONG, text STRING"
+    )
+    store = str(tmp_path / "store")
+    incremental.build_band_store(corpus, "text", "doc_id", store, **_KW)
+    return corpus, store
+
+
+def test_versioned_lsh_dedup_replay_stability(spark, lsh_world, tmp_path):
+    """The new contract vs plain update_store: a replayed batch with the
+    SAME src_batch reproduces the IDENTICAL survivor set (unversioned
+    replay yields zero non-NULL survivors — each doc hits its own stored
+    bands), and later batches decide the same whether or not the replay
+    happened (duplicate stamped rows are decision-neutral)."""
+    _, store = lsh_world
+    b0 = spark.createDataFrame(
+        [(100, _doc(0)),                 # dup of corpus -> dropped
+         (101, "fresh alpha " + _doc(41)), (102, None)],
+        "doc_id LONG, text STRING",
+    )
+    s0 = _ids(incremental.incremental_lsh_dedup(
+        spark, b0, "text", "doc_id", store, src_batch=0, **_KW))
+    assert s0 == [101, 102]  # NULL passes through
+
+    b1 = spark.createDataFrame(
+        [(200, "fresh alpha " + _doc(41)),  # dup of batch-0 survivor 101
+         (201, "fresh beta " + _doc(42))],
+        "doc_id LONG, text STRING",
+    )
+    s1 = _ids(incremental.incremental_lsh_dedup(
+        spark, b1, "text", "doc_id", store, src_batch=1, **_KW))
+    assert s1 == [201]
+
+    # replay batch 1: identical survivors (the versioned contract)
+    s1_replay = _ids(incremental.incremental_lsh_dedup(
+        spark, b1, "text", "doc_id", store, src_batch=1, **_KW))
+    assert s1_replay == s1 == [201]
+
+    # a batch decided AFTER the replay sees the same world: dup of 201
+    # drops, fresh survives — the replay's duplicate stamped rows changed
+    # nothing
+    b2 = spark.createDataFrame(
+        [(300, "fresh beta " + _doc(42)), (301, "fresh gamma " + _doc(43))],
+        "doc_id LONG, text STRING",
+    )
+    s2 = _ids(incremental.incremental_lsh_dedup(
+        spark, b2, "text", "doc_id", store, src_batch=2, **_KW))
+    assert s2 == [301]
+
+    # and the versioned store still serves UNVERSIONED batch probes:
+    # unstamped mode sees every row (bootstrap + all stamps)
+    s2_replay_unversioned = _ids(incremental.incremental_lsh_dedup(
+        spark, b2, "text", "doc_id", store, **_KW))
+    assert s2_replay_unversioned == []  # both hit stored bands (301's own)
+
+
+def test_versioned_store_compaction_preserves_stamps(spark, lsh_world):
+    """compact_band_store(versioned=True) keeps src_batch stamps, so
+    replay stability holds across a compaction; the unversioned schema
+    would erase them (documented at the call site)."""
+    _, store = lsh_world
+    b0 = spark.createDataFrame(
+        [(100, "fresh alpha " + _doc(41))], "doc_id LONG, text STRING"
+    )
+    assert _ids(incremental.incremental_lsh_dedup(
+        spark, b0, "text", "doc_id", store, src_batch=5, **_KW)) == [100]
+    incremental.compact_band_store(spark, store, versioned=True)
+    # replay after compaction: still the identical survivor set
+    assert _ids(incremental.incremental_lsh_dedup(
+        spark, b0, "text", "doc_id", store, src_batch=5, **_KW)) == [100]
+    # and a later batch still sees 100's bands (stamp 5 < 6)
+    b1 = spark.createDataFrame(
+        [(200, "fresh alpha " + _doc(41))], "doc_id LONG, text STRING"
+    )
+    assert _ids(incremental.incremental_lsh_dedup(
+        spark, b1, "text", "doc_id", store, src_batch=6, **_KW)) == []
+
+
+def test_lsh_dedup_stream_end_to_end(spark, lsh_world, tmp_path):
+    """Two-file feed -> two micro-batches through the foreachBatch sink:
+    per-batch decisions land in decisions_root/v<id>, corpus dups drop,
+    fresh docs survive, and the union matches the batch operator's
+    sequential result (content is batch-order-invariant by construction:
+    docs either dup the CORPUS or are globally unique)."""
+    _, store = lsh_world
+    feed = str(tmp_path / "feed")
+    f0 = spark.createDataFrame(
+        [(100, _doc(1)), (101, "stream alpha " + _doc(51))],
+        "doc_id LONG, text STRING",
+    )
+    f1 = spark.createDataFrame(
+        [(200, _doc(2)), (201, "stream beta " + _doc(52))],
+        "doc_id LONG, text STRING",
+    )
+    f0.coalesce(1).write.mode("overwrite").parquet(f"{feed}/f0")
+    f1.coalesce(1).write.mode("overwrite").parquet(f"{feed}/f1")
+
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{feed}/f*")
+    )
+    decisions = str(tmp_path / "decisions")
+    run_incremental_lsh_dedup_stream(
+        stream, "text", "doc_id", store, decisions,
+        checkpoint=str(tmp_path / "ckpt"), **_KW,
+    )
+
+    got = spark.read.parquet(f"{decisions}/v*")
+    # corpus dups (100, 200) dropped whichever batch carried them;
+    # unique stream docs survive
+    assert _ids(got) == [101, 201]
+    # one decisions version per micro-batch
+    import os
+
+    versions = sorted(d for d in os.listdir(decisions) if d.startswith("v"))
+    assert len(versions) == 2
+
+
+def test_semantic_versioned_replay(spark, tmp_path):
+    """Sign-LSH twin: versioned replay returns identical sem_removed
+    flags; degenerate vectors pass through kept."""
+    corpus = spark.createDataFrame(
+        [(i, [float(i + 1), 0.5, -0.25, 1.0]) for i in range(8)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    store = str(tmp_path / "vstore")
+    incremental.build_sign_band_store(
+        corpus, "vec_id", "embedding", store, bands=4, band_bits=6, num_buckets=16
+    )
+    batch = spark.createDataFrame(
+        [(100, [2.0, 0.5, -0.25, 1.0]),   # same signature as corpus vec 1
+         (101, [-5.0, -0.5, 0.25, -1.0]),  # negated: different signs
+         (102, None)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+
+    def flags(src):
+        out = incremental.incremental_semantic_dedup(
+            spark, batch, "vec_id", "embedding", store,
+            bands=4, band_bits=6, num_buckets=16, src_batch=src,
+        )
+        return {r["vec_id"]: r["sem_removed"] for r in out.collect()}
+
+    first = flags(0)
+    assert first[100] is True and first[101] is False and first[102] is False
+    assert flags(0) == first  # replay-stable
+
+
+def test_semantic_dedup_stream_smoke(spark, tmp_path):
+    """foreachBatch wrapper writes per-batch flagged decisions."""
+    corpus = spark.createDataFrame(
+        [(i, [float(i + 1), 0.5, -0.25, 1.0]) for i in range(8)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    store = str(tmp_path / "vstore")
+    incremental.build_sign_band_store(
+        corpus, "vec_id", "embedding", store, bands=4, band_bits=6, num_buckets=16
+    )
+    feed = str(tmp_path / "vfeed")
+    spark.createDataFrame(
+        [(100, [2.0, 0.5, -0.25, 1.0]), (101, [-5.0, -0.5, 0.25, -1.0])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{feed}/f0")
+    stream = (
+        spark.readStream.schema("vec_id LONG, embedding ARRAY<DOUBLE>")
+        .parquet(f"{feed}/f*")
+    )
+    decisions = str(tmp_path / "vdecisions")
+    run_incremental_semantic_dedup_stream(
+        stream, "vec_id", "embedding", store, decisions,
+        checkpoint=str(tmp_path / "vckpt"),
+        bands=4, band_bits=6, num_buckets=16,
+    )
+    got = {r["vec_id"]: r["sem_removed"]
+           for r in spark.read.parquet(f"{decisions}/v*").collect()}
+    assert got == {100: True, 101: False}
