@@ -547,7 +547,8 @@ def build_sign_band_store(
 def compact_band_store(
     spark: SparkSession,
     store_path: str,
-    versioned: bool = False,
+    versioned: bool | None = None,
+    dedup_exact: bool = False,
 ) -> int:
     """Compact an append-only band-bucket store in place (shared by the
     lexical MinHash store of :func:`incremental_lsh_dedup` and the
@@ -563,17 +564,39 @@ def compact_band_store(
     — and replay idempotence — are identical before and after
     (``tests/test_incremental_lsh.py`` proves it). Same single-writer
     assumption as the appends themselves: don't compact concurrently with
-    a batch. Returns the post-compaction data-file count."""
+    a batch. Returns the post-compaction data-file count.
+
+    ``src_batch`` is ALWAYS carried through the rewrite (ADVICE r12):
+    the old ``versioned=True`` opt-in meant compacting a stamped store
+    with the default flag silently erased every stamp — every row became
+    bootstrap-visible and the streaming wrappers' replay-stability
+    contract broke with no error. Now files without the column read it
+    as NULL and the rewrite writes the NULL column back, which is
+    decision-neutral for unversioned probes (their declared read schema
+    omits the column, so parquet prunes it) AND for a later versioned
+    probe (explicit NULL == absent == bootstrap-visible). ``versioned``
+    is retained for source compatibility and ignored.
+
+    ``dedup_exact`` additionally collapses EXACT duplicate rows during
+    the rewrite — the row-level reclaim for sustained at-least-once
+    replay (VERDICT r12 task 4): every replayed delivery of a batch
+    re-appends its surviving ``(band, bucket, first_id, src_batch)``
+    rows VERBATIM (same stamp → identical rows), so k extra deliveries
+    grow the store by k× the batch's surviving band rows. Identical
+    rows are probe-invisible (existence + min-id semantics, and the
+    stamp filter treats equal stamps equally), so ``distinct()`` is
+    decision-identical — replay stability and later batches' decisions
+    are untouched (tests prove it). Distinct rows from DIFFERENT
+    batches/stamps are never collapsed. Default off: the plain
+    compaction stays a pure layout change."""
+    del versioned  # deprecated no-op — stamps are always preserved
     from data_engineering_nd_datalake_project_4_spark.sources.sinks import compact_partitioned_parquet_dir
 
-    # versioned stores (src_batch-stamped appends — the streaming/replay
-    # path) must compact with the stamp in the declared schema or the
-    # rewrite would silently erase it, making every row bootstrap-visible
-    # and breaking replay stability
-    schema = _BAND_STORE_SCHEMA + (
-        ", src_batch LONG" if versioned else ""
-    ) + ", bkt_part INT"
-    return compact_partitioned_parquet_dir(spark, store_path, "bkt_part", schema=schema)
+    schema = _BAND_STORE_SCHEMA + ", src_batch LONG, bkt_part INT"
+    return compact_partitioned_parquet_dir(
+        spark, store_path, "bkt_part", schema=schema,
+        transform=(lambda df: df.distinct()) if dedup_exact else None,
+    )
 
 
 def compact_fingerprint_store(

@@ -1316,11 +1316,15 @@ def q43_rp_buckets(spark, sf_dir):
 #: already graded via q38 (regex + conditionals + quality score) and
 #: q37 (string n-gram lang-id), and every rotated-out query stays fully
 #: gated by the local strict sim, the pytest oracle suite, and the
-#: 20-variant soak sweep. tests/test_registry_window.py pins this list
-#: verbatim.
+#: 20-variant soak sweep. Round 13 (VERDICT r12 task 2):
+#: q171_versioned_lsh_dedup_replay (exactly-once incremental dedup under
+#: at-least-once replay — the r12 flagship, oracle-proven) rotates IN;
+#: q20 OUT — its set-op surface (union/intersect/except) is a thin
+#: composition over distinct nation keys, re-covered pass-local.
+#: tests/test_registry_window.py pins this list verbatim.
 GRADED_ORDER = [
     "q01", "q02", "q03", "q04", "q05", "q06", "q07", "q08", "q09", "q10",
-    "q11", "q12", "q13", "q14", "q15", "q16", "q17", "q18", "q19", "q20",
+    "q11", "q12", "q13", "q14", "q15", "q16", "q17", "q18", "q19",
     "q23", "q24", "q25", "q26", "q27", "q28", "q29", "q30",
     "q31", "q32",
     "q33_exact_dedup", "q34_unigram_jaccard", "q35_minhash_lsh",
@@ -1330,6 +1334,7 @@ GRADED_ORDER = [
     "q46_having", "q47_date_math", "q48_math_funcs",
     "q142_semantic_dedup", "q167_grouped_heavy_hitters",
     "q169_incremental_lsh_dedup", "q170_incremental_semantic_dedup",
+    "q171_versioned_lsh_dedup_replay",
 ]
 
 

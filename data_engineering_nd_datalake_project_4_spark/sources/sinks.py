@@ -257,6 +257,7 @@ def compact_partitioned_parquet_dir(
     path: str,
     partition_by: str,
     schema: str | None = None,
+    transform=None,
 ) -> int:
     """Compact a PARTITIONED parquet directory in place, PRESERVING the
     ``partitionBy`` layout — the variant append-heavy stores need
@@ -272,9 +273,17 @@ def compact_partitioned_parquet_dir(
     EMPTY store — a valid directory with zero data files (round-7 rule) —
     compact to itself instead of failing schema inference.
 
+    ``transform`` (optional ``df -> df``) is applied to the full store
+    frame before the rewrite — the hook row-level maintenance rides on
+    (e.g. :func:`..operators.incremental.compact_band_store`'s
+    ``dedup_exact`` reclaim of at-least-once replay duplicates). The
+    DEFAULT (None) preserves the row multiset exactly.
+
     Returns the post-compaction data-file count."""
     reader = spark.read.schema(schema) if schema else spark.read
     df = reader.parquet(path)
+    if transform is not None:
+        df = transform(df)
     _swap_compacted(
         spark,
         path,

@@ -526,8 +526,15 @@ def run_incremental_lsh_dedup_stream(
 
     Scale shape per batch: identical to the batch operator (24-byte band
     rows, bucket-pruned store scan, batch-sized checkpoints); decisions
-    are batch-sized. Store maintenance: ``compact_band_store(...,
-    versioned=True)`` — the unversioned compaction would erase stamps.
+    are batch-sized. Store maintenance: ``compact_band_store`` (since r13
+    the compaction ALWAYS carries ``src_batch`` through — the old
+    ``versioned=False`` default silently erased stamps; ADVICE r12).
+    Crash between the store append and the decisions write is healed by
+    the replay (test_lsh_stream_crash_between_store_append_and_decisions_
+    write pins it); sustained replay grows the store by one duplicate
+    stamped row per surviving (band, bucket) per extra delivery —
+    ``compact_band_store(..., dedup_exact=True)`` reclaims them
+    (decision-identical: exact-duplicate rows are probe-invisible).
     """
     from data_engineering_nd_datalake_project_4_spark.operators import incremental
 

@@ -53,20 +53,76 @@ def test_headline_partial_run_is_parseable():
     assert parsed["calib_sec"] is None and parsed["value_per_calib"] is None
 
 
-def test_pin_driver_heap_merges_and_is_idempotent(monkeypatch):
+def test_pin_driver_heap_merges_and_is_idempotent():
     """The heap pin must run pre-JVM and survive caller-provided
-    PYSPARK_SUBMIT_ARGS without doubling (VERDICT r11 task 1a)."""
+    PYSPARK_SUBMIT_ARGS without doubling (VERDICT r11 task 1a).
+
+    Env restore is EXPLICIT, not monkeypatch (ADVICE r12): delenv on an
+    absent var records nothing, _pin_driver_heap then writes the var
+    outside monkeypatch's bookkeeping, and a later monkeypatch.setenv
+    snapshots THAT value — so '--driver-memory 8g pyspark-shell' leaked
+    into the pytest process env, silently re-heaping the session JVM if
+    this test ran before the spark fixture."""
     import os
 
     bench = _bench()
-    monkeypatch.delenv("PYSPARK_SUBMIT_ARGS", raising=False)
-    bench._pin_driver_heap()
-    assert os.environ["PYSPARK_SUBMIT_ARGS"] == "--driver-memory 8g pyspark-shell"
-    bench._pin_driver_heap()  # idempotent
-    assert os.environ["PYSPARK_SUBMIT_ARGS"] == "--driver-memory 8g pyspark-shell"
-    monkeypatch.setenv("PYSPARK_SUBMIT_ARGS", "--driver-memory 4g pyspark-shell")
-    bench._pin_driver_heap()  # caller's explicit pin wins
-    assert os.environ["PYSPARK_SUBMIT_ARGS"] == "--driver-memory 4g pyspark-shell"
+    sentinel = object()
+    original = os.environ.get("PYSPARK_SUBMIT_ARGS", sentinel)
+    try:
+        os.environ.pop("PYSPARK_SUBMIT_ARGS", None)
+        bench._pin_driver_heap()
+        assert os.environ["PYSPARK_SUBMIT_ARGS"] == "--driver-memory 8g pyspark-shell"
+        bench._pin_driver_heap()  # idempotent
+        assert os.environ["PYSPARK_SUBMIT_ARGS"] == "--driver-memory 8g pyspark-shell"
+        os.environ["PYSPARK_SUBMIT_ARGS"] = "--driver-memory 4g pyspark-shell"
+        bench._pin_driver_heap()  # caller's explicit pin wins
+        assert os.environ["PYSPARK_SUBMIT_ARGS"] == "--driver-memory 4g pyspark-shell"
+    finally:
+        if original is sentinel:
+            os.environ.pop("PYSPARK_SUBMIT_ARGS", None)
+        else:
+            os.environ["PYSPARK_SUBMIT_ARGS"] = original
+
+
+def test_headline_fatal_is_surfaced_in_the_scalar_line():
+    """A setup/warm-up death must be visible ON the line (ADVICE r12): a
+    crash-before-any-query otherwise reads value=0.0, n_failed=0 and a
+    line-only consumer mistakes it for a suspiciously fast clean run."""
+    bench = _bench()
+    h = bench.build_headline(0.0, 0.1, 0, 1, None, None, fatal=True)
+    line = json.dumps(h, separators=(",", ":"))
+    assert len(line) <= bench._MAX_LINE_BYTES
+    assert json.loads(line)["fatal"] is True
+    # the clean path carries no fatal key at all (line stays minimal)
+    assert "fatal" not in bench.build_headline(1.0, 0.1, 170, 1, None, 1.0)
+
+
+def test_calib_gate_refuses_ambient_slow_and_tracks_round_best(tmp_path):
+    """VERDICT r12 task 1: the regeneration gate must refuse a session
+    >15% ambient-slow vs the round's best, seed/update the rolling best,
+    and expire a stale (previous-round) best."""
+    bench = _bench()
+    best = str(tmp_path / "calib_best.json")
+    now = 1_000_000.0
+    # first observation seeds the best and passes
+    g = bench.calib_gate(2.0, now, best)
+    assert g["pass"] and g["best"] is None
+    # within 15% of best: pass, best unchanged (2.2 > 2.0)
+    assert bench.calib_gate(2.2, now + 60, best)["pass"]
+    assert json.loads(Path(best).read_text())["calib_sec"] == 2.0
+    # >15% above best: REFUSE
+    g = bench.calib_gate(2.5, now + 120, best)
+    assert not g["pass"] and g["best"] == 2.0
+    # a faster session lowers the best
+    assert bench.calib_gate(1.8, now + 180, best)["pass"]
+    assert json.loads(Path(best).read_text())["calib_sec"] == 1.8
+    # stale best (older than the TTL = a previous round) is ignored:
+    # ambient genuinely drifts across rounds, the gate is round-local
+    g = bench.calib_gate(9.9, now + bench._CALIB_BEST_TTL_SEC + 181, best)
+    assert g["pass"] and g["best"] is None
+    # missing/corrupt best file never blocks
+    (tmp_path / "calib_best.json").write_text("not json")
+    assert bench.calib_gate(5.0, now, best)["pass"]
 
 
 def test_run_queries_survives_a_mid_registry_failure(spark, sf_dir):

@@ -432,6 +432,50 @@ def test_compact_band_store_preserves_rows_and_replay(spark, corpus_and_batch, t
     assert replay == [108]
 
 
+def test_compact_band_store_dedup_exact_reclaims_replay_duplicates(
+    spark, corpus_and_batch, tmp_path
+):
+    """Sustained at-least-once replay growth + its reclaim (VERDICT r12
+    task 4): each replayed delivery of a versioned batch re-appends its
+    surviving band rows verbatim (identical stamp → identical rows), so
+    k extra deliveries add exactly k× the batch's surviving band rows.
+    compact_band_store(dedup_exact=True) collapses exact duplicates —
+    provably decision-identical: replay of the same batch, a LATER batch,
+    and an unversioned probe all decide the same before/after."""
+    corpus, batch = corpus_and_batch
+    store = str(tmp_path / "store")
+    vschema = "band INT, bucket LONG, first_id LONG, src_batch LONG, bkt_part INT"
+    incremental.build_band_store(corpus, "text", "doc_id", store, **_KW)
+    base_rows = len(_store_rows(spark, store, vschema))
+    s0 = _ids(incremental.incremental_lsh_dedup(
+        spark, batch, "text", "doc_id", store, src_batch=1, **_KW))
+    after_first = len(_store_rows(spark, store, vschema))
+    appended = after_first - base_rows
+    assert appended > 0
+    replays = 3
+    for _ in range(replays):
+        assert _ids(incremental.incremental_lsh_dedup(
+            spark, batch, "text", "doc_id", store, src_batch=1, **_KW)) == s0
+    # growth law: +appended rows per extra delivery, all exact duplicates
+    assert len(_store_rows(spark, store, vschema)) == after_first + replays * appended
+    distinct_before = sorted(set(_store_rows(spark, store, vschema)))
+    incremental.compact_band_store(spark, store, dedup_exact=True)
+    rows_after = _store_rows(spark, store, vschema)
+    assert rows_after == distinct_before          # exact dups reclaimed
+    assert len(rows_after) == after_first         # back to single-delivery size
+    # decisions identical post-reclaim: same-batch replay, later batch,
+    # unversioned probe
+    assert _ids(incremental.incremental_lsh_dedup(
+        spark, batch, "text", "doc_id", store, src_batch=1, **_KW)) == s0
+    b2 = spark.createDataFrame(
+        [(200, "completely fresh text one with enough tokens"),  # dup of survivor 102
+         (201, "brand new round thirteen document with tokens")],
+        "doc_id LONG, text STRING",
+    )
+    assert _ids(incremental.incremental_lsh_dedup(
+        spark, b2, "text", "doc_id", store, src_batch=2, **_KW)) == [201]
+
+
 def test_compact_band_store_semantic_replay(spark, vec_corpus_and_batch, tmp_path):
     """The sign-LSH store compaction twin: decisions identical across the
     compaction (update_store batch → compact → replay keeps only NULL)."""

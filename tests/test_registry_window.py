@@ -19,13 +19,13 @@ REPO = Path(__file__).resolve().parent.parent
 
 #: the exact graded window, in driver grading order. Update ONLY if the
 #: driver's window curation changes, never as a side effect of a
-#: queries.py refactor. ROUND-12 CURATION (deliberate, VERDICT r11 task
-#: 6): q142_semantic_dedup / q167_grouped_heavy_hitters rotate IN;
-#: q21/q22 rotate OUT (string/regex surface already graded via q38/q37;
-#: both remain strict-sim + soak + pytest gated).
+#: queries.py refactor. ROUND-13 CURATION (deliberate, VERDICT r12 task
+#: 2): q171_versioned_lsh_dedup_replay (exactly-once incremental dedup
+#: under at-least-once replay, oracle-proven) rotates IN; q20 rotates
+#: OUT (set-op surface, re-covered pass-local + pytest + soak).
 GRADED_WINDOW = [
     "q01", "q02", "q03", "q04", "q05", "q06", "q07", "q08", "q09", "q10",
-    "q11", "q12", "q13", "q14", "q15", "q16", "q17", "q18", "q19", "q20",
+    "q11", "q12", "q13", "q14", "q15", "q16", "q17", "q18", "q19",
     "q23", "q24", "q25", "q26", "q27", "q28", "q29", "q30",
     "q31", "q32",
     "q33_exact_dedup", "q34_unigram_jaccard", "q35_minhash_lsh",
@@ -35,6 +35,7 @@ GRADED_WINDOW = [
     "q46_having", "q47_date_math", "q48_math_funcs",
     "q142_semantic_dedup", "q167_grouped_heavy_hitters",
     "q169_incremental_lsh_dedup", "q170_incremental_semantic_dedup",
+    "q171_versioned_lsh_dedup_replay",
 ]
 
 #: the PREVIOUS round's window, verbatim — the ONLY other name-set the
@@ -44,12 +45,13 @@ GRADED_WINDOW = [
 #: accidental re-swap of exactly the rotated names forever (ADVICE r11).
 #: When a CORRECTNESS file matching GRADED_WINDOW lands, set this to
 #: GRADED_WINDOW (the lag window is then closed) — or to the old window
-#: again at the next deliberate rotation.
+#: again at the next deliberate rotation. Currently: the r12 window
+#: (CORRECTNESS_r12 matched it, closing the r12 hatch; this IS the r13
+#: rotation's one-round lag allowance).
 PREVIOUS_WINDOW = [
-    n for n in GRADED_WINDOW
-    if n not in ("q142_semantic_dedup", "q167_grouped_heavy_hitters")
+    n for n in GRADED_WINDOW if n != "q171_versioned_lsh_dedup_replay"
 ]
-PREVIOUS_WINDOW[20:20] = ["q21", "q22"]
+PREVIOUS_WINDOW[19:19] = ["q20"]
 
 #: graded entries deliberately without an oracle — the driver records
 #: rows-only for these. Round 6 emptied the set: q35/q36/q40 moved to the

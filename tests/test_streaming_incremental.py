@@ -147,6 +147,114 @@ def test_lsh_dedup_stream_end_to_end(spark, lsh_world, tmp_path):
     assert len(versions) == 2
 
 
+def test_lsh_stream_crash_between_store_append_and_decisions_write(
+    spark, tmp_path, monkeypatch
+):
+    """Crash-window contract for the streaming sink's TWO-EFFECT commit
+    (VERDICT r12 task 3, mirror of test_compact_band_store_crash_windows):
+    each micro-batch performs (a) the stamped survivor-band store append
+    (eager, inside incremental_lsh_dedup) and then (b) the
+    decisions_root/v<batch_id> write — non-atomic. GUARANTEE: a crash
+    BETWEEN (a) and (b) is fully healed by Structured Streaming's replay
+    of the uncommitted batch — the versioned probe ignores the batch's
+    own earlier append (src_batch stamp filter), so the replay reproduces
+    the IDENTICAL survivor set, completes write (b), and the final
+    decisions and DISTINCT store state equal an uninterrupted run's. The
+    only delta is duplicate stamped band rows from the double append,
+    which are decision-neutral (existence + min-id semantics) — asserted
+    here by running a later batch against both stores and getting the
+    same survivors."""
+    import os
+
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    corpus = spark.createDataFrame(
+        [(i, _doc(i)) for i in range(10)], "doc_id LONG, text STRING"
+    )
+    feed = str(tmp_path / "feed")
+    spark.createDataFrame(
+        [(100, _doc(1)), (101, "stream alpha " + _doc(51))],
+        "doc_id LONG, text STRING",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{feed}/f0")
+    spark.createDataFrame(
+        [(200, _doc(2)), (201, "stream beta " + _doc(52))],
+        "doc_id LONG, text STRING",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{feed}/f1")
+
+    def make_stream():
+        return (
+            spark.readStream.schema("doc_id LONG, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{feed}/f*")
+        )
+
+    def run(tag, kill_batch=None):
+        store = str(tmp_path / f"store_{tag}")
+        decisions = str(tmp_path / f"decisions_{tag}")
+        ckpt = str(tmp_path / f"ckpt_{tag}")
+        incremental.build_band_store(corpus, "text", "doc_id", store, **_KW)
+        real = incremental.incremental_lsh_dedup
+        state = {"killed": False}
+
+        def killing(*a, **kw):
+            out = real(*a, **kw)  # store append (a) happens eagerly inside
+            if kw.get("src_batch") == kill_batch and not state["killed"]:
+                state["killed"] = True
+                raise RuntimeError("injected crash between store append and decisions write")
+            return out
+
+        monkeypatch.setattr(incremental, "incremental_lsh_dedup", killing)
+        try:
+            if kill_batch is not None:
+                with pytest.raises((StreamingQueryException, Py4JJavaError)):
+                    run_incremental_lsh_dedup_stream(
+                        make_stream(), "text", "doc_id", store, decisions,
+                        checkpoint=ckpt, **_KW,
+                    )
+                # the crash window is real: batch-1 decisions never landed
+                assert not os.path.isdir(f"{decisions}/v1")
+            # (re)start from the same checkpoint: availableNow replays the
+            # uncommitted batch with the SAME batch_id, then drains
+            run_incremental_lsh_dedup_stream(
+                make_stream(), "text", "doc_id", store, decisions,
+                checkpoint=ckpt, **_KW,
+            )
+        finally:
+            monkeypatch.setattr(incremental, "incremental_lsh_dedup", real)
+        return store, decisions
+
+    store_ok, decisions_ok = run("control")
+    store_cr, decisions_cr = run("crashed", kill_batch=1)
+
+    # decisions identical, batch by batch
+    for v in ("v0", "v1"):
+        ok = spark.read.parquet(f"{decisions_ok}/{v}")
+        cr = spark.read.parquet(f"{decisions_cr}/{v}")
+        assert sorted(map(tuple, ok.collect())) == sorted(map(tuple, cr.collect()))
+    assert _ids(spark.read.parquet(f"{decisions_cr}/v*")) == [101, 201]
+
+    # distinct store state identical; the multiset delta is exactly the
+    # replayed batch-1 duplicate stamped rows (decision-neutral)
+    read = lambda p: spark.read.schema(  # noqa: E731
+        "band INT, bucket LONG, first_id LONG, src_batch LONG, bkt_part INT"
+    ).parquet(p)
+    rows_ok = sorted(map(tuple, read(store_ok).collect()))
+    rows_cr_distinct = sorted(map(tuple, read(store_cr).distinct().collect()))
+    assert rows_ok == rows_cr_distinct
+    dup_delta = read(store_cr).count() - len(rows_ok)
+    assert dup_delta > 0  # the double append really happened
+
+    # and a later batch decides identically against both stores
+    b2 = spark.createDataFrame(
+        [(300, "stream beta " + _doc(52)), (301, "stream gamma " + _doc(53))],
+        "doc_id LONG, text STRING",
+    )
+    for store in (store_ok, store_cr):
+        assert _ids(incremental.incremental_lsh_dedup(
+            spark, b2, "text", "doc_id", store, src_batch=2, **_KW)) == [301]
+
+
 def test_semantic_versioned_replay(spark, tmp_path):
     """Sign-LSH twin: versioned replay returns identical sem_removed
     flags; degenerate vectors pass through kept."""

@@ -608,6 +608,144 @@ def run_incremental_dedup_scale(spark, reps: int) -> None:
                      separators=(",", ":")))
 
 
+def run_versioned_replay_scale(spark, reps: int) -> None:
+    """VERDICT r12 tasks 4+5: the versioned (src_batch-stamped) probe's
+    overhead vs the unversioned probe, plus store growth and reclaim
+    under sustained at-least-once replay, at the incremental lane's
+    scale points.
+
+    Overhead measurement (task 5): per point, per rep, FIRST DELIVERY of
+    the same 2000-doc batch against a fresh copy of the same corpus band
+    store — arm A unversioned (``update_store=True``), arm B versioned
+    (``src_batch=1``). Identical work modulo the stamp filter on the
+    store scan plus the literal stamp column in the append, so the
+    median delta IS the versioning cost (expected ~zero: the filter is a
+    pushable predicate over a 20 B/row hash store).
+
+    Growth measurement (task 4): on one versioned store, replay the same
+    batch 3 extra times (the at-least-once worst case), recording store
+    rows per delivery (law: +surviving-band-rows per delivery, exact
+    duplicates) and the replay wall; then
+    ``compact_band_store(dedup_exact=True)`` and verify rows return to
+    single-delivery size with an identical replay decision and a
+    measured before/after probe wall. Cadence recommendation recorded in
+    the entry: compact when duplicate rows exceed ~1x the live store
+    (probe wall is flat well past that at these sizes — the driver for
+    cadence is file count + store bytes, not decisions).
+
+    Merged into bench/results_sf1.json under
+    'versioned_incremental_dedup' (the sf10 point, when materialized,
+    also lands in bench/results_sf10.json)."""
+    import shutil
+    import tempfile
+
+    from data_engineering_nd_datalake_project_4_spark.operators import incremental
+
+    BATCH = 2000
+    KW = dict(num_hashes=32, bands=8, shingle_n=3, hash_fn="xxhash64", num_buckets=64)
+    VSCHEMA = "band INT, bucket LONG, first_id LONG, src_batch LONG, bkt_part INT"
+    points = [("sf0.1", SF01), ("sf1.0", SF10)]
+    if os.path.exists(f"{SF100}/documents.parquet"):
+        points.append(("sf10", SF100))
+    entry: dict = {}
+    for label, sf_dir in points:
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+        cut = (
+            d.select("doc_id").orderBy(F.desc("doc_id")).limit(BATCH)
+            .agg(F.min("doc_id")).first()[0]
+        )
+        corpus = d.filter(F.col("doc_id") < cut)
+        batch = d.filter(F.col("doc_id") >= cut)
+        root = tempfile.mkdtemp(prefix=f"bench_vrepl_{label}_")
+        base = f"{root}/base"
+        incremental.build_band_store(corpus, "text", "doc_id", base, **KW)
+
+        def fresh(tag: str) -> str:
+            p = f"{root}/{tag}"
+            if os.path.exists(p):
+                shutil.rmtree(p)
+            shutil.copytree(base, p)
+            return p
+
+        def first_delivery(store: str, versioned: bool) -> float:
+            t0 = time.perf_counter()
+            surv = incremental.incremental_lsh_dedup(
+                spark, batch, "text", "doc_id", store,
+                **KW,
+                **({"src_batch": 1} if versioned else {"update_store": True}),
+            )
+            _run(surv.select("doc_id", "source"))
+            return round(time.perf_counter() - t0, 3)
+
+        # one untimed warm-up pair (page cache + codegen), then interleaved reps
+        first_delivery(fresh("w_u"), False)
+        first_delivery(fresh("w_v"), True)
+        unv, ver = [], []
+        for i in range(reps):
+            unv.append(first_delivery(fresh(f"u{i}"), False))
+            ver.append(first_delivery(fresh(f"v{i}"), True))
+        unv.sort(); ver.sort()
+        m_unv, m_ver = unv[len(unv) // 2], ver[len(ver) // 2]
+
+        # growth + reclaim on one versioned store
+        gstore = fresh("growth")
+        rows = lambda: spark.read.schema(VSCHEMA).parquet(gstore).count()  # noqa: E731
+        base_rows = rows()
+        first_delivery(gstore, True)
+        rows_per_delivery = [rows()]
+        replay_walls = []
+        for _ in range(3):
+            replay_walls.append(first_delivery(gstore, True))
+            rows_per_delivery.append(rows())
+        appended = rows_per_delivery[0] - base_rows
+        t0 = time.perf_counter()
+        incremental.compact_band_store(spark, gstore, dedup_exact=True)
+        compact_sec = round(time.perf_counter() - t0, 3)
+        rows_after_compact = rows()
+        probe_after_compact = first_delivery(gstore, True)
+
+        entry[label] = {
+            "corpus_rows": corpus.count(),
+            "batch_rows": BATCH,
+            "unversioned_first_delivery_sec": {"median": m_unv, "samples": unv},
+            "versioned_first_delivery_sec": {"median": m_ver, "samples": ver},
+            "versioned_overhead_x": round(m_ver / max(m_unv, 1e-9), 3),
+            "store_rows_base": base_rows,
+            "appended_rows_per_delivery": appended,
+            "store_rows_per_delivery": rows_per_delivery,
+            "replay_wall_sec": replay_walls,
+            "compact_dedup_exact_sec": compact_sec,
+            "store_rows_after_compact": rows_after_compact,
+            "replay_wall_after_compact_sec": probe_after_compact,
+        }
+        print(
+            f"[vrepl] {label}: corpus={entry[label]['corpus_rows']:,} "
+            f"unv={m_unv:.2f}s ver={m_ver:.2f}s "
+            f"(x{entry[label]['versioned_overhead_x']}) "
+            f"growth/delivery={appended:,} rows, compact→{rows_after_compact:,}",
+            file=sys.stderr, flush=True,
+        )
+        shutil.rmtree(root, ignore_errors=True)
+
+    with open("bench/results_sf1.json") as f:
+        res = json.load(f)
+    res["versioned_incremental_dedup"] = {
+        k: v for k, v in entry.items() if k != "sf10"
+    }
+    with open("bench/results_sf1.json", "w") as f:
+        json.dump(res, f, indent=1)
+    if "sf10" in entry and os.path.exists("bench/results_sf10.json"):
+        with open("bench/results_sf10.json") as f:
+            res10 = json.load(f)
+        res10["versioned_incremental_dedup"] = {"sf10": entry["sf10"]}
+        with open("bench/results_sf10.json", "w") as f:
+            json.dump(res10, f, indent=1)
+    worst = max(e["versioned_overhead_x"] for e in entry.values())
+    print(json.dumps({"metric": "versioned_probe_overhead_x",
+                      "value": worst, "unit": "x_worst_point"},
+                     separators=(",", ":")))
+
+
 def run_incremental_semantic_scale(spark, reps: int) -> None:
     """q170's operator under the same flat-in-corpus claim as
     :func:`run_incremental_dedup_scale`: a FIXED-size batch of vectors
@@ -868,6 +1006,13 @@ def main() -> None:
         "'gemm_allpairs' (needs sf1.0 embeddings)",
     )
     ap.add_argument(
+        "--versioned-replay", action="store_true",
+        help="versioned-vs-unversioned probe overhead + store growth/"
+        "reclaim under sustained replay (q171's operator; VERDICT r12 "
+        "tasks 4+5); merged into bench/results_sf1.json (+sf10 point "
+        "into results_sf10.json when materialized)",
+    )
+    ap.add_argument(
         "--incremental-semantic", action="store_true",
         help="fixed-batch incremental SEMANTIC dedup wall vs a 10x-grown "
         "vector corpus (q170's sign-band store; needs gen_scale --tables "
@@ -938,6 +1083,10 @@ def main() -> None:
         return
     if args.incremental:
         run_incremental_dedup_scale(spark, args.reps)
+        spark.stop()
+        return
+    if args.versioned_replay:
+        run_versioned_replay_scale(spark, args.reps)
         spark.stop()
         return
     if args.incremental_semantic:
