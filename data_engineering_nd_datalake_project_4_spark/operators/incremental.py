@@ -142,6 +142,7 @@ def incremental_dedup(
     mode: str = "exact",
     num_buckets: int = 64,
     update_store: bool = False,
+    src_batch: int | None = None,
 ) -> DataFrame:
     """Rows of ``batch`` that are new to the corpus: not fingerprinted in
     the store, and the first (minimum-``id_col``) occurrence within the
@@ -150,6 +151,17 @@ def incremental_dedup(
     With ``update_store=True`` the survivors' fingerprints are appended to
     the store first (same bucket layout), making the operation idempotent:
     replaying the identical batch then yields zero survivors.
+
+    ``src_batch`` (VERSIONED mode — the exactly-once-decisions contract,
+    identical to :func:`incremental_lsh_dedup`'s): pass a MONOTONE batch
+    id and the operator becomes REPLAY-STABLE — the survivor append is
+    stamped with the id and the probe sees only bootstrap rows (NULL
+    stamp: ``build_fingerprint_store`` / unversioned appends) or
+    STRICTLY-earlier stamps, so re-running the same batch with the same
+    id returns the IDENTICAL survivor set instead of zero survivors.
+    Implies ``update_store``; parquet schema evolution merges stamped
+    and legacy layouts in one store, and
+    :func:`compact_fingerprint_store` always carries the stamp through.
 
     Multi-consumer consistency (BOTH paths): the batch plan feeds several
     consumers — the touched-bucket collect, the survivor anti-join the
@@ -168,6 +180,7 @@ def incremental_dedup(
     corpus-sized); on a real cluster with executor loss in scope, swap
     for a reliable ``checkpoint()`` dir.
     """
+    update_store = update_store or src_batch is not None
     fp = _fingerprint(text_col, mode)
     keyed = batch.withColumn("__fp", fp).localCheckpoint(eager=True)
     # first-wins within the batch: one window shuffle on the 8-byte hash
@@ -189,7 +202,16 @@ def incremental_dedup(
     # fp is always xxhash64 -> LONG; fp_bucket is _bucket -> INT.
     # Missing store = first batch; mid-swap / corrupt stores fail loudly
     # (_read_store_cold_start).
-    store = _read_store_cold_start(spark, store_path, "fp LONG, fp_bucket INT")
+    probe_schema = "fp LONG" + (
+        ", src_batch LONG" if src_batch is not None else ""
+    ) + ", fp_bucket INT"
+    store = _read_store_cold_start(spark, store_path, probe_schema)
+    if store is not None and src_batch is not None:
+        # versioned visibility: bootstrap rows (NULL stamp) + strictly
+        # earlier batches; a replay's own earlier append is invisible
+        store = store.filter(
+            F.col("src_batch").isNull() | (F.col("src_batch") < F.lit(int(src_batch)))
+        )
     if store is not None:
         seen = store.filter(F.col("fp_bucket").isin(touched)).select("fp")
         survivors = firsts.join(
@@ -201,12 +223,17 @@ def incremental_dedup(
     if update_store:
         # freeze the survivor set once; append and caller share it
         survivors = survivors.localCheckpoint(eager=True)
+        cols = [
+            F.col("__fp").alias("fp"),
+            F.col(id_col).cast("long").alias("first_id"),
+        ]
+        if src_batch is not None:
+            # replay re-appends identical stamped rows — invisible to the
+            # replaying batch itself, decision-neutral for later ones
+            cols.append(F.lit(int(src_batch)).cast("long").alias("src_batch"))
+        cols.append(_bucket(F.col("__fp"), num_buckets).alias("fp_bucket"))
         (
-            survivors.select(
-                F.col("__fp").alias("fp"),
-                F.col(id_col).cast("long").alias("first_id"),
-                _bucket(F.col("__fp"), num_buckets).alias("fp_bucket"),
-            )
+            survivors.select(*cols)
             .repartition("fp_bucket")
             .write.mode("append")
             .partitionBy("fp_bucket")
@@ -602,13 +629,20 @@ def compact_band_store(
 def compact_fingerprint_store(
     spark: SparkSession,
     store_path: str,
+    dedup_exact: bool = False,
 ) -> int:
     """:func:`compact_band_store` for the exact/canonical fingerprint
-    store of :func:`incremental_dedup` (``fp_bucket`` layout)."""
+    store of :func:`incremental_dedup` (``fp_bucket`` layout). Same
+    contracts: ``src_batch`` stamps (versioned mode) are ALWAYS carried
+    through (unstamped files read the column as NULL — decision-neutral
+    both ways), and ``dedup_exact`` reclaims the identical rows that
+    at-least-once replays of a versioned batch re-append."""
     from data_engineering_nd_datalake_project_4_spark.sources.sinks import compact_partitioned_parquet_dir
 
     return compact_partitioned_parquet_dir(
-        spark, store_path, "fp_bucket", schema="fp LONG, first_id LONG, fp_bucket INT"
+        spark, store_path, "fp_bucket",
+        schema="fp LONG, first_id LONG, src_batch LONG, fp_bucket INT",
+        transform=(lambda df: df.distinct()) if dedup_exact else None,
     )
 
 

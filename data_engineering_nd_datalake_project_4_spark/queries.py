@@ -6624,3 +6624,78 @@ def q171_versioned_lsh_dedup_replay(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@q(
+    "q172_versioned_exact_dedup_replay",
+    """WITH k AS (SELECT doc_id, source,
+                         array_to_string(list_sort(list_distinct(
+                             string_split(text, ' '))), ' ') AS ck
+                  FROM documents),
+         corpus AS (SELECT DISTINCT ck FROM k WHERE doc_id < 250),
+         -- DISTINCT per batch: at-least-once feeds deliver duplicate rows
+         -- (duprows soak); the engine's first-wins window collapses them
+         b0 AS (SELECT DISTINCT doc_id, source, ck FROM k
+                WHERE doc_id >= 250 AND doc_id < 375),
+         f0 AS (SELECT MIN(doc_id) AS doc_id FROM b0 GROUP BY ck),
+         s0 AS (SELECT b.doc_id, b.source, b.ck
+                FROM b0 b JOIN f0 f ON f.doc_id = b.doc_id
+                WHERE NOT EXISTS (SELECT 1 FROM corpus c
+                                  WHERE c.ck IS NOT DISTINCT FROM b.ck)),
+         b1 AS (SELECT DISTINCT doc_id, source, ck FROM k WHERE doc_id >= 375),
+         f1 AS (SELECT MIN(doc_id) AS doc_id FROM b1 GROUP BY ck),
+         s1 AS (SELECT b.doc_id, b.source
+                FROM b1 b JOIN f1 f ON f.doc_id = b.doc_id
+                WHERE NOT EXISTS (SELECT 1 FROM corpus c
+                                  WHERE c.ck IS NOT DISTINCT FROM b.ck)
+                  AND NOT EXISTS (SELECT 1 FROM s0 s
+                                  WHERE s.ck IS NOT DISTINCT FROM b.ck))
+       SELECT doc_id, batch_id, source FROM (
+         SELECT doc_id, CAST(0 AS INT) AS batch_id, source FROM s0
+         UNION ALL
+         SELECT doc_id, CAST(1 AS INT) AS batch_id, source FROM s1)
+       ORDER BY doc_id""",
+    "VERSIONED incremental EXACT dedup across two sequential batches WITH "
+    "A REPLAY — the exact-fingerprint twin of q171 (same src_batch stamp "
+    "filter, canonical-token xxhash64 fingerprints instead of MinHash "
+    "bands): corpus < 250 bootstraps the fingerprint store; batch 0 "
+    "(250-374) runs at src_batch=0, batch 1 (>= 375) at src_batch=1 and "
+    "is then REPLAYED at the same id — the emitted batch-1 survivors come "
+    "from the REPLAY, so the oracle match proves the exactly-once replay "
+    "contract end-to-end (an unversioned replay would emit zero "
+    "survivors: each doc hits its own stored fingerprint). NULL-text docs "
+    "form ONE dedup class in exact mode (xxhash64(NULL) = seed; the "
+    "round-5 trap, handled via IS NOT DISTINCT FROM in the oracle) — "
+    "unlike LSH's NULL pass-through. Oracle: layered NULL-safe anti-joins "
+    "on the canonical key (equal absent a ~2^-64 hash collision)",
+)
+def q172_versioned_exact_dedup_replay(spark, sf_dir):
+    from data_engineering_nd_datalake_project_4_spark.operators import incremental
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") < 250)
+    b0 = d.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 375)).select(
+        "doc_id", "text", "source"
+    )
+    b1 = d.filter(F.col("doc_id") >= 375).select("doc_id", "text", "source")
+    store = _pid_scoped_store(sf_dir, "q172")
+    kw = dict(mode="canonical", num_buckets=16)
+    incremental.build_fingerprint_store(corpus, "text", "doc_id", store, **kw)
+    s0 = incremental.incremental_dedup(
+        spark, b0, "text", "doc_id", store, src_batch=0, **kw
+    )
+    incremental.incremental_dedup(  # batch 1, first delivery
+        spark, b1, "text", "doc_id", store, src_batch=1, **kw
+    ).count()
+    s1_replay = incremental.incremental_dedup(  # at-least-once REPLAY
+        spark, b1, "text", "doc_id", store, src_batch=1, **kw
+    )
+    return (
+        s0.select("doc_id", F.lit(0).cast("int").alias("batch_id"), "source")
+        .unionByName(
+            s1_replay.select(
+                "doc_id", F.lit(1).cast("int").alias("batch_id"), "source"
+            )
+        )
+        .orderBy("doc_id")
+    )

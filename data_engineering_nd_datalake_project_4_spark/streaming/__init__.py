@@ -550,6 +550,46 @@ def run_incremental_lsh_dedup_stream(
     run_foreach_batch(stream_docs, batch_fn, checkpoint, query_name)
 
 
+def run_incremental_exact_dedup_stream(
+    stream_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    store_path: str,
+    decisions_root: str,
+    checkpoint: str,
+    mode: str = "exact",
+    num_buckets: int = 64,
+    query_name: str = "incremental_exact_dedup",
+) -> None:
+    """The EXACT-fingerprint member of the continuous-ingest dedup trio
+    (exact here / MinHash-LSH :func:`run_incremental_lsh_dedup_stream` /
+    sign-LSH :func:`run_incremental_semantic_dedup_stream`): each
+    micro-batch runs :func:`..operators.incremental.incremental_dedup`
+    in VERSIONED mode (``src_batch = batch_id``) against the shared
+    fingerprint store (bootstrap with ``build_fingerprint_store``;
+    batch-mode unstamped appends coexist — NULL stamps are always
+    visible) and writes the batch's SURVIVORS to
+    ``decisions_root/v<batch_id>`` (overwrite).
+
+    Same exactly-once contract as the LSH wrapper: the stamped append +
+    strictly-earlier-stamp probe make a replayed micro-batch reproduce
+    the identical survivor set and overwrite ``v<batch_id>`` with the
+    same rows; a crash between the store append and the decisions write
+    is healed by the replay. Store maintenance:
+    ``compact_fingerprint_store`` (stamps always carried;
+    ``dedup_exact=True`` reclaims replay-duplicate rows)."""
+    from data_engineering_nd_datalake_project_4_spark.operators import incremental
+
+    def batch_fn(batch_df, batch_id: int) -> None:
+        out = incremental.incremental_dedup(
+            batch_df.sparkSession, batch_df, text_col, id_col, store_path,
+            mode=mode, num_buckets=num_buckets, src_batch=int(batch_id),
+        )
+        out.write.mode("overwrite").parquet(f"{decisions_root}/v{int(batch_id)}")
+
+    run_foreach_batch(stream_docs, batch_fn, checkpoint, query_name)
+
+
 def run_incremental_semantic_dedup_stream(
     stream_vecs: DataFrame,
     id_col: str,

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from data_engineering_nd_datalake_project_4_spark.operators import incremental
 from data_engineering_nd_datalake_project_4_spark.streaming import (
+    run_incremental_exact_dedup_stream,
     run_incremental_lsh_dedup_stream,
     run_incremental_semantic_dedup_stream,
 )
@@ -253,6 +254,125 @@ def test_lsh_stream_crash_between_store_append_and_decisions_write(
     for store in (store_ok, store_cr):
         assert _ids(incremental.incremental_lsh_dedup(
             spark, b2, "text", "doc_id", store, src_batch=2, **_KW)) == [301]
+
+
+def test_versioned_exact_dedup_replay_stability(spark, tmp_path):
+    """Exact-fingerprint twin of the LSH versioned contract (q172): a
+    replayed batch with the SAME src_batch reproduces the IDENTICAL
+    survivor set; unversioned replay yields zero; duplicate stamped rows
+    are decision-neutral for later batches; NULL-text docs form ONE
+    dedup class (xxhash64(NULL) = seed, unlike LSH pass-through); the
+    versioned store still serves unversioned probes."""
+    corpus = spark.createDataFrame(
+        [(i, _doc(i)) for i in range(10)], "doc_id LONG, text STRING"
+    )
+    store = str(tmp_path / "fpstore")
+    KW = dict(mode="exact", num_buckets=16)
+    incremental.build_fingerprint_store(corpus, "text", "doc_id", store, **KW)
+
+    b0 = spark.createDataFrame(
+        [(100, _doc(0)),          # exact dup of corpus -> dropped
+         (101, "fresh alpha"), (102, None), (103, None)],
+        "doc_id LONG, text STRING",
+    )
+    s0 = _ids(incremental.incremental_dedup(
+        spark, b0, "text", "doc_id", store, src_batch=0, **KW))
+    # NULL class: 102 survives as the first NULL doc, 103 dups it
+    assert s0 == [101, 102]
+
+    b1 = spark.createDataFrame(
+        [(200, "fresh alpha"),    # dup of batch-0 survivor 101
+         (201, "fresh beta"), (202, None)],  # 202 dups the NULL class
+        "doc_id LONG, text STRING",
+    )
+    s1 = _ids(incremental.incremental_dedup(
+        spark, b1, "text", "doc_id", store, src_batch=1, **KW))
+    assert s1 == [201]
+    # replay: identical survivors (unversioned replay would yield zero)
+    assert _ids(incremental.incremental_dedup(
+        spark, b1, "text", "doc_id", store, src_batch=1, **KW)) == s1
+    assert _ids(incremental.incremental_dedup(
+        spark, b1, "text", "doc_id", store, update_store=True, **KW)) == []
+
+    # later batch decides the same despite the replay's duplicate rows
+    b2 = spark.createDataFrame(
+        [(300, "fresh beta"), (301, "fresh gamma")], "doc_id LONG, text STRING"
+    )
+    assert _ids(incremental.incremental_dedup(
+        spark, b2, "text", "doc_id", store, src_batch=3, **KW)) == [301]
+
+
+def test_compact_fingerprint_store_preserves_stamps_and_reclaims(spark, tmp_path):
+    """compact_fingerprint_store always carries src_batch (the ADVICE r12
+    stamp-erasure class) and dedup_exact reclaims replay duplicates with
+    identical decisions."""
+    corpus = spark.createDataFrame(
+        [(i, _doc(i)) for i in range(10)], "doc_id LONG, text STRING"
+    )
+    store = str(tmp_path / "fpstore")
+    KW = dict(mode="exact", num_buckets=16)
+    VSCHEMA = "fp LONG, first_id LONG, src_batch LONG, fp_bucket INT"
+    incremental.build_fingerprint_store(corpus, "text", "doc_id", store, **KW)
+    b0 = spark.createDataFrame(
+        [(100, "fresh alpha"), (101, "fresh beta")], "doc_id LONG, text STRING"
+    )
+    s0 = _ids(incremental.incremental_dedup(
+        spark, b0, "text", "doc_id", store, src_batch=5, **KW))
+    assert s0 == [100, 101]
+    rows = lambda: spark.read.schema(VSCHEMA).parquet(store).count()  # noqa: E731
+    after_first = rows()
+    for _ in range(2):  # sustained replay
+        assert _ids(incremental.incremental_dedup(
+            spark, b0, "text", "doc_id", store, src_batch=5, **KW)) == s0
+    assert rows() == after_first + 2 * 2  # +2 survivor fp rows per replay
+    incremental.compact_fingerprint_store(spark, store, dedup_exact=True)
+    assert rows() == after_first
+    # stamps survived: same-id replay still returns identical survivors,
+    # and a later batch still sees batch-5 fingerprints (5 < 6)
+    assert _ids(incremental.incremental_dedup(
+        spark, b0, "text", "doc_id", store, src_batch=5, **KW)) == s0
+    b1 = spark.createDataFrame(
+        [(200, "fresh alpha")], "doc_id LONG, text STRING"
+    )
+    assert _ids(incremental.incremental_dedup(
+        spark, b1, "text", "doc_id", store, src_batch=6, **KW)) == []
+
+
+def test_exact_dedup_stream_end_to_end(spark, tmp_path):
+    """foreachBatch wrapper for the exact-dedup member of the trio:
+    per-batch decisions land in decisions_root/v<id>; corpus dups drop,
+    cross-batch dups drop, fresh docs survive."""
+    import os
+
+    corpus = spark.createDataFrame(
+        [(i, _doc(i)) for i in range(10)], "doc_id LONG, text STRING"
+    )
+    store = str(tmp_path / "fpstore")
+    incremental.build_fingerprint_store(
+        corpus, "text", "doc_id", store, mode="exact", num_buckets=16
+    )
+    feed = str(tmp_path / "feed")
+    spark.createDataFrame(
+        [(100, _doc(1)), (101, "stream alpha")], "doc_id LONG, text STRING"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{feed}/f0")
+    spark.createDataFrame(
+        [(200, "stream alpha"), (201, "stream beta")], "doc_id LONG, text STRING"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{feed}/f1")
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{feed}/f*")
+    )
+    decisions = str(tmp_path / "decisions")
+    run_incremental_exact_dedup_stream(
+        stream, "text", "doc_id", store, decisions,
+        checkpoint=str(tmp_path / "ckpt"), mode="exact", num_buckets=16,
+    )
+    # 100 dups corpus; 200 dups whichever batch carried "stream alpha"
+    got = spark.read.parquet(f"{decisions}/v*")
+    assert _ids(got) == [101, 201]
+    versions = sorted(d for d in os.listdir(decisions) if d.startswith("v"))
+    assert len(versions) == 2
 
 
 def test_semantic_versioned_replay(spark, tmp_path):
