@@ -503,6 +503,7 @@ def run_incremental_lsh_dedup_stream(
     hash_fn: str = "xxhash64",
     num_buckets: int = 64,
     query_name: str = "incremental_lsh_dedup",
+    compact_every: int | None = None,
 ) -> None:
     """Continuous-ingest NEAR-dup dedup: q169's incremental MinHash-LSH
     operator as a Structured Streaming sink — "dedupe the crawl feed
@@ -535,6 +536,16 @@ def run_incremental_lsh_dedup_stream(
     stamped row per surviving (band, bucket) per extra delivery —
     ``compact_band_store(..., dedup_exact=True)`` reclaims them
     (decision-identical: exact-duplicate rows are probe-invisible).
+
+    ``compact_every=N`` runs that reclaim IN-STREAM after every Nth
+    batch's decisions commit (batch_id % N == N-1). Safe by
+    construction: foreachBatch serializes micro-batches, so the
+    single-writer assumption holds — the compaction never races an
+    append. A crash mid-swap leaves the ``__old`` aside and the next
+    batch's store read refuses loudly with the one-rename recovery
+    (the pinned ``_read_store_cold_start`` contract); a replayed batch
+    harmlessly re-compacts. Decisions are identical with or without
+    (compaction is decision-neutral — tested).
     """
     from data_engineering_nd_datalake_project_4_spark.operators import incremental
 
@@ -546,6 +557,10 @@ def run_incremental_lsh_dedup_stream(
             src_batch=int(batch_id),
         )
         out.write.mode("overwrite").parquet(f"{decisions_root}/v{int(batch_id)}")
+        if compact_every and int(batch_id) % compact_every == compact_every - 1:
+            incremental.compact_band_store(
+                batch_df.sparkSession, store_path, dedup_exact=True
+            )
 
     run_foreach_batch(stream_docs, batch_fn, checkpoint, query_name)
 
@@ -560,6 +575,7 @@ def run_incremental_exact_dedup_stream(
     mode: str = "exact",
     num_buckets: int = 64,
     query_name: str = "incremental_exact_dedup",
+    compact_every: int | None = None,
 ) -> None:
     """The EXACT-fingerprint member of the continuous-ingest dedup trio
     (exact here / MinHash-LSH :func:`run_incremental_lsh_dedup_stream` /
@@ -577,7 +593,9 @@ def run_incremental_exact_dedup_stream(
     same rows; a crash between the store append and the decisions write
     is healed by the replay. Store maintenance:
     ``compact_fingerprint_store`` (stamps always carried;
-    ``dedup_exact=True`` reclaims replay-duplicate rows)."""
+    ``dedup_exact=True`` reclaims replay-duplicate rows);
+    ``compact_every=N`` runs it in-stream after every Nth batch (see
+    :func:`run_incremental_lsh_dedup_stream` for the safety argument)."""
     from data_engineering_nd_datalake_project_4_spark.operators import incremental
 
     def batch_fn(batch_df, batch_id: int) -> None:
@@ -586,6 +604,10 @@ def run_incremental_exact_dedup_stream(
             mode=mode, num_buckets=num_buckets, src_batch=int(batch_id),
         )
         out.write.mode("overwrite").parquet(f"{decisions_root}/v{int(batch_id)}")
+        if compact_every and int(batch_id) % compact_every == compact_every - 1:
+            incremental.compact_fingerprint_store(
+                batch_df.sparkSession, store_path, dedup_exact=True
+            )
 
     run_foreach_batch(stream_docs, batch_fn, checkpoint, query_name)
 
@@ -601,6 +623,7 @@ def run_incremental_semantic_dedup_stream(
     band_bits: int = 6,
     num_buckets: int = 16,
     query_name: str = "incremental_semantic_dedup",
+    compact_every: int | None = None,
 ) -> None:
     """The sign-LSH twin of :func:`run_incremental_lsh_dedup_stream` for
     embedding feeds (q170's operator, versioned mode): per micro-batch,
@@ -608,7 +631,8 @@ def run_incremental_semantic_dedup_stream(
     ``sem_removed`` flag (degenerate vectors pass through flagged False,
     the q170 contract). Same stamp-filter exactly-once contract, same
     store coexistence with batch-mode appends and
-    ``build_sign_band_store`` bootstraps."""
+    ``build_sign_band_store`` bootstraps; same ``compact_every``
+    in-stream reclaim (the sign store shares the band-store layout)."""
     from data_engineering_nd_datalake_project_4_spark.operators import incremental
 
     def batch_fn(batch_df, batch_id: int) -> None:
@@ -618,5 +642,9 @@ def run_incremental_semantic_dedup_stream(
             src_batch=int(batch_id),
         )
         out.write.mode("overwrite").parquet(f"{decisions_root}/v{int(batch_id)}")
+        if compact_every and int(batch_id) % compact_every == compact_every - 1:
+            incremental.compact_band_store(
+                batch_df.sparkSession, store_path, dedup_exact=True
+            )
 
     run_foreach_batch(stream_vecs, batch_fn, checkpoint, query_name)

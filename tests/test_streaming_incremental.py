@@ -256,6 +256,62 @@ def test_lsh_stream_crash_between_store_append_and_decisions_write(
             spark, b2, "text", "doc_id", store, src_batch=2, **_KW)) == [301]
 
 
+def test_lsh_stream_compact_every_is_decision_neutral(spark, tmp_path):
+    """compact_every=1 (reclaim after every batch's decisions commit)
+    yields the SAME per-batch decisions as the uncompacted run, and the
+    store ends smaller-or-equal in files with identical distinct rows —
+    in-stream compaction is pure maintenance. foreachBatch serializes
+    batches, so the single-writer assumption holds by construction."""
+    corpus = spark.createDataFrame(
+        [(i, _doc(i)) for i in range(10)], "doc_id LONG, text STRING"
+    )
+    feed = str(tmp_path / "feed")
+    spark.createDataFrame(
+        [(100, _doc(1)), (101, "stream alpha " + _doc(51))],
+        "doc_id LONG, text STRING",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{feed}/f0")
+    spark.createDataFrame(
+        [(200, "stream alpha " + _doc(51)), (201, "stream beta " + _doc(52))],
+        "doc_id LONG, text STRING",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{feed}/f1")
+
+    def run(tag, compact_every):
+        store = str(tmp_path / f"store_{tag}")
+        decisions = str(tmp_path / f"dec_{tag}")
+        incremental.build_band_store(corpus, "text", "doc_id", store, **_KW)
+        stream = (
+            spark.readStream.schema("doc_id LONG, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{feed}/f*")
+        )
+        run_incremental_lsh_dedup_stream(
+            stream, "text", "doc_id", store, decisions,
+            checkpoint=str(tmp_path / f"ckpt_{tag}"),
+            compact_every=compact_every, **_KW,
+        )
+        return store, decisions
+
+    store_plain, dec_plain = run("plain", None)
+    store_cmp, dec_cmp = run("cmp", 1)
+    for v in ("v0", "v1"):
+        a = spark.read.parquet(f"{dec_plain}/{v}")
+        b = spark.read.parquet(f"{dec_cmp}/{v}")
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    read = lambda p: spark.read.schema(  # noqa: E731
+        "band INT, bucket LONG, first_id LONG, src_batch LONG, bkt_part INT"
+    ).parquet(p)
+    assert (sorted(map(tuple, read(store_plain).distinct().collect()))
+            == sorted(map(tuple, read(store_cmp).distinct().collect())))
+    # and the compacted store still answers a later batch identically
+    b2 = spark.createDataFrame(
+        [(300, "stream beta " + _doc(52)), (301, "stream gamma " + _doc(53))],
+        "doc_id LONG, text STRING",
+    )
+    for store in (store_plain, store_cmp):
+        assert _ids(incremental.incremental_lsh_dedup(
+            spark, b2, "text", "doc_id", store, src_batch=2, **_KW)) == [301]
+
+
 def test_versioned_exact_dedup_replay_stability(spark, tmp_path):
     """Exact-fingerprint twin of the LSH versioned contract (q172): a
     replayed batch with the SAME src_batch reproduces the IDENTICAL
