@@ -39,25 +39,73 @@ def dec_sum(col: Column | str, alias: str) -> Column:
     return F.sum(dec(col)).cast(DEC18_2).alias(alias)
 
 
-def dec_sum_d(col: Column | str, alias: str) -> Column:
-    """Render-proof money sum: SUM(CAST(x AS DECIMAL(18,2))) cast to DOUBLE.
+#: widest decimal — the exact-integer carrier for summed cents (below)
+_DEC38_0 = DecimalType(38, 0)
 
-    The sum itself is exact decimal arithmetic (order-independent, safe to
-    shuffle/partial-aggregate at any scale); only the final value is cast to
-    DOUBLE. Decimal→double is correctly rounded in both Spark
-    (``BigDecimal.doubleValue``) and DuckDB (exact int64 numerator / 10^scale,
-    single correctly-rounded division) for numerators < 2^53, so both engines
-    produce the bit-identical float — which renders identically under every
-    canonicalizer (no declared-scale trailing zeros). Oracle twin:
-    ``CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)``.
+
+def cents(col: Column | str, scale: int = 2) -> Column:
+    """Exact integer 'cents' of the money/measure decimal policy: the
+    DECIMAL(18,scale) cast (the semantic rounding step — repr-based HALF_UP,
+    identical to the oracle's VARCHAR-routed cast) scaled to an integer and
+    carried as LONG.
+
+    Why (r13 optimization, guide §1.2 per-task work / §2.3 narrower types):
+    ``SUM`` over DECIMAL(18,2) widens to DECIMAL(28,2), whose 28-digit
+    precision exceeds Spark's compact-long representation (18 digits), so
+    every row's accumulate goes through boxed ``BigDecimal`` + overflow
+    checks. Measured at sf0.1 (600k-row lineitem, warmed noop medians):
+    raw double sum 0.31s, decimal sum 0.57s, cents-long sum 0.33s — the
+    boxed accumulator is ~0.24s per aggregate per 600k rows and the
+    long accumulator removes ~all of it. The per-row decimal CAST (the
+    part that defines cross-engine semantics) is unchanged.
+
+    Exactness: the cast value has exactly ``scale`` decimal digits, so
+    ``* 10^scale`` is integral and the decimal→long cast is lossless.
+    Range contract: LONG overflow needs |Σ| ≥ 2^63 integer cents
+    (9.2e16 money units at scale 2; 9.2e14 at scale 4) — ~400× above a
+    100 TB TPC-H global revenue sum. Unlike a silent wrap, ANSI mode
+    makes an overflow THROW (measured: ARITHMETIC_OVERFLOW), so a feed
+    that ever outgrows the contract fails loudly, never corrupts.
+    Between 2^53 and 2^63 the sum stays exact (the decimal-division
+    finalizer avoids the double-rounding a float division would add).
     """
-    return F.sum(dec(col)).cast("double").alias(alias)
+    c = F.col(col) if isinstance(col, str) else col
+    return (c.cast(DecimalType(18, scale)) * F.lit(10**scale)).cast("long")
+
+
+def cents_sum_to_double(sum_col: Column, scale: int = 2) -> Column:
+    """Finalize a ``SUM(cents(...))`` back to the bit-identical DOUBLE the
+    decimal-sum path produced: route through an exact DECIMAL division
+    (DECIMAL(38,0) / 10^scale → DECIMAL(38,6), exact for any value with
+    ``scale`` decimal digits), then ONE decimal→double cast — correctly
+    rounded at every magnitude, exactly like CAST(SUM(decimal) AS DOUBLE).
+    (A plain ``sum/10^scale`` double division would double-round once the
+    integer sum exceeds 2^53.) Per-GROUP cost, negligible."""
+    return (sum_col.cast(_DEC38_0) / F.lit(10**scale)).cast("double")
+
+
+def dec_sum_d(col: Column | str, alias: str) -> Column:
+    """Render-proof money sum: numerically identical to
+    ``CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)`` (the oracle twin),
+    computed with an exact integer-cents LONG accumulator instead of the
+    boxed wide-decimal one — see :func:`cents`.
+
+    The sum is exact integer arithmetic (order-independent, safe to
+    shuffle/partial-aggregate at any scale); only the final value is cast
+    to DOUBLE via an exact decimal division (:func:`cents_sum_to_double`),
+    so both engines produce the bit-identical float — which renders
+    identically under every canonicalizer (no declared-scale trailing
+    zeros). Oracle twin: ``CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)``.
+    """
+    return cents_sum_to_double(F.sum(cents(col, 2)), 2).alias(alias)
 
 
 def dec4_sum_d(expr: Column, alias: str) -> Column:
-    """Render-proof derived-measure sum: SUM(CAST(expr AS DECIMAL(18,4)))
-    cast to DOUBLE. See :func:`dec_sum_d` and :func:`dec4`."""
-    return F.sum(dec4(expr)).cast("double").alias(alias)
+    """Render-proof derived-measure sum at scale 4: numerically identical
+    to ``CAST(SUM(CAST(expr AS DECIMAL(18,4))) AS DOUBLE)`` via the exact
+    integer-ten-thousandths LONG accumulator. See :func:`dec_sum_d`,
+    :func:`cents` and :func:`dec4`."""
+    return cents_sum_to_double(F.sum(cents(expr, 4)), 4).alias(alias)
 
 
 def portable_hash60(col: Column | str) -> Column:

@@ -153,14 +153,19 @@ def curate_with_quarantine(
 
 def corpus_stats(survivors: DataFrame, group_col: str = "lang") -> DataFrame:
     # avg = exact dec4-sum / count: ROUND(AVG, 3) of 4-decimal quality scores
-    # sits on x.xxx5 half-boundaries where Spark and DuckDB rounding disagree
-    from data_engineering_nd_datalake_project_4_spark.functions import dec4
+    # sits on x.xxx5 half-boundaries where Spark and DuckDB rounding disagree.
+    # r13: the exact sum accumulates integer ten-thousandths (LONG) — see
+    # functions.cents; the finalizer reconstructs the bit-identical double.
+    from data_engineering_nd_datalake_project_4_spark.functions import (
+        cents,
+        cents_sum_to_double,
+    )
 
     return (
         survivors.groupBy(group_col)
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            (F.sum(dec4("quality")).cast("double") / F.count(F.lit(1))).alias(
+            (cents_sum_to_double(F.sum(cents("quality", 4)), 4) / F.count(F.lit(1))).alias(
                 "avg_quality"
             ),
             F.sum("n_tokens").alias("total_tokens"),

@@ -31,6 +31,8 @@ from data_engineering_nd_datalake_project_4_spark.catalog import load_table
 from data_engineering_nd_datalake_project_4_spark.functions import (
     DEC18_4,
     PORTABLE_HASH60_SQL,
+    cents,
+    cents_sum_to_double,
     cosine_similarity,
     dec,
     dec4,
@@ -40,6 +42,13 @@ from data_engineering_nd_datalake_project_4_spark.functions import (
     tokens,
     weekday_monday,
 )
+
+
+def _csum_d(col, scale: int = 2):
+    """``CAST(SUM(CAST(x AS DECIMAL(18,scale))) AS DOUBLE)`` via the exact
+    integer-cents LONG accumulator (r13: the wide-decimal SUM is boxed
+    BigDecimal per row — see functions.cents). Bit-identical finalizer."""
+    return cents_sum_to_double(F.sum(cents(col, scale)), scale)
 
 
 def _ph60(x: str) -> str:
@@ -141,7 +150,7 @@ def q02(spark, sf_dir):
             dec_sum_d("l_quantity", "sum_qty"),
             dec_sum_d("l_extendedprice", "sum_base"),
             dec4_sum_d(F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_disc"),
-            (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (_csum_d("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
         ],
     ).orderBy("l_returnflag", "l_linestatus")
 
@@ -465,15 +474,20 @@ def q16(spark, sf_dir):
 )
 def q17(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
+    # r13: running sum accumulates exact integer cents (LONG) instead of a
+    # boxed wide decimal per frame step; the finalizer reconstructs the
+    # bit-identical double (functions.cents rationale)
     out = windows.running(
         o,
-        F.sum(dec("o_totalprice")),
+        F.sum(cents("o_totalprice")),
         ["o_custkey"],
         [F.asc("o_orderdate"), F.asc("o_orderkey")],
         "running_total",
     )
     return out.select(
-        "o_custkey", "o_orderkey", F.col("running_total").cast("double").alias("running_total")
+        "o_custkey",
+        "o_orderkey",
+        cents_sum_to_double(F.col("running_total")).alias("running_total"),
     ).orderBy("o_custkey", "o_orderkey")
 
 
@@ -811,7 +825,7 @@ def q31(spark, sf_dir):
         "ts",
         "1 day",
         ["event_type"],
-        [F.count(F.lit(1)).alias("cnt"), F.sum(dec("value")).cast("double").alias("sum_value")],
+        [F.count(F.lit(1)).alias("cnt"), _csum_d("value").alias("sum_value")],
     )
     return agg.select(
         F.col("window.start").alias("window_start"), "event_type", "cnt", "sum_value"
@@ -1063,7 +1077,7 @@ def q38_quality(spark, sf_dir):
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            (F.sum(dec4("quality")).cast("double") / F.count(F.lit(1))).alias("avg_quality"),
+            (_csum_d("quality", 4) / F.count(F.lit(1))).alias("avg_quality"),
         )
         .orderBy("lang")
     )
@@ -1469,7 +1483,7 @@ def q44_pandas_udf(spark, sf_dir):
     return (
         li.select("l_returnflag", poly_quantity("l_quantity").alias("p"))
         .groupBy("l_returnflag")
-        .agg(F.sum(dec4("p")).cast("double").alias("sum_poly"))
+        .agg(_csum_d("p", 4).alias("sum_poly"))
         .orderBy("l_returnflag")
     )
 
@@ -1652,7 +1666,7 @@ def q50_stats_agg(spark, sf_dir):
         .agg(
             F.min("c_acctbal").alias("min_bal"),
             F.max("c_acctbal").alias("max_bal"),
-            (F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal"),
+            (_csum_d("c_acctbal") / F.count(F.lit(1))).alias("avg_bal"),
             F.round(F.stddev_samp("c_acctbal"), 4).alias("sd_bal"),
             F.round(F.var_samp("c_acctbal"), 4).alias("var_bal"),
         )
@@ -1813,7 +1827,7 @@ def q55_pivot(spark, sf_dir):
         .pivot("l_linestatus", ["F", "O"])
         .agg(
             F.count(F.lit(1)).alias("status"),
-            F.sum(dec("l_quantity")).cast("double").alias("qty"),
+            _csum_d("l_quantity").alias("qty"),
         )
     )
     # COALESCE the count cells: a pivot value class with zero rows is a
@@ -2082,7 +2096,7 @@ def q64_time_rollup(spark, sf_dir):
             F.grouping_id().alias("__gid"),
             F.grouping("hour_start").alias("__gh"),
             F.count(F.lit(1)).alias("cnt"),
-            F.sum(dec("value")).cast("double").alias("sum_value"),
+            _csum_d("value").alias("sum_value"),
         )
         .filter(F.col("__gid") < 2)
     )
@@ -2315,7 +2329,7 @@ def q71_unpivot(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).cast("double").alias("n_orders"),
             dec_sum_d("o_totalprice", "total_price"),
-            (F.sum(dec4("o_totalprice")).cast("double") / F.count(F.lit(1))).alias(
+            (_csum_d("o_totalprice", 4) / F.count(F.lit(1))).alias(
                 "avg_price"
             ),
         )
@@ -2439,7 +2453,7 @@ def q75_date_spine(spark, sf_dir):
     daily = (
         _t(spark, sf_dir, "orders")
         .groupBy(F.col("o_orderdate").cast("date").alias("d"))
-        .agg(F.count(F.lit(1)).alias("n"), dec_sum("o_totalprice", "s"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents("o_totalprice")).alias("s"))
     )
     return (
         F.broadcast(spine)
@@ -2447,7 +2461,9 @@ def q75_date_spine(spark, sf_dir):
         .select(
             "d",
             F.coalesce(F.col("n"), F.lit(0)).alias("n_orders"),
-            F.coalesce(F.col("s"), F.lit(0)).cast("double").alias("sum_price"),
+            # r13 cents accumulator (functions.cents); NULL join-miss days
+            # coalesce to 0.0 after the exact finalizer, same as before
+            F.coalesce(cents_sum_to_double(F.col("s")), F.lit(0.0)).alias("sum_price"),
         )
         .orderBy("d")
     )
@@ -2477,7 +2493,7 @@ def q76_range_window(spark, sf_dir):
         .select(
             "o_custkey",
             "o_orderkey",
-            F.sum(dec("o_totalprice")).over(w).cast("double").alias("rolling_30d"),
+            cents_sum_to_double(F.sum(cents("o_totalprice")).over(w)).alias("rolling_30d"),
         )
         .orderBy("o_custkey", "o_orderkey")
     )
@@ -2564,7 +2580,7 @@ def q78_large_orders(spark, sf_dir):
         o.join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(dec("l_quantity")).cast("double").alias("sum_qty"))
+        .agg(_csum_d("l_quantity").alias("sum_qty"))
         .select(
             "c_custkey",
             "o_orderkey",
@@ -2884,7 +2900,7 @@ def q86_rich_inactive(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     avg_bal = (
         c.filter(F.col("c_acctbal") > 0.0)
-        .agg((F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal"))
+        .agg((_csum_d("c_acctbal") / F.count(F.lit(1))).alias("avg_bal"))
     )
     urgent = (
         o.filter(F.col("o_orderpriority") == "1-URGENT")
@@ -3094,7 +3110,7 @@ def q90_sliding_window(spark, sf_dir):
         e.groupBy(F.window("ts", "2 days", "1 day").alias("window"))
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum(dec("value")).cast("double").alias("sum_value"),
+            _csum_d("value").alias("sum_value"),
         )
         .select(F.col("window.start").alias("window_start"), "cnt", "sum_value")
         .orderBy("window_start")
@@ -3315,12 +3331,18 @@ def q95_multi_exists(spark, sf_dir):
 )
 def q96_global_threshold(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
-    sums = li.groupBy("l_partkey").agg(F.sum(dec("l_extendedprice")).alias("value_dec"))
-    thr = sums.agg((F.sum("value_dec").cast("double") * 0.0005).alias("t"))
+    # r13: per-group sums accumulate exact integer cents (LONG) — the wide-
+    # decimal SUM is boxed BigDecimal per row (functions.cents rationale);
+    # the global threshold re-sums the exact group cents, and both doubles
+    # come off the same exact-decimal-division finalizer, so every value
+    # and the comparison are bit-identical to the decimal-sum plan.
+    sums = li.groupBy("l_partkey").agg(F.sum(cents("l_extendedprice")).alias("value_c"))
+    thr = sums.agg((cents_sum_to_double(F.sum("value_c")) * 0.0005).alias("t"))
     return (
-        sums.crossJoin(F.broadcast(thr))
-        .filter(F.col("value_dec").cast("double") > F.col("t"))
-        .select("l_partkey", F.col("value_dec").cast("double").alias("value"))
+        sums.select("l_partkey", cents_sum_to_double(F.col("value_c")).alias("value"))
+        .crossJoin(F.broadcast(thr))
+        .filter(F.col("value") > F.col("t"))
+        .select("l_partkey", "value")
         .orderBy(F.desc("value"), F.asc("l_partkey"))
     )
 
@@ -3490,7 +3512,7 @@ def q101_small_quantity_parts(spark, sf_dir):
         .filter(F.col("l_quantity") < F.col("half_avg"))
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            (F.sum(dec("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly"),
+            (_csum_d("l_extendedprice") / 7.0).alias("avg_yearly"),
         )
     )
 
@@ -4010,7 +4032,7 @@ def q116_merge_into(spark, sf_dir):
         .groupBy(F.col("o_custkey").alias("c_custkey"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(dec("o_totalprice")).cast("double").alias("spend"),
+            _csum_d("o_totalprice").alias("spend"),
         )
     )
     merged = merge_into(
@@ -4144,7 +4166,12 @@ def q120_market_share(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    vol = dec4(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    # r13: volume rides the plan as exact integer ten-thousandths (LONG, 8
+    # bytes — same width as the compact decimal, cheaper aggregation:
+    # functions.cents rationale); both sums are exact, and both doubles come
+    # off the exact-decimal-division finalizer, so mkt_share and
+    # total_volume are bit-identical to the decimal-sum plan.
+    vol = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
     rev = (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
@@ -4157,15 +4184,17 @@ def q120_market_share(spark, sf_dir):
     )
     target = F.sum(
         F.when(F.col("n_name") == "NATION_7", F.col("volume")).otherwise(
-            F.lit(0).cast(DEC18_4)
+            F.lit(0).cast("long")
         )
     )
     total = F.sum("volume")
     return (
         rev.groupBy("o_year")
         .agg(
-            (target.cast("double") / total.cast("double")).alias("mkt_share"),
-            total.cast("double").alias("total_volume"),
+            (cents_sum_to_double(target, 4) / cents_sum_to_double(total, 4)).alias(
+                "mkt_share"
+            ),
+            cents_sum_to_double(total, 4).alias("total_volume"),
         )
         .orderBy("o_year")
     )
@@ -4297,9 +4326,7 @@ def q124_forecast_revenue(spark, sf_dir):
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(dec4(F.col("l_extendedprice") * F.col("l_discount")))
-            .cast("double")
-            .alias("revenue")
+            _csum_d(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue")
         )
     )
 
@@ -4386,8 +4413,12 @@ def q126_top_supplier(spark, sf_dir):
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
+    # r13: revenue accumulates exact integer ten-thousandths (LONG) — the
+    # MAX and the tie equality compare exact integers (same bijection as
+    # exact decimals, still cross-engine-deterministic); double cast only
+    # in the final projection via the exact-decimal-division finalizer.
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(dec4(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+        F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)).alias(
             "total_rev"
         )
     )
@@ -4396,7 +4427,11 @@ def q126_top_supplier(spark, sf_dir):
     return (
         rev.join(F.broadcast(mx), F.col("total_rev") == F.col("__mx"))
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
-        .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            cents_sum_to_double(F.col("total_rev"), 4).alias("total_revenue"),
+        )
         .orderBy("s_suppkey")
     )
 
