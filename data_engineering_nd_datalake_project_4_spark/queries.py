@@ -3279,33 +3279,40 @@ def q94_cms_heavy_hitters(spark, sf_dir):
     "on a multi-supplier order",
 )
 def q95_multi_exists(spark, sf_dir):
+    # r13 rewrite (guide §2.4 remove shuffles outright): the semi/anti pair
+    # evaluated `late` (lineitem ⋈ orders + filter) TWICE and shuffled it
+    # through two orderkey exchanges, plus broadcast a full-lineitem
+    # projection for the semi probe — a build side that grows with the
+    # FACT table and stops broadcasting at scale. Both EXISTS predicates
+    # are per-ORDER set properties, exact as window min/max over one
+    # orderkey partition:
+    #   EXISTS l2 (other suppkey in order)       ⟺ min(supp) ≠ max(supp)
+    #   NOT EXISTS l3 (other LATE supplier)      ⟺ late rows share ONE
+    #     suppkey ⟺ min(late supp) = max(late supp) (the probe row itself
+    #     is late, so the shared value is its own suppkey)
+    # min/max are duplicate-row-safe (duprows soak) and the count still
+    # counts late ROWS per supplier, so the result set is UNCHANGED (same
+    # oracle). Lineitem now crosses exactly one keyed exchange, and the
+    # window reuses the li⋈o join's orderkey partitioning at scale.
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    late = (
-        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
-        .select("l_orderkey", "l_suppkey", "l_shipdate")
+    all_rows = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)).alias("__late"),
     )
-    l2 = li.select(
-        F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
-    )
-    l3 = late.select(
-        F.col("l_orderkey").alias("l3_orderkey"), F.col("l_suppkey").alias("l3_suppkey")
+    w = Window.partitionBy("l_orderkey")
+    late_supp = F.when(F.col("__late"), F.col("l_suppkey"))
+    flagged = all_rows.select(
+        "l_orderkey",
+        "l_suppkey",
+        "__late",
+        (F.min("l_suppkey").over(w) != F.max("l_suppkey").over(w)).alias("__multi"),
+        (F.min(late_supp).over(w) == F.max(late_supp).over(w)).alias("__sole_late"),
     )
     return (
-        late.join(
-            l2,
-            (F.col("l_orderkey") == F.col("l2_orderkey"))
-            & (F.col("l_suppkey") != F.col("l2_suppkey")),
-            "semi",
-        )
-        .join(
-            l3,
-            (F.col("l_orderkey") == F.col("l3_orderkey"))
-            & (F.col("l_suppkey") != F.col("l3_suppkey")),
-            "anti",
-        )
+        flagged.filter(F.col("__late") & F.col("__multi") & F.col("__sole_late"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
