@@ -704,6 +704,38 @@ def _span_hash_rows(
     )
 
 
+def _dup_flagged_spans(spans: DataFrame, id_col: str, min_docs: int) -> DataFrame:
+    """Annotate every span row with ``__dup`` — whether its gram occurs in
+    ≥ ``min_docs`` DISTINCT documents — via ONE window over the ``gram_h``
+    partition.
+
+    r13 rewrite (guide §2.4): the agg-then-join formulation evaluated the
+    span fan-out (the family's dominant map compute: per-window slice +
+    array_join + xxhash64) TWICE — once under the COUNT(DISTINCT) branch
+    and once as the probe side — and at scale, where the dup-gram set no
+    longer broadcasts, it also shuffled the span rows by gram_h twice.
+    The window computes the fan-out once and moves it through one keyed
+    exchange; at ``min_docs=2`` the distinct test is the sort-free
+    ``min(id) != max(id)`` (ids are never NULL — table keys), and the
+    general case counts distinct ids as ``max(dense_rank)`` over the same
+    partition (one sort by (gram_h, id)). Both are duplicate-row-safe
+    (duprows soak: min/max and dense_rank ignore exact copies), so the
+    flag set is IDENTICAL to the COUNT(DISTINCT) >= min_docs branch.
+    """
+    if min_docs == 2:
+        w = Window.partitionBy("gram_h")
+        return spans.withColumn(
+            "__dup", F.min(id_col).over(w) != F.max(id_col).over(w)
+        )
+    wo = Window.partitionBy("gram_h").orderBy(id_col)
+    return (
+        spans.withColumn("__dr", F.dense_rank().over(wo))
+        .withColumn("__nd", F.max("__dr").over(Window.partitionBy("gram_h")))
+        .withColumn("__dup", F.col("__nd") >= min_docs)
+        .drop("__dr", "__nd")
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -742,19 +774,14 @@ def duplicate_spans(
             f"min_docs ({min_docs}) < 2 would mark EVERY span duplicated "
             "(each span trivially occurs in its own document)"
         )
-    spans = _span_hash_rows(df, text_col, id_col, n)
-    dup = (
-        spans.groupBy("gram_h")
-        .agg(F.countDistinct(id_col).alias("__nd"))
-        .filter(F.col("__nd") >= min_docs)
-        .select("gram_h", F.lit(1).alias("__dup"))
-    )
+    # single fan-out + one gram_h window (see _dup_flagged_spans); the
+    # conditional count equals the old left-join COUNT(__dup) exactly
+    flagged = _dup_flagged_spans(_span_hash_rows(df, text_col, id_col, n), id_col, min_docs)
     return (
-        spans.join(dup, "gram_h", "left")
-        .groupBy(id_col)
+        flagged.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
-            F.count("__dup").alias("n_dup_spans"),
+            F.count(F.when(F.col("__dup"), F.lit(1))).alias("n_dup_spans"),
         )
         .withColumn(
             "dup_ratio", F.col("n_dup_spans").cast("double") / F.col("n_spans")
@@ -794,14 +821,12 @@ def max_dup_spans(
         raise ValueError(f"span length n ({n}) must be positive")
     if min_docs < 2:
         raise ValueError(f"min_docs ({min_docs}) must be >= 2")
-    spans = _span_hash_rows(df, text_col, id_col, n)
-    dup = (
-        spans.groupBy("gram_h")
-        .agg(F.countDistinct(id_col).alias("__nd"))
-        .filter(F.col("__nd") >= min_docs)
-        .select("gram_h")
+    # single fan-out + one gram_h window (see _dup_flagged_spans)
+    hits = (
+        _dup_flagged_spans(_span_hash_rows(df, text_col, id_col, n), id_col, min_docs)
+        .filter(F.col("__dup"))
+        .select(id_col, "start_pos")
     )
-    hits = spans.join(dup, "gram_h", "left_semi").select(id_col, "start_pos")
     w = Window.partitionBy(id_col).orderBy("start_pos")
     islands = (
         hits.withColumn("__prev", F.lag("start_pos").over(w))
@@ -866,15 +891,10 @@ def strip_duplicate_spans(
         raise ValueError(f"span length n ({n}) must be positive")
     if min_docs < 2:
         raise ValueError(f"min_docs ({min_docs}) must be >= 2")
-    spans = _span_hash_rows(df, text_col, id_col, n)
-    dup = (
-        spans.groupBy("gram_h")
-        .agg(F.countDistinct(id_col).alias("__nd"))
-        .filter(F.col("__nd") >= min_docs)
-        .select("gram_h")
-    )
+    # single fan-out + one gram_h window (see _dup_flagged_spans)
     covered = (
-        spans.join(dup, "gram_h", "left_semi")
+        _dup_flagged_spans(_span_hash_rows(df, text_col, id_col, n), id_col, min_docs)
+        .filter(F.col("__dup"))
         .select(
             F.col(id_col),
             F.explode(
