@@ -906,7 +906,17 @@ def q33_exact_dedup(spark, sf_dir):
 )
 def q34_unigram_jaccard(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    cand = dedup.prefix_filter_candidate_pairs(d, "text", "doc_id", n=1, threshold=0.8)
+    # r13: order="hash" — this query is a BOUNDED slice (doc_id < 300 at
+    # any SF), exactly the case the operator docstring reserves the
+    # sort-by-hash prefix order for: it drops the document-frequency
+    # agg + join + rank window (one keyed exchange + a sort) that only
+    # pay off when posting lists can grow with the corpus. Final pair
+    # set proven identical (both orders are exact supersets; the
+    # ngram_jaccard_pairs verify is the filter) — measured 11,436 pairs
+    # equal, interleaved A/B 1.376 -> 1.248 s.
+    cand = dedup.prefix_filter_candidate_pairs(
+        d, "text", "doc_id", n=1, threshold=0.8, order="hash"
+    )
     pairs = dedup.ngram_jaccard_pairs(
         d, "text", "doc_id", n=1, threshold=0.8, candidates=cand
     )
