@@ -263,6 +263,13 @@ def minhash_lsh_candidate_pairs(
             .filter(F.col("__bsz") <= max_bucket_size)
             .drop("__bsz")
         )
+    # r13: the band frame feeds BOTH self-join sides — without a
+    # materialization the MinHash signatures (the operator's dominant map
+    # compute: num_hashes lanes per shingle) are evaluated once per branch
+    # (the q136/q142 shared-subtree pattern; CLAUDE.md r9). The checkpoint
+    # holds ~24-byte (id, band, bucket) rows. Stats erasure is irrelevant
+    # here: a corpus-sized self-join side must never broadcast anyway.
+    banded = banded.localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -372,6 +379,10 @@ def prefix_filter_candidate_pairs(
             .filter(F.col("__rk") <= plen)
             .select("__id", "__n", "__tok")
         )
+    # r13: pref feeds both self-join sides — materialize the ~20-byte
+    # (id, n, tok) rows once or the prefix construction (shingle hashing +
+    # per-doc sort / df-rank) runs once per branch (q136/q142 pattern).
+    pref = pref.localCheckpoint(eager=False)
     a = pref.select(
         F.col("__id").alias("id_a"), F.col("__n").alias("__na"), "__tok"
     )
@@ -528,6 +539,8 @@ def simhash_near_dup_pairs(
         # single band of width 64: the band mask (1 << 64) - 1 overflows
         # LongType — but hamming = 0 is just fingerprint equality, so a
         # direct self-equi-join on fp is the exact (and cheaper) plan.
+        # (r13: same shared-subtree materialization as the banded path.)
+        fp_df = fp_df.localCheckpoint(eager=False)
         a = fp_df.select(F.col(id_col).alias("id_a"), F.col(fp_col).alias("__fp"))
         b = fp_df.select(F.col(id_col).alias("id_b"), F.col(fp_col).alias("__fp"))
         return (
@@ -548,6 +561,13 @@ def simhash_near_dup_pairs(
             for i in range(k)
         ]
     )
+    # r13: fp_df feeds both self-join sides — materialize the (id, fp)
+    # 16-byte rows once or the caller's fingerprint compute (e.g. the
+    # md5-lane SimHash folds) runs once per branch (q136/q142 pattern;
+    # measured on q36: 1.38 s → 0.66 s, identical pairs). Self-join sides
+    # are corpus-sized, so the checkpoint's stats erasure costs no
+    # broadcast that could exist at scale.
+    fp_df = fp_df.localCheckpoint(eager=False)
     e = fp_df.select(F.col(id_col).alias("__id"), F.col(fp_col).alias("__fp"), F.explode(bands).alias("__band"))
     a = e.select(F.col("__id").alias("id_a"), F.col("__fp").alias("__fpa"), "__band")
     b = e.select(F.col("__id").alias("id_b"), F.col("__fp").alias("__fpb"), "__band")
