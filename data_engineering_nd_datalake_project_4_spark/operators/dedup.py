@@ -773,9 +773,16 @@ def fuzzy_string_pairs(
         F.array(s),
         F.when(F.length(s) > 0, deletions).otherwise(F.array().cast("array<string>")),
     )
-    keyed = base.select(
-        F.col(id_col), F.explode(variants).alias("__v")
-    ).select(F.col(id_col), F.xxhash64("__v").alias("__vh")).distinct()
+    keyed = (
+        base.select(F.col(id_col), F.explode(variants).alias("__v"))
+        .select(F.col(id_col), F.xxhash64("__v").alias("__vh"))
+        .distinct()
+        # r13: keyed feeds both self-join sides — materialize the 16-byte
+        # (id, variant-hash) rows once or the deletion fan-out + distinct
+        # run once per branch (q136/q142 shared-subtree pattern; measured
+        # 1.27 s → 0.74 s on q144, identical pairs)
+        .localCheckpoint(eager=False)
+    )
     a = keyed.select(F.col(id_col).alias("id_a"), "__vh")
     b = keyed.select(F.col(id_col).alias("id_b"), "__vh")
     cand = (
