@@ -981,13 +981,19 @@ def bm25_topk(
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     docs = ensure_map_parallelism(df.filter(F.col(text_col).isNotNull()))
-    stats = docs.select(F.size(tokens(text_col)).alias("__dl")).agg(
+    # r13: stage the token array ONCE per branch — the old shape ran
+    # tokens() three times per corpus pass (stats' size() plus size() AND
+    # explode() in one projection, which CollapseProject cannot dedupe —
+    # the strip_duplicate_spans staging trap). Measured 1.21 → 0.97 s at
+    # sf0.1, identical output.
+    toked = docs.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    stats = toked.select(F.size("__toks").alias("__dl")).agg(
         F.count(F.lit(1)).alias("__n"), F.sum("__dl").alias("__sumdl")
     )
-    tok = docs.select(
+    tok = toked.select(
         F.col(id_col),
-        F.size(tokens(text_col)).alias("__dl"),
-        F.explode(tokens(text_col)).alias("__tok"),
+        F.size("__toks").alias("__dl"),
+        F.explode("__toks").alias("__tok"),
     ).filter(F.col("__tok").isin(list(query_terms)))
     tf = tok.groupBy(id_col, "__tok", "__dl").agg(F.count(F.lit(1)).alias("__tf"))
     dfreq = tf.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
