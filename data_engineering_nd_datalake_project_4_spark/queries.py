@@ -2804,16 +2804,18 @@ def q83_conditional_agg(spark, sf_dir):
     )
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    rev = dec4(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    # r13 cents accumulator (functions.cents): same per-row decimal cast,
+    # LONG conditional sum, bit-identical finalizer
+    rev_c = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_returnflag")
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_count"),
             F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_count"),
-            F.sum(F.when(high, rev).otherwise(F.lit(0).cast(DEC18_4)))
-            .cast("double")
-            .alias("high_revenue"),
+            cents_sum_to_double(
+                F.sum(F.when(high, rev_c).otherwise(F.lit(0).cast("long"))), 4
+            ).alias("high_revenue"),
         )
         .orderBy("l_returnflag")
     )
@@ -2839,22 +2841,26 @@ def q84_promo_revenue(spark, sf_dir):
         "l_partkey", "l_extendedprice", "l_discount"
     )
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = dec4(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    # r13 cents accumulator (functions.cents): rev rides as exact integer
+    # ten-thousandths LONG; both doubles come off the exact finalizer, so
+    # promo_pct's IEEE ops see bit-identical inputs
+    rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
     j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")).select(
         rev.alias("rev"), "p_type"
     )
-    promo = F.sum(
-        F.when(F.col("p_type") == "PROMO", F.col("rev")).otherwise(
-            F.lit(0).cast(DEC18_4)
-        )
-    ).cast(DEC18_4)
-    total = F.sum("rev").cast(DEC18_4)
+    promo = cents_sum_to_double(
+        F.sum(
+            F.when(F.col("p_type") == "PROMO", F.col("rev")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ),
+        4,
+    )
+    total = cents_sum_to_double(F.sum("rev"), 4)
     return j.agg(
-        promo.cast("double").alias("promo_revenue"),
-        total.cast("double").alias("total_revenue"),
-        F.round(
-            100.0 * promo.cast("double") / total.cast("double"), 4
-        ).alias("promo_pct"),
+        promo.alias("promo_revenue"),
+        total.alias("total_revenue"),
+        F.round(100.0 * promo / total, 4).alias("promo_pct"),
     )
 
 
