@@ -1550,8 +1550,12 @@ def q45_approx_distinct(spark, sf_dir):
     tagged = li.select(F.lit("part").alias("tag"), F.col("l_partkey").alias("k")).unionAll(
         li.select(F.lit("supp").alias("tag"), F.col("l_suppkey").alias("k"))
     )
+    # r13: pre_distinct — TPC-H foreign keys repeat 6-200×, so hashing the
+    # distinct (tag, k) set pays one small partially-aggregated shuffle to
+    # skip ~85% of the md5 work (registers identical by MAX semantics)
     est = sketches.hll_estimate(
-        sketches.hll_registers(tagged, "k", group_cols=["tag"]), group_cols=["tag"]
+        sketches.hll_registers(tagged, "k", group_cols=["tag"], pre_distinct=True),
+        group_cols=["tag"],
     )
     # COALESCE 0.0: on zero-row input the tag groups don't exist, so the
     # pivot sees no rows — but an HLL over the empty set estimates 0 (all
