@@ -72,19 +72,30 @@ def text_stats(df: DataFrame, text_col: str = "text", group_col: str = "lang") -
     )
 
 
-def quality_score(text_col: Column | str, stopwords: tuple[str, ...] = LANG_MARKERS["en"]) -> Column:
+def quality_score(
+    text_col: Column | str,
+    stopwords: tuple[str, ...] = LANG_MARKERS["en"],
+    toks: Column | None = None,
+) -> Column:
     """Heuristic document quality in [0,1]: blend of length band, alpha
     ratio, and stopword hit-rate (Gopher/C4-style rules, arithmetic only).
 
     score = 0.4·len_ok + 0.3·alpha_ratio + 0.3·min(1, stopword_hits/2)
+
+    ``toks`` (r13): optionally pass a pre-STAGED token-array column — the
+    bare expression splits the text twice (token count + stopword hits)
+    and two tokens() calls in one projection cannot be deduplicated
+    (the strip_duplicate_spans staging trap). Callers scoring alongside
+    other token-consumers (the curation pipeline) stage once and share.
     """
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    n_tok = F.size(tokens(c)).cast("double")
+    tk = toks if toks is not None else tokens(c)
+    n_tok = F.size(tk).cast("double")
     len_ok = F.when((n_tok >= 5) & (n_tok <= 10000), F.lit(1.0)).otherwise(F.lit(0.0))
     alpha = F.length(F.regexp_replace(c, r"[^A-Za-z ]", "")).cast("double") / F.greatest(
         F.length(c).cast("double"), F.lit(1.0)
     )
-    hits = F.size(F.array_intersect(F.array_distinct(tokens(c)), F.array(*[F.lit(s) for s in stopwords]))).cast("double")
+    hits = F.size(F.array_intersect(F.array_distinct(tk), F.array(*[F.lit(s) for s in stopwords]))).cast("double")
     raw = F.lit(0.4) * len_ok + F.lit(0.3) * alpha + F.lit(0.3) * F.least(F.lit(1.0), hits / 2)
     # scale-then-quantize (NOT F.round): the 4-dp quantize must be the
     # same op sequence as the oracle's VARCHAR-routed decimal cast. A raw
@@ -98,11 +109,12 @@ def quality_score(text_col: Column | str, stopwords: tuple[str, ...] = LANG_MARK
     return (raw * 10000).cast("decimal(18,0)").cast("double") / 10000
 
 
-def lang_id(text_col: Column | str) -> Column:
+def lang_id(text_col: Column | str, toks: Column | None = None) -> Column:
     """Marker-token voting language identifier: the language whose marker
     list hits the most distinct tokens wins; ties and zero-hit docs → 'und'.
-    Deterministic tie-break: language code ascending."""
-    toks = F.array_distinct(tokens(text_col))
+    Deterministic tie-break: language code ascending.
+    ``toks``: optional pre-staged token array (see quality_score)."""
+    toks = F.array_distinct(toks if toks is not None else tokens(text_col))
     scores = [
         (code, F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers]))))
         for code, markers in sorted(LANG_MARKERS.items())
