@@ -650,6 +650,7 @@ def banded_sign_lsh_keys(
     vec_col: str = "embedding",
     bands: int = 4,
     band_bits: int = 4,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Banded sign-LSH: ``bands`` independent ``band_bits``-bit signatures
     per vector from the same deterministic sin() hyperplane family as
@@ -713,10 +714,23 @@ def banded_sign_lsh_keys(
             j = b * band_bits + t + 1
             key = key + F.when(plane_proj(j) > 0, F.lit(2 ** t)).otherwise(F.lit(0))
         band_structs.append(F.struct(F.lit(b).alias("band"), key.cast("int").alias("band_key")))
+    # keep_vec (r13): let the staged double vector RIDE the band explode as
+    # ``__vd`` — the bucket-rescore consumer needs (band, key, id, vector)
+    # rows, and re-attaching the vector by an id equi-join costs a whole
+    # extra corpus shuffle at scale (broadcast only at test SF); the band
+    # exchange carrying vectors bands× is the operator's documented,
+    # audit-whitelisted data motion either way.
+    extra = [F.col("__vd")] if keep_vec else []
     return staged.select(
         F.col(id_col),
         F.explode(F.array(*band_structs)).alias("__bk"),
-    ).select(id_col, F.col("__bk.band").alias("band"), F.col("__bk.band_key").alias("band_key"))
+        *extra,
+    ).select(
+        id_col,
+        F.col("__bk.band").alias("band"),
+        F.col("__bk.band_key").alias("band_key"),
+        *extra,
+    )
 
 
 def _bucket_removal_udf(id_col: str, threshold: float):
@@ -869,8 +883,13 @@ def semantic_dedup(
             F.col(id_col), as_double_array(F.col(vec_col)).alias("__vd")
         )
         if blocking == "lsh":
-            keys = banded_sign_lsh_keys(vectors, id_col, vec_col, bands, band_bits)
-            kv = keys.join(vproj, id_col)
+            # r13: the vector rides the band explode (keep_vec) instead of
+            # re-attaching by an id equi-join — the join broadcast only at
+            # test SF; at scale it was a second corpus shuffle (by id) on
+            # top of the whitelisted band-group one.
+            kv = banded_sign_lsh_keys(
+                vectors, id_col, vec_col, bands, band_bits, keep_vec=True
+            )
             group_cols = ["band", "band_key"]
         else:
             assignments, _ = kmeans(
