@@ -63,7 +63,11 @@ def cents(col: Column | str, scale: int = 2) -> Column:
     ``* 10^scale`` is integral and the decimal→long cast is lossless.
     Range contract: LONG overflow needs |Σ| ≥ 2^63 integer cents
     (9.2e16 money units at scale 2; 9.2e14 at scale 4) — ~400× above a
-    100 TB TPC-H global revenue sum. Unlike a silent wrap, ANSI mode
+    100 TB TPC-H global revenue sum. The bound applies to every PARTIAL
+    sum, not just the final total: partial aggregates over mixed-sign
+    data can transiently exceed a smaller final total (order/partition
+    dependent), so headroom must hold for the worst same-sign prefix,
+    which the ~400× margin does. Unlike a silent wrap, ANSI mode
     makes an overflow THROW (measured: ARITHMETIC_OVERFLOW), so a feed
     that ever outgrows the contract fails loudly, never corrupts.
     Between 2^53 and 2^63 the sum stays exact (the decimal-division

@@ -879,9 +879,6 @@ def semantic_dedup(
     if rescore == "bucket":
         from pyspark.sql.types import StructField, StructType
 
-        vproj = vectors.select(
-            F.col(id_col), as_double_array(F.col(vec_col)).alias("__vd")
-        )
         if blocking == "lsh":
             # r13: the vector rides the band explode (keep_vec) instead of
             # re-attaching by an id equi-join — the join broadcast only at
@@ -892,6 +889,12 @@ def semantic_dedup(
             )
             group_cols = ["band", "band_key"]
         else:
+            # only the kmeans branch needs the id->vector re-attach; in the
+            # lsh branch the vector rides the band explode (keep_vec) and a
+            # top-level vproj would be dead code (ADVICE r13)
+            vproj = vectors.select(
+                F.col(id_col), as_double_array(F.col(vec_col)).alias("__vd")
+            )
             assignments, _ = kmeans(
                 vectors, id_col, vec_col, k=clusters, iters=kmeans_iters
             )

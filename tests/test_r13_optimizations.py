@@ -113,7 +113,8 @@ def test_dup_flagged_spans_equals_agg_join(spark, min_docs):
     assert {1, 2, 3} <= flagged_docs
 
 
-def test_dup_flagged_spans_duplicate_rows_are_safe(spark, min_docs=2):
+@pytest.mark.parametrize("min_docs", [2, 3])
+def test_dup_flagged_spans_duplicate_rows_are_safe(spark, min_docs):
     # duprows-style: exact duplicate span rows (at-least-once feed) must
     # not manufacture cross-doc duplication
     d = spark.createDataFrame(

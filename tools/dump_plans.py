@@ -4,7 +4,7 @@ Usage:
     python tools/dump_plans.py before q95_multi_exists q02 ...
     python tools/dump_plans.py after q95_multi_exists
 
-Writes ``plans/r13/<name>_<tag>.txt`` — the optimization-round evidence
+Writes ``plans/$SPARK_GRAFT_PLAN_ROUND/<name>_<tag>.txt`` (default r14) — the optimization-round evidence
 files the judge checks plan claims against (the judge cannot run Spark).
 Plans are captured at the bench scale (``$SPARK_GRAFT_SF_DIR``, default
 sf0.1) so broadcast/AQE decisions match what the bench measures.
@@ -22,7 +22,10 @@ def main() -> None:
     tag = sys.argv[1]
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+    round_dir = os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r14")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", round_dir
+    )
     os.makedirs(out_dir, exist_ok=True)
 
     from data_engineering_nd_datalake_project_4_spark.queries import REGISTRY
@@ -38,7 +41,6 @@ def main() -> None:
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
-        short = name.split("_")[0] if name[0] == "q" else name
         path = os.path.join(out_dir, f"{name}_{tag}.txt")
         with open(path, "w") as f:
             f.write(plan)
