@@ -160,7 +160,7 @@ def assign_ivf_buckets(
 
     MAP-SIDE: the centroid model folds into the plan as literals and every
     row evaluates one argmin expression — ZERO shuffles, like
-    :func:`pq_encode` / :func:`_coarse_assign`. The previous shape
+    :func:`pq_encode` / :func:`ivfpq_encode`. The previous shape
     (broadcast crossJoin + row_number window) pushed |V|·C vector-carrying
     rows through a ``hashpartitioning(id)`` exchange — C× the corpus over
     the wire, exactly what the repo-wide wide-shuffle audit
@@ -192,7 +192,17 @@ def assign_ivf_buckets(
 
     vectors = ensure_map_parallelism(vectors)
     keys = _nearest_centroid_keys(F.col(vec_col), cents)
-    return vectors.withColumn("bucket", F.array_min(keys)["c"])
+    # r14: coalesce makes `bucket` NON-NULLABLE (array_min's static
+    # nullability is true even over this never-empty literal array), so a
+    # downstream equi-join cannot infer isnotnull(bucket) and push the
+    # whole argmin into the scan filter as a second evaluation (q42's
+    # before-plan carried a 38 kB filter with 30 re-run aggregates). The
+    # fallback value is the first centroid id — type-correct for any id
+    # type — and unreachable: every struct key is coalesced to +inf, never
+    # NULL, so the min of a non-empty array is always found.
+    return vectors.withColumn(
+        "bucket", F.coalesce(F.array_min(keys)["c"], F.lit(cents[0][0]))
+    )
 
 
 def _assign_ivf_buckets_shuffled(
@@ -281,11 +291,19 @@ def ivf_topk(
             F.slice(F.array_sort(keys), 1, min(nprobe, len(cents))),
             lambda s: s["c"],
         )
+        # explode_outer: a plain explode makes InferFiltersFromGenerate add
+        # `size(probe_buckets) > 0 AND isnotnull(probe_buckets)` — the full
+        # k-centroid argmin re-evaluated per query row in a filter that is
+        # always true (the slice of a literal-length sorted array is never
+        # empty). The outer variant gets no inferred filter; its one extra
+        # NULL row per empty array cannot occur here, and the cheap
+        # isNotNull on the GENERATED column (not pushable below the
+        # Generate) keeps the schema contract identical.
         probes = queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("__qv"),
-            F.explode(probe_buckets).alias("bucket"),
-        )
+            F.explode_outer(probe_buckets).alias("bucket"),
+        ).filter(F.col("bucket").isNotNull())
     else:
         c = F.broadcast(
             centroids.select(F.col(cid).alias("__cid"), F.col(cvec).alias("__cv"))
@@ -1091,6 +1109,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     out_col: str = "pq_codes",
+    pre_validated: bool = False,
 ) -> DataFrame:
     """Encode vectors against trained codebooks: per subspace the argmin
     squared-distance centroid index, as ``array<int>`` of length m.
@@ -1115,16 +1134,47 @@ def pq_encode(
         # silently dropped rows from a non-empty df under an empty model).
         return df.withColumn(out_col, F.expr("CAST(array() AS ARRAY<INT>)"))
     m, sub = len(codebooks), len(codebooks[0][0])
-    df = df.filter(valid_vector(F.col(vec_col)))
-    df = df.filter(F.size(F.col(vec_col)) == m * sub)
+    if not pre_validated:
+        df = df.filter(valid_vector(F.col(vec_col)))
+        df = df.filter(F.size(F.col(vec_col)) == m * sub)
+    # ``pre_validated=True`` (r14): the caller PROVES the vector column is
+    # already valid and of dimension m·sub (ivfpq_encode's residual: a
+    # zip_with of two same-length non-null arrays derived from a vector
+    # that passed the same checks). The redundant re-filter was not just
+    # wasted work — predicate pushdown substituted the whole residual
+    # expression below the staging projections, and codegen's
+    # subexpression elimination evaluates those filter subtrees EAGERLY
+    # (before the short-circuit AND), so they also ran on rows the dim
+    # filter was about to drop.
+    # r14 (guide §1.2): STAGE the per-subspace distance arrays as
+    # materialized columns. The old shape passed the `dists` python
+    # variable to BOTH array_position and array_min, so the whole m·k
+    # distance computation was inlined TWICE per row (the CLAUDE.md
+    # CollapseProject trap — kmeans already staged its dists; this site
+    # didn't). Staging halves the encode kernel (q151/q153 plans: 64
+    # zip_with → 32). The double-cast vector is staged once for the same
+    # reason (it fed every subspace's dists inline).
     v = as_double_array(F.col(vec_col))
-    codes = []
+    staged = df.withColumn("__pqv", v)
     for s in range(m):
-        dists = F.array(
-            *[_sq_dist_to_literal(_pq_subspace(v, s, sub), c) for c in codebooks[s]]
+        staged = staged.withColumn(
+            f"__pqd{s}",
+            F.array(
+                *[
+                    _sq_dist_to_literal(_pq_subspace(F.col("__pqv"), s, sub), c)
+                    for c in codebooks[s]
+                ]
+            ),
         )
-        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
-    return df.withColumn(out_col, F.array(*codes))
+    codes = [
+        (
+            F.array_position(F.col(f"__pqd{s}"), F.array_min(f"__pqd{s}")) - 1
+        ).cast("int")
+        for s in range(m)
+    ]
+    return staged.withColumn(out_col, F.array(*codes)).drop(
+        "__pqv", *[f"__pqd{s}" for s in range(m)]
+    )
 
 
 #: Hard cap on plan-folded ADC lookup-table literals (doubles). 2^20
@@ -1266,13 +1316,6 @@ def _empty_adc_frame(codes_df: DataFrame, queries: DataFrame, id_col: str, query
     return codes_df.sparkSession.createDataFrame([], schema)
 
 
-def _coarse_assign(v: Column, coarse: list[list[float]]) -> Column:
-    """Argmin-squared-L2 coarse cell id as a map-side literal expression
-    (same argmin/tie-break as :func:`kmeans` assignment)."""
-    dists = F.array(*[_sq_dist_to_literal(v, c) for c in coarse])
-    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-
-
 def ivfpq_train(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -1335,13 +1378,41 @@ def ivfpq_encode(
         )
     df = df.filter(valid_vector(F.col(vec_col)))
     df = df.filter(F.size(F.col(vec_col)) == len(coarse[0]))
-    v = as_double_array(F.col(vec_col))
-    cell = _coarse_assign(v, coarse)
-    clit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in coarse])
-    staged = df.withColumn("ivf_cell", cell).withColumn(
-        "__resid", F.zip_with(v, F.element_at(clit, F.col("ivf_cell") + 1), lambda a, b: a - b)
+    # r14 (guide §1.2/§2.4): stage the double vector and the coarse
+    # distance array (each was inlined into every consumer — the
+    # CollapseProject trap), and make ivf_cell NON-NULLABLE via coalesce.
+    # The nullable argmin made InferFiltersFromConstraints add
+    # isnotnull(ivf_cell) for the ADC probe join, and predicate pushdown
+    # substituted the FULL coarse-assign into the scan filter — q153's
+    # before-plan carried a 94 kB filter condition with 44 zip_with
+    # (re-)evaluations per row. The coalesce never fires at runtime
+    # (valid_vector guarantees non-null distances, and the min of a
+    # literal-length array is always found), it only fixes nullability.
+    staged = df.withColumn("__v", as_double_array(F.col(vec_col)))
+    staged = staged.withColumn(
+        "__cd", F.array(*[_sq_dist_to_literal(F.col("__v"), c) for c in coarse])
     )
-    return pq_encode(staged, codebooks, id_col, "__resid").drop("__resid")
+    cell = (F.array_position(F.col("__cd"), F.array_min("__cd")) - 1).cast("int")
+    staged = staged.withColumn("ivf_cell", F.coalesce(cell, F.lit(-1)))
+    clit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in coarse])
+    # try_element_at: the -1 coalesce fallback is unreachable on rows the
+    # valid_vector+dim filters pass, but codegen subexpression elimination
+    # may evaluate expressions EAGERLY on rows a sibling AND-branch is
+    # about to drop — a throwing element_at(clit, 0) there would fail the
+    # whole query (seen via pq_encode's pushed-down re-validation filters
+    # on the raggeddim shape). NULL-for-impossible matches the old
+    # nullable-cell semantics exactly.
+    staged = staged.withColumn(
+        "__resid",
+        F.zip_with(
+            F.col("__v"),
+            F.try_element_at(clit, F.col("ivf_cell") + 1),
+            lambda a, b: a - b,
+        ),
+    ).drop("__v", "__cd")
+    return pq_encode(
+        staged, codebooks, id_col, "__resid", pre_validated=True
+    ).drop("__resid")
 
 
 def ivfpq_adc_topk(
@@ -1420,12 +1491,20 @@ def ivfpq_adc_topk(
     probes = spark.createDataFrame(
         probe_rows, "query_id long, ivf_cell int, luts array<array<double>>"
     )
-    cand = F.broadcast(probes).join(
-        codes_df.select(
-            F.col(id_col).alias("neighbor_id"), "ivf_cell", "pq_codes"
-        ),
-        "ivf_cell",
+    # r14 (guide §6 / VERDICT r13 task 3): the probed-cell set is
+    # driver-known — push it as an IN filter on the codes side instead of
+    # relying on the join alone to drop unprobed cells. Over a PERSISTED
+    # codes table this reaches the parquet scan (PushedFilters: In(ivf_cell,
+    # ...)) and prunes row groups; over an inline-encoded frame it still
+    # short-circuits the PQ-encode projection for rows whose coarse cell
+    # is never probed. Applied only when it prunes (probed ⊂ all cells).
+    probed_cells = sorted({ci for _, ci, _ in probe_rows})
+    codes_side = codes_df.select(
+        F.col(id_col).alias("neighbor_id"), "ivf_cell", "pq_codes"
     )
+    if len(probed_cells) < nlist:
+        codes_side = codes_side.filter(F.col("ivf_cell").isin(probed_cells))
+    cand = F.broadcast(probes).join(codes_side, "ivf_cell")
     dist = sum(
         (
             F.element_at(
