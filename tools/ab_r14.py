@@ -129,7 +129,135 @@ def q143_variants(spark, sf_dir):
     return {"window": current, "agg_join": old_agg_join}
 
 
-CASES = {"q45": q45_variants, "q143": q143_variants}
+def spanfam_variants(spark, sf_dir):
+    """Old vs new _span_hash_rows shape on the q141 (duplicate_spans)
+    query: pushed `size(split)>=n` scan filter vs the when-guarded
+    explode_outer fan-out (r14)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_nd_datalake_project_4_spark.operators import (
+        ensure_map_parallelism,
+        text,
+    )
+    from data_engineering_nd_datalake_project_4_spark.operators.text import tokens
+
+    n = 8
+
+    def old_span_rows(df):
+        toks = (
+            df.filter(F.col("text").isNotNull())
+            .select(F.col("doc_id"), tokens(F.col("text")).alias("__toks"))
+            .filter(F.size("__toks") >= n)
+        )
+        toks = ensure_map_parallelism(toks)
+        return toks.select(
+            F.col("doc_id"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__toks") - n),
+                    lambda i: F.xxhash64(
+                        F.array_join(F.slice("__toks", i + 1, n), " ")
+                    ),
+                )
+            ).alias("start_pos", "gram_h"),
+        )
+
+    def q141_from(span_fn):
+        def fn():
+            d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            flagged = text._dup_flagged_spans(span_fn(d), "doc_id", 2)
+            return (
+                flagged.groupBy("doc_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n_spans"),
+                    F.count(F.when(F.col("__dup"), F.lit(1))).alias("n_dup_spans"),
+                )
+                .withColumn(
+                    "dup_ratio",
+                    F.col("n_dup_spans").cast("double") / F.col("n_spans"),
+                )
+                .orderBy("doc_id")
+            )
+
+        return fn
+
+    return {
+        "new_outer": q141_from(lambda d: text._span_hash_rows(d, "text", "doc_id", n)),
+        "old_pushed": q141_from(old_span_rows),
+    }
+
+
+def bm25_variants(spark, sf_dir):
+    """Old (plain explode, inferred size(split)>0 scan filter) vs new
+    (explode_outer) bm25_topk on the q155 shape."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    from data_engineering_nd_datalake_project_4_spark.operators import (
+        ensure_map_parallelism,
+        text,
+    )
+    from data_engineering_nd_datalake_project_4_spark.operators.text import tokens
+
+    def new():
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return text.bm25_topk(
+            d, "text", "doc_id", ["spark", "join", "window"], k=10
+        ).orderBy("rk")
+
+    def old():
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        k, k1, b = 10, 1.2, 0.75
+        docs = ensure_map_parallelism(d.filter(F.col("text").isNotNull()))
+        toked = docs.select(F.col("doc_id"), tokens("text").alias("__toks"))
+        stats = toked.select(F.size("__toks").alias("__dl")).agg(
+            F.count(F.lit(1)).alias("__n"), F.sum("__dl").alias("__sumdl")
+        )
+        tok = toked.select(
+            F.col("doc_id"),
+            F.size("__toks").alias("__dl"),
+            F.explode("__toks").alias("__tok"),
+        ).filter(F.col("__tok").isin(["spark", "join", "window"]))
+        tf = tok.groupBy("doc_id", "__tok", "__dl").agg(
+            F.count(F.lit(1)).alias("__tf")
+        )
+        dfreq = tf.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+        avgdl = F.col("__sumdl").cast("double") / F.col("__n").cast("double")
+        idf = (
+            F.log(
+                F.lit(1.0)
+                + (F.col("__n").cast("double") - F.col("__df") + F.lit(0.5))
+                / (F.col("__df") + F.lit(0.5))
+            )
+            .cast("decimal(18,6)")
+            .cast("double")
+        )
+        denom = F.col("__tf") + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("__dl").cast("double") / avgdl
+        )
+        contrib = (idf * (F.col("__tf") * F.lit(k1 + 1.0)) / denom).cast(
+            "decimal(18,6)"
+        )
+        scored = (
+            tf.join(F.broadcast(dfreq), "__tok")
+            .crossJoin(F.broadcast(stats))
+            .groupBy("doc_id")
+            .agg(F.sum(contrib).alias("__s"))
+            .select(F.col("doc_id"), F.col("__s").cast("double").alias("score"))
+        )
+        topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return topk.withColumn("rk", F.row_number().over(w)).orderBy("rk")
+
+    return {"new_outer": new, "old_explode": old}
+
+
+CASES = {
+    "q45": q45_variants,
+    "q143": q143_variants,
+    "spanfam": spanfam_variants,
+    "bm25": bm25_variants,
+}
 
 
 def main() -> None:
