@@ -72,6 +72,13 @@ def text_stats(df: DataFrame, text_col: str = "text", group_col: str = "lang") -
     )
 
 
+#: the 52 ASCII letters + space — quality_score's alpha class, deleted by
+#: translate() to count non-alpha chars (see the alpha note in the body)
+_ALPHA_SPACE_CHARS = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz "
+)
+
+
 def quality_score(
     text_col: Column | str,
     stopwords: tuple[str, ...] = LANG_MARKERS["en"],
@@ -92,9 +99,17 @@ def quality_score(
     tk = toks if toks is not None else tokens(c)
     n_tok = F.size(tk).cast("double")
     len_ok = F.when((n_tok >= 5) & (n_tok <= 10000), F.lit(1.0)).otherwise(F.lit(0.0))
-    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z ]", "")).cast("double") / F.greatest(
-        F.length(c).cast("double"), F.lit(1.0)
-    )
+    # r14 (VERDICT r13 task 5): alpha count via translate (a per-char map
+    # lookup) instead of regexp_replace (NFA over the whole doc).
+    # #alpha-or-space chars == length(c) - length(translate(c, <the 53
+    # chars>, '')) — translate DELETES exactly the listed codepoints, and
+    # Spark length() counts codepoints, so the integer identity is exact
+    # (probed on astral/ZWJ/combining/ß/İ/final-sigma/50k-char inputs:
+    # zero mismatches vs the regex AND vs DuckDB's regexp_replace, which
+    # the oracle twin keeps — same value, cheaper Spark-side op).
+    alpha = (
+        F.length(c) - F.length(F.translate(c, _ALPHA_SPACE_CHARS, ""))
+    ).cast("double") / F.greatest(F.length(c).cast("double"), F.lit(1.0))
     hits = F.size(F.array_intersect(F.array_distinct(tk), F.array(*[F.lit(s) for s in stopwords]))).cast("double")
     raw = F.lit(0.4) * len_ok + F.lit(0.3) * alpha + F.lit(0.3) * F.least(F.lit(1.0), hits / 2)
     # scale-then-quantize (NOT F.round): the 4-dp quantize must be the

@@ -1082,8 +1082,14 @@ def q37_lang_id(spark, sf_dir):
 )
 def q38_quality(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
+    # stage the token array once (r14): the bare scorer inlines split()
+    # into both size() references and the stopword intersect (the
+    # strip_duplicate_spans staging trap — HOF lambdas defeat codegen CSE)
+    staged = d.select("lang", "text", text.tokens(F.col("text")).alias("__toks"))
     return (
-        d.select("lang", text.quality_score("text").alias("quality"))
+        staged.select(
+            "lang", text.quality_score("text", toks=F.col("__toks")).alias("quality")
+        )
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
