@@ -424,11 +424,24 @@ def ngram_jaccard_pairs(
     taken from the string sets before hashing.
     """
     df = ensure_map_parallelism(df)
+    # r14: coalesce makes the staged shingle-hash array NON-NULLABLE.
+    # Nullable __sh/__n made InferFiltersFromConstraints add isnotnull()
+    # for the rescore joins' condition references, and predicate pushdown
+    # substituted the FULL shingle-hash transform into the scan filter of
+    # BOTH pair sides (q34's before-plan: two 1.4 kB conditions evaluating
+    # transform(array_distinct(split(text)), xxhash64) per row, then the
+    # projection evaluating it again). The fallback only fires on
+    # NULL-text rows; their pairs drop at the threshold filter because
+    # try_divide renders the 0/0 union as NULL (matching the NULL jaccard
+    # such pairs produced before — and fixing a latent ANSI DIVIDE_BY_ZERO
+    # for pairs of zero-shingle non-NULL docs, reachable with n=1 over
+    # empty-token text).
     sh = df.select(
         F.col(id_col).alias("__id"),
-        F.transform(_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)).alias(
-            "__sh"
-        ),
+        F.coalesce(
+            F.transform(_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)),
+            F.array().cast("array<bigint>"),
+        ).alias("__sh"),
     ).withColumn("__n", F.size("__sh"))
     a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"), F.col("__n").alias("__na"))
     b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"), F.col("__n").alias("__nb"))
@@ -441,7 +454,7 @@ def ngram_jaccard_pairs(
     inter = F.size(F.array_intersect("__sha", "__shb")).cast("double")
     union = (F.col("__na") + F.col("__nb")).cast("double") - inter
     return (
-        joined.select("id_a", "id_b", (inter / union).alias("jaccard"))
+        joined.select("id_a", "id_b", F.try_divide(inter, union).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -840,12 +853,13 @@ def subdoc_dedup(
     if size <= 0:
         raise ValueError(f"size must be positive, got {size}")
     base = df.filter(F.col(text_col).isNotNull())
+    # spread BEFORE tokenization (r14, the _span_hash_rows discipline): the
+    # round-robin exchange carries raw text instead of the strictly-larger
+    # token array, and split() runs once post-spread in parallel
+    base = ensure_map_parallelism(base.select(F.col(id_col), F.col(text_col)))
     # paragraph hashes computed INSIDE the fan-out projection (chunk text is
     # a transient expression, never a shuffled column)
     toks = base.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
-    # spread the narrow (id, tokens) input before the per-paragraph hash
-    # fan-out (the q40 lesson: a 1-2-row-group scan serializes the hashing)
-    toks = ensure_map_parallelism(toks)
     starts = F.sequence(
         F.lit(0), F.greatest(F.size("__toks") - 1, F.lit(0)), F.lit(size)
     )

@@ -252,11 +252,140 @@ def bm25_variants(spark, sf_dir):
     return {"new_outer": new, "old_explode": old}
 
 
+def q147_variants(spark, sf_dir):
+    """subdoc_dedup: current two-pass re-chunk vs staged-chunk reuse via
+    localCheckpoint (the r13 deferred item, VERDICT r13 task 2). The staged
+    variant computes chunk TEXT once on a checkpointed frame shared by the
+    decision and reassembly branches; kept side broadcast-hinted (the
+    checkpoint erases stats — q142 lesson)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_engineering_nd_datalake_project_4_spark.operators import (
+        dedup,
+        ensure_map_parallelism,
+    )
+    from data_engineering_nd_datalake_project_4_spark.operators.text import tokens
+
+    size = 16
+
+    def current():
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return dedup.subdoc_dedup(d, "text", "doc_id", size=size).orderBy("doc_id")
+
+    def staged():
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        base = ensure_map_parallelism(d.select("doc_id", "text"))
+        toks = tokens(F.col("text"))
+        chunks = F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(size)),
+            lambda s: F.array_join(F.slice(toks, s + 1, size), " "),
+        )
+        staged0 = base.select(
+            F.col("doc_id"), F.col("text"), chunks.alias("__chunks")
+        ).localCheckpoint(eager=False)
+        h_rows = (
+            staged0.filter(F.col("text").isNotNull())
+            .select(
+                F.col("doc_id"),
+                F.posexplode("__chunks").alias("__idx", "__c"),
+            )
+            .select("doc_id", "__idx", F.xxhash64("__c").alias("__h"))
+        )
+        w = Window.partitionBy("__h").orderBy(F.col("doc_id"), F.col("__idx"))
+        kept = (
+            h_rows.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .groupBy("doc_id")
+            .agg(F.sort_array(F.collect_list("__idx")).alias("__kept_idx"))
+        )
+        out = staged0.join(F.broadcast(kept), "doc_id", "left")
+        kept_chunks = F.filter(
+            "__chunks", lambda c, i: F.array_contains("__kept_idx", i)
+        )
+        return out.select(
+            F.col("doc_id"),
+            F.when(F.col("text").isNull(), F.lit(0))
+            .otherwise(F.size("__chunks"))
+            .alias("n_paragraphs"),
+            F.coalesce(F.size("__kept_idx"), F.lit(0)).alias("n_kept"),
+            F.when(F.col("text").isNull(), F.lit(None).cast("string"))
+            .otherwise(F.array_join(kept_chunks, " "))
+            .alias("deduped_text"),
+        ).orderBy("doc_id")
+
+    return {"two_pass": current, "staged_ckpt": staged}
+
+
+def q34_variants(spark, sf_dir):
+    """ngram_jaccard_pairs rescore staging: old NULLABLE shingle-hash array
+    (InferFiltersFromConstraints pushes the full transform into both pair-side
+    scan filters) vs the r14 coalesced non-nullable staging + try_divide."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_nd_datalake_project_4_spark.operators import (
+        dedup,
+        ensure_map_parallelism,
+    )
+    from data_engineering_nd_datalake_project_4_spark.operators.dedup import _shingles
+
+    def load():
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+            F.col("doc_id") < 300
+        )
+        cand = dedup.prefix_filter_candidate_pairs(
+            d, "text", "doc_id", n=1, threshold=0.8, order="hash"
+        )
+        return d, cand
+
+    def new():
+        d, cand = load()
+        pairs = dedup.ngram_jaccard_pairs(
+            d, "text", "doc_id", n=1, threshold=0.8, candidates=cand
+        )
+        return pairs.select(
+            "id_a", "id_b", F.round("jaccard", 3).alias("jac")
+        ).orderBy("id_a", "id_b")
+
+    def old():
+        d, cand = load()
+        df = ensure_map_parallelism(d)
+        sh = df.select(
+            F.col("doc_id").alias("__id"),
+            F.transform(_shingles(F.col("text"), 1), lambda s: F.xxhash64(s)).alias(
+                "__sh"
+            ),
+        ).withColumn("__n", F.size("__sh"))
+        a = sh.select(
+            F.col("__id").alias("id_a"),
+            F.col("__sh").alias("__sha"),
+            F.col("__n").alias("__na"),
+        )
+        b = sh.select(
+            F.col("__id").alias("id_b"),
+            F.col("__sh").alias("__shb"),
+            F.col("__n").alias("__nb"),
+        )
+        joined = cand.join(a, "id_a").join(b, "id_b")
+        inter = F.size(F.array_intersect("__sha", "__shb")).cast("double")
+        union = (F.col("__na") + F.col("__nb")).cast("double") - inter
+        pairs = joined.select(
+            "id_a", "id_b", (inter / union).alias("jaccard")
+        ).filter(F.col("jaccard") >= 0.8)
+        return pairs.select(
+            "id_a", "id_b", F.round("jaccard", 3).alias("jac")
+        ).orderBy("id_a", "id_b")
+
+    return {"coalesced": new, "nullable_pushed": old}
+
+
 CASES = {
     "q45": q45_variants,
     "q143": q143_variants,
     "spanfam": spanfam_variants,
     "bm25": bm25_variants,
+    "q147": q147_variants,
+    "q34": q34_variants,
 }
 
 

@@ -79,8 +79,54 @@ def _semantic_dedup_sized(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+def _q95_old_semi_anti(spark, sf_dir):
+    """q95's pre-r13 formulation (semi+anti EXISTS pair), kept here for the
+    VERDICT r13 task-8 slope comparison: the r13 rewrite replaced the
+    double-evaluated late subtree + SMJ LeftAnti + full-lineitem broadcast
+    with ONE orderkey window. This variant measures what the OLD join path
+    costs at the same scale points."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("l3_orderkey"), F.col("l_suppkey").alias("l3_suppkey")
+    )
+    return (
+        late.join(
+            l2,
+            (F.col("l_orderkey") == F.col("l2_orderkey"))
+            & (F.col("l_suppkey") != F.col("l2_suppkey")),
+            "semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("l3_orderkey"))
+            & (F.col("l_suppkey") != F.col("l3_suppkey")),
+            "anti",
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
 HEAVY = {
     "q02_agg_lineitem": REGISTRY["q02"].spark_fn,
+    # round-14 (VERDICT r13 task 8): q95 post-rewrite window path vs the
+    # old semi/anti join path at the same scale points
+    "q95_window": REGISTRY["q95_multi_exists"].spark_fn,
+    "q95_old_semi_anti": _q95_old_semi_anti,
     "q08_snowflake_join": REGISTRY["q08"].spark_fn,
     "q35_minhash_lsh": REGISTRY["q35_minhash_lsh"].spark_fn,
     "q141_span_detect": REGISTRY["q141_duplicate_spans"].spark_fn,
